@@ -1,0 +1,57 @@
+"""Test configuration: force an 8-device virtual CPU mesh so all sharding /
+pjit paths are exercised without TPU hardware (the standard JAX trick)."""
+
+import os
+
+# Must be set before jax initializes its backends.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+class MockTokenizer:
+    """A deterministic whitespace tokenizer with HF-ish surface, for tests.
+
+    Splits text into words and maps each word to a stable id. Prepends BOS
+    like sentencepiece tokenizers do. NOT linguistically meaningful — just
+    enough structure to exercise splicing / masking logic.
+    """
+
+    bos_token_id = 1
+    eos_token_id = 2
+    pad_token_id = 0
+    model_max_length = 4096
+
+    def __init__(self):
+        self.vocab = {"<s>": 1, "</s>": 2, "<pad>": 0}
+
+    def _word_id(self, word):
+        if word not in self.vocab:
+            self.vocab[word] = len(self.vocab) + 10
+        return self.vocab[word]
+
+    class _Out:
+        def __init__(self, ids):
+            self.input_ids = ids
+
+    def __call__(self, text, **kwargs):
+        # Split on whitespace but keep "</s>" attached tokens separate.
+        pieces = []
+        for token in text.replace("</s>", " </s> ").split():
+            pieces.append(token)
+        ids = [self.bos_token_id] + [self._word_id(p) for p in pieces]
+        return self._Out(ids)
+
+
+@pytest.fixture
+def mock_tokenizer():
+    return MockTokenizer()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
