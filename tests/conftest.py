@@ -3,11 +3,20 @@ pjit paths are exercised without TPU hardware (the standard JAX trick)."""
 
 import os
 
-# Must be set before jax initializes its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes its backends. Force CPU: the session
+# env may pin JAX_PLATFORMS to a (single-chip, tunneled) TPU, but tests need
+# the 8-device virtual CPU mesh and fast iteration.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# A sitecustomize hook may have force-registered a tunneled TPU backend via
+# jax.config.update("jax_platforms", ...), which outranks the env var —
+# counter-update before any backend is instantiated.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

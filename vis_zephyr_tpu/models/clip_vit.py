@@ -1,0 +1,159 @@
+"""CLIP ViT vision encoder — pure-functional JAX, TPU-first.
+
+Matches the computation of HF `CLIPVisionModel` as used by the reference
+vision tower (`vis_zephyr/model/vision_encoder/vision_encoder.py:13-151`):
+patch embed + CLS + learned positions → pre-LayerNorm → N pre-LN transformer
+blocks with QuickGELU MLPs → per-layer hidden states. ``post_layernorm`` is
+not applied to the returned hidden states (the reference consumes raw
+per-layer states, `vision_encoder.py:58-78`).
+
+TPU-first choices:
+- images are NHWC and the patch embedding is a reshape + one MXU matmul
+  (equivalent to the stride-14 conv, but explicitly shaped for the MXU),
+- the layer stack is a `lax.scan` over stacked per-layer params (one
+  compiled block body instead of 24 unrolled ones),
+- LayerNorms accumulate in float32 regardless of compute dtype.
+
+The tower is frozen in all training stages, so no custom VJP is needed —
+`jax.lax.stop_gradient` at the call site suffices.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VisionConfig
+
+
+def _layer_norm(x, scale, bias, eps):
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(orig_dtype)
+
+
+def _quick_gelu(x):
+    # OpenAI CLIP activation: x * sigmoid(1.702 * x).
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _dense(x, p):
+    return jnp.einsum("...d,df->...f", x, p["kernel"]) + p["bias"]
+
+
+def _attention(x, p, num_heads):
+    """Bidirectional multi-head attention (no mask — full visual field)."""
+    B, T, D = x.shape
+    head_dim = D // num_heads
+    q = _dense(x, p["q"]).reshape(B, T, num_heads, head_dim)
+    k = _dense(x, p["k"]).reshape(B, T, num_heads, head_dim)
+    v = _dense(x, p["v"]).reshape(B, T, num_heads, head_dim)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim ** -0.5)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
+    return _dense(out, p["out"])
+
+
+def _block(x, layer_params, cfg: VisionConfig):
+    residual = x
+    h = _layer_norm(x, layer_params["ln1"]["scale"], layer_params["ln1"]["bias"], cfg.layer_norm_eps)
+    x = residual + _attention(h, layer_params["attn"], cfg.num_heads)
+    residual = x
+    h = _layer_norm(x, layer_params["ln2"]["scale"], layer_params["ln2"]["bias"], cfg.layer_norm_eps)
+    h = _dense(_quick_gelu(_dense(h, layer_params["fc1"])), layer_params["fc2"])
+    return residual + h
+
+
+def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """[B, H, W, 3] → [B, (H/p)*(W/p), p*p*3] row-major patches."""
+    B, H, W, C = images.shape
+    gh, gw = H // patch_size, W // patch_size
+    x = images.reshape(B, gh, patch_size, gw, patch_size, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, gh, gw, p, p, C
+    return x.reshape(B, gh * gw, patch_size * patch_size * C)
+
+
+def clip_vit_forward(params, images: jnp.ndarray, cfg: VisionConfig) -> jnp.ndarray:
+    """Encode images and return ALL hidden states.
+
+    Args:
+      params: pytree from `init_clip_vit` / `hf_convert.convert_clip_vision`.
+      images: [B, H, W, 3] normalized pixel values (CLIP mean/std), NHWC.
+      cfg: vision config.
+
+    Returns:
+      [num_layers + 1, B, 1 + tokens, hidden] — index 0 is the
+      post-pre-LayerNorm embedding output, index i the output of block i
+      (mirrors HF `output_hidden_states=True`).
+    """
+    emb = params["embeddings"]
+    patches = patchify(images, cfg.patch_size)
+    x = jnp.einsum("bpf,fd->bpd", patches, emb["patch_kernel"])
+    cls = jnp.broadcast_to(emb["class_embedding"], (x.shape[0], 1, cfg.hidden_size)).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + emb["position_embedding"][None, : x.shape[1]]
+    x = _layer_norm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"], cfg.layer_norm_eps)
+
+    def body(carry, layer_params):
+        y = _block(carry, layer_params, cfg)
+        return y, y
+
+    _, states = jax.lax.scan(body, x, params["layers"])
+    return jnp.concatenate([x[None], states], axis=0)
+
+
+def select_and_stack(hidden_states: jnp.ndarray, cfg: VisionConfig) -> jnp.ndarray:
+    """Slice the trailing `num_selected_layers` hidden states and drop the
+    CLS token per layer (reference `vision_encoder.py:58-78`,
+    select_feature='patch')."""
+    selected = hidden_states[-cfg.num_selected_layers :]
+    if cfg.select_feature == "patch":
+        return selected[:, :, 1:, :]
+    if cfg.select_feature == "cls_patch":
+        return selected
+    raise ValueError(f"Unknown select_feature: {cfg.select_feature}")
+
+
+def init_clip_vit(cfg: VisionConfig, key, dtype=jnp.float32):
+    """Random-init parameters with the HF-compatible structure."""
+    k = jax.random.split(key, 8)
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    patch_feat = cfg.patch_size * cfg.patch_size * 3
+    tokens = cfg.tokens_per_image + 1
+    L = cfg.num_layers
+
+    def ln():
+        return {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)}
+
+    def stacked_dense(key, din, dout):
+        # Per-layer params stacked along a leading L axis (scan layout).
+        return {
+            "kernel": jax.random.normal(key, (L, din, dout), dtype) * 0.02,
+            "bias": jnp.zeros((L, dout), dtype),
+        }
+
+    layers = {
+        "ln1": {"scale": jnp.ones((L, D), dtype), "bias": jnp.zeros((L, D), dtype)},
+        "ln2": {"scale": jnp.ones((L, D), dtype), "bias": jnp.zeros((L, D), dtype)},
+        "attn": {
+            name: stacked_dense(jax.random.fold_in(k[6], i), D, D)
+            for i, name in enumerate(["q", "k", "v", "out"])
+        },
+        "fc1": stacked_dense(jax.random.fold_in(k[7], 1), D, I),
+        "fc2": stacked_dense(jax.random.fold_in(k[7], 2), I, D),
+    }
+
+    return {
+        "embeddings": {
+            "class_embedding": jax.random.normal(k[0], (D,), dtype) * 0.02,
+            "patch_kernel": jax.random.normal(k[1], (patch_feat, D), dtype) * 0.02,
+            "position_embedding": jax.random.normal(k[2], (tokens, D), dtype) * 0.02,
+        },
+        "pre_ln": ln(),
+        "layers": layers,
+    }

@@ -1,0 +1,222 @@
+"""Converters from HuggingFace checkpoints to vis_zephyr_tpu param pytrees.
+
+Covers the three checkpoint surfaces the reference loads
+(`vis_zephyr/model/builder.py:16-160`):
+- CLIP vision tower (`CLIPVisionModel` state dict / safetensors),
+- the Q-Former `mm_projector.bin` (torch-saved dict with `mm_projector.`
+  key prefix, reference `builder.py:118-120`),
+- Mistral/Zephyr decoder weights.
+
+torch is imported lazily so the core framework has no torch dependency;
+state dicts may be passed directly as `{name: np.ndarray}` too.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import DecoderConfig, ProjectorConfig, VisionConfig
+
+
+def _np(x) -> np.ndarray:
+    if isinstance(x, np.ndarray):
+        return x
+    # torch tensor
+    return x.detach().to("cpu").float().numpy()
+
+
+def _dense(sd: Mapping, prefix: str, dtype) -> Dict:
+    """torch Linear → {kernel [in,out], bias [out]}."""
+    out = {"kernel": jnp.asarray(_np(sd[prefix + ".weight"]).T, dtype)}
+    if prefix + ".bias" in sd:
+        out["bias"] = jnp.asarray(_np(sd[prefix + ".bias"]), dtype)
+    return out
+
+
+def _ln(sd: Mapping, prefix: str, dtype) -> Dict:
+    return {
+        "scale": jnp.asarray(_np(sd[prefix + ".weight"]), dtype),
+        "bias": jnp.asarray(_np(sd[prefix + ".bias"]), dtype),
+    }
+
+
+def _stack(dicts):
+    """List of structurally identical pytrees → one pytree with leading L axis."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *dicts)
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower
+# ---------------------------------------------------------------------------
+
+def convert_clip_vision(state_dict: Mapping, cfg: VisionConfig, dtype=jnp.float32) -> Dict:
+    """HF CLIPVisionModel state dict → `clip_vit_forward` params.
+
+    Accepts keys with or without the `vision_model.` prefix.
+    """
+    sd = dict(state_dict)
+    if any(k.startswith("vision_model.") for k in sd):
+        sd = {k[len("vision_model."):]: v for k, v in sd.items() if k.startswith("vision_model.")}
+
+    # Patch conv [D, 3, ph, pw] → [ph*pw*3, D] matching row-major patchify
+    # (patch pixel (ph, pw, c) flattened index = ph*P*3 + pw*3 + c).
+    conv = _np(sd["embeddings.patch_embedding.weight"])
+    patch_kernel = jnp.asarray(conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0]), dtype)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"encoder.layers.{i}"
+        layers.append(
+            {
+                "ln1": _ln(sd, f"{p}.layer_norm1", dtype),
+                "ln2": _ln(sd, f"{p}.layer_norm2", dtype),
+                "attn": {
+                    "q": _dense(sd, f"{p}.self_attn.q_proj", dtype),
+                    "k": _dense(sd, f"{p}.self_attn.k_proj", dtype),
+                    "v": _dense(sd, f"{p}.self_attn.v_proj", dtype),
+                    "out": _dense(sd, f"{p}.self_attn.out_proj", dtype),
+                },
+                "fc1": _dense(sd, f"{p}.mlp.fc1", dtype),
+                "fc2": _dense(sd, f"{p}.mlp.fc2", dtype),
+            }
+        )
+
+    return {
+        "embeddings": {
+            "class_embedding": jnp.asarray(_np(sd["embeddings.class_embedding"]), dtype),
+            "patch_kernel": patch_kernel,
+            "position_embedding": jnp.asarray(
+                _np(sd["embeddings.position_embedding.weight"]), dtype
+            ),
+        },
+        "pre_ln": _ln(sd, "pre_layrnorm", dtype),  # (sic) HF key spelling
+        "layers": _stack(layers),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Q-Former projector (mm_projector.bin)
+# ---------------------------------------------------------------------------
+
+def _mha_in_proj(sd: Mapping, prefix: str, embed_dim: int, dtype, kv_dim=None) -> Dict:
+    """torch nn.MultiheadAttention → separate q/k/v/out dense params.
+
+    Same-dim attention packs q/k/v into `in_proj_weight` [3D, D]; when
+    kdim/vdim differ it uses separate `q_proj_weight`/`k_proj_weight`/
+    `v_proj_weight`. Bias is always packed `in_proj_bias` [3D].
+    """
+    if prefix + ".in_proj_weight" in sd:
+        w = _np(sd[prefix + ".in_proj_weight"])
+        qw, kw, vw = np.split(w, 3, axis=0)
+    else:
+        qw = _np(sd[prefix + ".q_proj_weight"])
+        kw = _np(sd[prefix + ".k_proj_weight"])
+        vw = _np(sd[prefix + ".v_proj_weight"])
+    b = _np(sd[prefix + ".in_proj_bias"])
+    qb, kb, vb = np.split(b, 3, axis=0)
+    return {
+        "q": {"kernel": jnp.asarray(qw.T, dtype), "bias": jnp.asarray(qb, dtype)},
+        "k": {"kernel": jnp.asarray(kw.T, dtype), "bias": jnp.asarray(kb, dtype)},
+        "v": {"kernel": jnp.asarray(vw.T, dtype), "bias": jnp.asarray(vb, dtype)},
+        "out": _dense(sd, prefix + ".out_proj", dtype),
+    }
+
+
+def convert_qformer(state_dict: Mapping, cfg: ProjectorConfig, dtype=jnp.float32) -> Dict:
+    """Q-Former torch state dict → `qformer_forward` params.
+
+    Accepts raw keys or `mm_projector.`-prefixed keys (as saved in
+    `mm_projector.bin`, reference `vis_zephyr_arch.py:95-102`).
+    """
+    sd = dict(state_dict)
+    if any(k.startswith("mm_projector.") for k in sd):
+        sd = {
+            k[len("mm_projector."):]: v
+            for k, v in sd.items()
+            if k.startswith("mm_projector.")
+        }
+
+    blocks = []
+    for i in range(cfg.num_blocks):
+        p = f"blocks.{i}"
+        blocks.append(
+            {
+                "norm1": _ln(sd, f"{p}.norm1", dtype),
+                "self_attn": _mha_in_proj(sd, f"{p}.self_attn", cfg.hidden_size, dtype),
+                "norm2": _ln(sd, f"{p}.norm2", dtype),
+                "cross_attn": _mha_in_proj(
+                    sd, f"{p}.cross_attn", cfg.hidden_size, dtype, kv_dim=cfg.visual_hidden_size
+                ),
+                "norm3": _ln(sd, f"{p}.norm3", dtype),
+                "fc1": _dense(sd, f"{p}.ffn.0", dtype),
+                "fc2": _dense(sd, f"{p}.ffn.2", dtype),
+            }
+        )
+
+    return {
+        "queries": jnp.asarray(_np(sd["learned_queries"]), dtype),
+        "pre_norm": _ln(sd, "pre_norm", dtype),
+        "final_norm": _ln(sd, "norm", dtype),
+        "blocks": _stack(blocks),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Mistral / Zephyr decoder
+# ---------------------------------------------------------------------------
+
+def convert_mistral(state_dict: Mapping, cfg: DecoderConfig, dtype=jnp.float32) -> Dict:
+    """HF MistralForCausalLM state dict → `mistral_forward` params."""
+    sd = dict(state_dict)
+    # Tolerate either `model.` prefixed (ForCausalLM) or bare keys.
+    def key(name):
+        return name if name in sd else "model." + name
+
+    def rms(prefix):
+        return {"scale": jnp.asarray(_np(sd[key(prefix + ".weight")]), dtype)}
+
+    def lin(prefix):
+        return {"kernel": jnp.asarray(_np(sd[key(prefix + ".weight")]).T, dtype)}
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}" if f"model.layers.{i}.input_layernorm.weight" in sd else f"layers.{i}"
+        layers.append(
+            {
+                "input_ln": {"scale": jnp.asarray(_np(sd[f"{p}.input_layernorm.weight"]), dtype)},
+                "post_attn_ln": {
+                    "scale": jnp.asarray(_np(sd[f"{p}.post_attention_layernorm.weight"]), dtype)
+                },
+                "attn": {
+                    "q": {"kernel": jnp.asarray(_np(sd[f"{p}.self_attn.q_proj.weight"]).T, dtype)},
+                    "k": {"kernel": jnp.asarray(_np(sd[f"{p}.self_attn.k_proj.weight"]).T, dtype)},
+                    "v": {"kernel": jnp.asarray(_np(sd[f"{p}.self_attn.v_proj.weight"]).T, dtype)},
+                    "out": {"kernel": jnp.asarray(_np(sd[f"{p}.self_attn.o_proj.weight"]).T, dtype)},
+                },
+                "mlp": {
+                    "gate": {"kernel": jnp.asarray(_np(sd[f"{p}.mlp.gate_proj.weight"]).T, dtype)},
+                    "up": {"kernel": jnp.asarray(_np(sd[f"{p}.mlp.up_proj.weight"]).T, dtype)},
+                    "down": {"kernel": jnp.asarray(_np(sd[f"{p}.mlp.down_proj.weight"]).T, dtype)},
+                },
+            }
+        )
+
+    return {
+        "embed_tokens": jnp.asarray(_np(sd[key("embed_tokens.weight")]), dtype),
+        "final_ln": rms("norm"),
+        "lm_head": {"kernel": jnp.asarray(_np(sd["lm_head.weight"]).T, dtype)},
+        "layers": _stack(layers),
+    }
+
+
+def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch-saved state dict (e.g. mm_projector.bin) as numpy."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: _np(v) for k, v in raw.items()}
