@@ -1,0 +1,224 @@
+"""Mistral / Zephyr-7B-β decoder — pure-functional JAX with a static-shape
+KV cache.
+
+Computation matches HF `MistralForCausalLM` (the reference decoder backbone,
+`vis_zephyr/model/language_model/vis_zephyr.py:19-174` inherits it wholesale):
+RMSNorm (f32 accumulation) → GQA attention with rotary embeddings
+(θ=10000, rotate-half) and optional sliding-window causal mask → SiLU-gated
+MLP, with a final RMSNorm and untied lm_head.
+
+TPU-first choices:
+- the layer stack is one `lax.scan` over stacked params; KV caches are
+  stacked [L, ...] arrays scanned alongside, so prefill and every decode
+  step are each a single compiled program,
+- positions and cache lengths are explicit arrays → right-padded batches,
+  multimodal spliced sequences and continuous batching share one code path,
+- attention dispatches to the Pallas flash kernel on TPU for long
+  sequences, falling back to the XLA reference op elsewhere.
+
+The KV cache is a pytree `{"k": [L,B,S,Hkv,D], "v": ..., "length": [B]}`
+(static max length S). `length[b]` is the number of valid cache slots for
+sample b; decode writes at slot `length[b]` and increments.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DecoderConfig
+from ..ops.attention import attention_mask, dot_product_attention
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)).astype(dtype)
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for rotate-half RoPE. positions: [B, T] → [B, T, D/2]."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [B, T, D/2]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, T, H, D]; cos/sin: [B, T, D/2] (HF rotate-half convention:
+    the head dim is split into two halves [x1; x2])."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def _project_qkv(h, attn_params, cfg: DecoderConfig, cos, sin):
+    B, T, _ = h.shape
+    q = jnp.einsum("btd,df->btf", h, attn_params["q"]["kernel"])
+    k = jnp.einsum("btd,df->btf", h, attn_params["k"]["kernel"])
+    v = jnp.einsum("btd,df->btf", h, attn_params["v"]["kernel"])
+    q = apply_rope(q.reshape(B, T, cfg.num_heads, cfg.head_dim), cos, sin)
+    k = apply_rope(k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim), cos, sin)
+    v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    return q, k, v
+
+
+def _mlp(h, mlp_params):
+    gate = jnp.einsum("btd,df->btf", h, mlp_params["gate"]["kernel"])
+    up = jnp.einsum("btd,df->btf", h, mlp_params["up"]["kernel"])
+    return jnp.einsum("btf,fd->btd", jax.nn.silu(gate) * up, mlp_params["down"]["kernel"])
+
+
+def embed(params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    """Token ids → embeddings. Negative sentinel ids (image placeholders)
+    are clamped to 0; callers overwrite those slots with image features."""
+    ids = jnp.maximum(input_ids, 0)
+    return params["embed_tokens"][ids]
+
+
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> Dict:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "length": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def mistral_forward(
+    params,
+    inputs_embeds: jnp.ndarray,
+    cfg: DecoderConfig,
+    positions: jnp.ndarray,
+    attn_valid: Optional[jnp.ndarray] = None,
+    cache: Optional[Dict] = None,
+    logits_slice: str = "all",  # "all" | "last"
+    use_flash: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Dict]]:
+    """Run the decoder stack.
+
+    Two modes:
+      - cache=None: self-contained forward over [B, T] (training / scoring).
+        Mask = causal ∧ sliding-window ∧ attn_valid.
+      - cache given: prefill (T>1) or decode (T=1). New K/V are written into
+        the cache at slots `cache.length[b] + arange(T)`; attention runs
+        against the whole cache buffer with slot-validity masking.
+        `attn_valid` here marks which of the T new tokens are real (right
+        padding support); padded tokens are still written but never attended.
+
+    Returns (logits, new_cache). logits are float32.
+    """
+    B, T, D = inputs_embeds.shape
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    h = inputs_embeds
+
+    if cache is None:
+        mask = attention_mask(
+            positions, positions, kv_valid=attn_valid, causal=True,
+            sliding_window=cfg.sliding_window,
+        )
+
+        def body(carry, layer_params):
+            h = carry
+            hn = rms_norm(h, layer_params["input_ln"]["scale"], cfg.rms_norm_eps)
+            q, k, v = _project_qkv(hn, layer_params["attn"], cfg, cos, sin)
+            attn = dot_product_attention(q, k, v, mask=mask)
+            attn = jnp.einsum("bthd,hdf->btf", attn,
+                              layer_params["attn"]["out"]["kernel"].reshape(
+                                  cfg.num_heads, cfg.head_dim, D))
+            h = h + attn
+            hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], cfg.rms_norm_eps)
+            h = h + _mlp(hn, layer_params["mlp"])
+            return h, None
+
+        h, _ = jax.lax.scan(body, h, params["layers"])
+        new_cache = None
+    else:
+        S = cache["k"].shape[2]
+        lengths = cache["length"]  # [B]
+        # Slot indices where the T new tokens land: [B, T].
+        slot = lengths[:, None] + jnp.arange(T)[None, :]
+        new_valid = (
+            jnp.ones((B, T), dtype=bool) if attn_valid is None else attn_valid.astype(bool)
+        )
+        # Cache-slot positions for masking: previously-written slots keep
+        # their original token positions; we reconstruct masks from slot
+        # validity + causality in *slot order* (slots are written in
+        # position order, so slot index order == position order).
+        slot_ids = jnp.arange(S)[None, :]  # [1, S]
+        q_slot = slot  # [B, T]
+        kv_valid_slots = slot_ids < (lengths[:, None] + T)  # may include pads; fixed below
+        mask = attention_mask(
+            q_slot, jnp.broadcast_to(slot_ids, (B, S)), kv_valid=kv_valid_slots,
+            causal=True, sliding_window=cfg.sliding_window,
+        )
+        # Exclude padded new tokens from being attended BY anyone:
+        pad_slots = jnp.ones((B, S), dtype=bool)
+        pad_slots = pad_slots.at[jnp.arange(B)[:, None], q_slot].set(new_valid)
+        mask &= pad_slots[:, None, :]
+
+        batch_idx = jnp.arange(B)[:, None]
+
+        def body(carry, xs):
+            h = carry
+            layer_params, layer_k, layer_v = xs
+            hn = rms_norm(h, layer_params["input_ln"]["scale"], cfg.rms_norm_eps)
+            q, k, v = _project_qkv(hn, layer_params["attn"], cfg, cos, sin)
+            layer_k = layer_k.at[batch_idx, slot].set(k.astype(layer_k.dtype))
+            layer_v = layer_v.at[batch_idx, slot].set(v.astype(layer_v.dtype))
+            attn = dot_product_attention(q, layer_k.astype(q.dtype), layer_v.astype(q.dtype), mask=mask)
+            attn = jnp.einsum("bthd,hdf->btf", attn,
+                              layer_params["attn"]["out"]["kernel"].reshape(
+                                  cfg.num_heads, cfg.head_dim, D))
+            h = h + attn
+            hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], cfg.rms_norm_eps)
+            h = h + _mlp(hn, layer_params["mlp"])
+            return h, (layer_k, layer_v)
+
+        h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+        new_cache = {
+            "k": new_k,
+            "v": new_v,
+            "length": lengths + jnp.sum(new_valid, axis=1).astype(lengths.dtype),
+        }
+
+    h = rms_norm(h, params["final_ln"]["scale"], cfg.rms_norm_eps)
+    if logits_slice == "last":
+        h = h[:, -1:, :]
+    logits = jnp.einsum("btd,dv->btv", h, params["lm_head"]["kernel"]).astype(jnp.float32)
+    return logits, new_cache
+
+
+def init_mistral(cfg: DecoderConfig, key, dtype=jnp.float32):
+    L, D, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    Hq, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    k = jax.random.split(key, 8)
+
+    def w(key, shape):
+        return jax.random.normal(key, shape, dtype) * 0.02
+
+    return {
+        "embed_tokens": w(k[0], (cfg.vocab_size, D)),
+        "final_ln": {"scale": jnp.ones((D,), dtype)},
+        "lm_head": {"kernel": w(k[1], (D, cfg.vocab_size))},
+        "layers": {
+            "input_ln": {"scale": jnp.ones((L, D), dtype)},
+            "post_attn_ln": {"scale": jnp.ones((L, D), dtype)},
+            "attn": {
+                "q": {"kernel": w(k[2], (L, D, Hq * hd))},
+                "k": {"kernel": w(k[3], (L, D, Hkv * hd))},
+                "v": {"kernel": w(k[4], (L, D, Hkv * hd))},
+                "out": {"kernel": w(k[5], (L, Hq * hd, D))},
+            },
+            "mlp": {
+                "gate": {"kernel": w(k[6], (L, D, I))},
+                "up": {"kernel": w(jax.random.fold_in(k[6], 1), (L, D, I))},
+                "down": {"kernel": w(k[7], (L, I, D))},
+            },
+        },
+    }
