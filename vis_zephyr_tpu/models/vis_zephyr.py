@@ -1,0 +1,160 @@
+"""VisZephyr — the fused multimodal model: CLIP tower → multi-layer fusion
+→ text-conditioned Q-Former → token splice → Mistral decoder.
+
+One jittable program covers the whole prefill (reference equivalent:
+`VisZephyrForCausalLM.forward` / `prepare_inputs_labels_for_multimodal`,
+`vis_zephyr/model/language_model/vis_zephyr.py:51-142` +
+`vis_zephyr_arch.py:129-333`).
+
+Data model (static shapes; host collators produce these):
+- `input_ids`   [B, T]   right-padded, one IMAGE_TOKEN_INDEX per multimodal
+                         sample (text-only rows have none),
+- `text_valid`  [B, T]   bool,
+- `images`      [B, P, H, W, 3] normalized pixels; P = static max patches
+                         (global image first, then tiles, then padding),
+- `patch_valid` [B, P]   bool, valid patches contiguous from index 0,
+- `labels`      [B, T]   optional, IGNORE_INDEX-masked.
+
+The vision tower is frozen in every reference training stage
+(`vision_encoder.py:55`), enforced here with stop_gradient.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VisZephyrConfig
+from ..ops.splice import compact_text_ids, splice_image_tokens
+from .clip_vit import clip_vit_forward, init_clip_vit, select_and_stack
+from .fusion import dense_channel_fusion
+from .mistral import embed, init_mistral, mistral_forward
+from .qformer import init_qformer, qformer_forward
+
+
+def init_vis_zephyr(cfg: VisZephyrConfig, key, dtype=jnp.float32) -> Dict:
+    kv, kp, kd = jax.random.split(key, 3)
+    return {
+        "vision": init_clip_vit(cfg.vision, kv, dtype),
+        "projector": init_qformer(cfg.projector, kp, dtype),
+        "decoder": init_mistral(cfg.decoder, kd, dtype),
+    }
+
+
+def encode_images(
+    params,
+    images: jnp.ndarray,
+    cfg: VisZephyrConfig,
+    text_embeddings: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Images → projected visual tokens.
+
+    Args:
+      images: [N, H, W, 3] normalized pixels (N = B * P flattened patches).
+      text_embeddings: optional [N, L, D_dec] Q-Former conditioning.
+
+    Returns [N, num_queries, D_dec]
+    (reference `vis_zephyr_arch.py:120-124` encode_images).
+    """
+    hidden = clip_vit_forward(params["vision"], images, cfg.vision)
+    stacked = select_and_stack(hidden, cfg.vision)          # [S, N, T, C]
+    fused = dense_channel_fusion(stacked, cfg.vision.num_fusion_groups)
+    fused = jax.lax.stop_gradient(fused)                    # frozen tower
+    return qformer_forward(
+        params["projector"], fused, cfg.projector, text_embeddings=text_embeddings
+    )
+
+
+def prepare_multimodal(
+    params,
+    input_ids: jnp.ndarray,
+    images: jnp.ndarray,
+    patch_valid: jnp.ndarray,
+    cfg: VisZephyrConfig,
+    text_valid: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Encode images, build Q-Former text conditioning, splice embeddings.
+
+    Returns the `splice_image_tokens` dict (embeds/valid/positions/lengths
+    [+labels]), ready for `mistral_forward`.
+    """
+    B, T = input_ids.shape
+    P = images.shape[1]
+    Q = cfg.projector.num_queries
+
+    # Q-Former text conditioning: the prompt with the sentinel removed,
+    # embedded, repeated per patch (reference `vis_zephyr_arch.py:162-192`).
+    text_ids = compact_text_ids(input_ids, cfg.decoder.pad_token_id)
+    cond = embed(params["decoder"], text_ids)               # [B, T-1, D]
+    cond = jnp.repeat(cond, P, axis=0)                      # [B*P, T-1, D]
+
+    flat_images = images.reshape((B * P,) + images.shape[2:])
+    projected = encode_images(params, flat_images, cfg, text_embeddings=cond)
+    image_embeds = projected.reshape(B, P * Q, -1)          # flat patch merge
+
+    num_image_tokens = patch_valid.astype(jnp.int32).sum(axis=1) * Q
+
+    text_embeds = embed(params["decoder"], input_ids)
+    return splice_image_tokens(
+        input_ids,
+        text_embeds,
+        image_embeds,
+        num_image_tokens,
+        text_valid=text_valid,
+        labels=labels,
+        max_length=cfg.tokenizer_model_max_length,
+    )
+
+
+def vis_zephyr_forward(
+    params,
+    input_ids: jnp.ndarray,
+    images: Optional[jnp.ndarray],
+    patch_valid: Optional[jnp.ndarray],
+    cfg: VisZephyrConfig,
+    text_valid: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,
+    cache: Optional[Dict] = None,
+) -> Tuple[jnp.ndarray, Dict]:
+    """Full multimodal forward (prefill or training step).
+
+    Returns (logits, aux) where aux carries the spliced labels/valid/
+    positions/lengths and (if cache was given) the updated cache.
+    """
+    if images is None:
+        # Pure text path (reference `vis_zephyr_arch.py:148-149`).
+        B, T = input_ids.shape
+        valid = (
+            jnp.ones((B, T), dtype=bool) if text_valid is None else text_valid.astype(bool)
+        )
+        positions = jnp.where(valid, jnp.cumsum(valid, axis=1) - 1, 0).astype(jnp.int32)
+        embeds = embed(params["decoder"], input_ids)
+        prepared = {
+            "embeds": embeds,
+            "valid": valid,
+            "positions": positions,
+            "lengths": valid.sum(axis=1).astype(jnp.int32),
+        }
+        if labels is not None:
+            prepared["labels"] = labels
+    else:
+        prepared = prepare_multimodal(
+            params, input_ids, images, patch_valid, cfg,
+            text_valid=text_valid, labels=labels,
+        )
+
+    logits, new_cache = mistral_forward(
+        params["decoder"],
+        prepared["embeds"],
+        cfg.decoder,
+        prepared["positions"],
+        attn_valid=prepared["valid"],
+        cache=cache,
+    )
+    aux = {k: v for k, v in prepared.items() if k != "embeds"}
+    if new_cache is not None:
+        aux["cache"] = new_cache
+    return logits, aux
