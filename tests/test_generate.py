@@ -1,0 +1,110 @@
+"""Generation runtime tests (tiny model)."""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vis_zephyr_tpu.config import tiny_config
+from vis_zephyr_tpu.constants import IMAGE_TOKEN_INDEX
+from vis_zephyr_tpu.models.vis_zephyr import init_vis_zephyr
+from vis_zephyr_tpu.serve.generate import (
+    SamplingConfig,
+    generate,
+    generate_stream,
+    pad_to_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def make_inputs(cfg, rng, B=1, T=6, P=3):
+    H = cfg.vision.image_size
+    ids = rng.integers(5, cfg.decoder.vocab_size, (B, T))
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    images = rng.standard_normal((B, P, H, H, 3)).astype(np.float32)
+    patch_valid = np.ones((B, P), bool)
+    return jnp.asarray(ids), jnp.asarray(images), jnp.asarray(patch_valid)
+
+
+class TestGenerate:
+    def test_greedy_batch_equals_stream(self, setup, rng):
+        cfg, params = setup
+        ids, images, pv = make_inputs(cfg, rng)
+        sampling = SamplingConfig(max_new_tokens=8, temperature=0.0, eos_token_id=-1)
+
+        batch_tokens = generate(params, ids, images, pv, cfg, sampling)[0]
+        stream_tokens = list(generate_stream(params, ids, images, pv, cfg, sampling))
+        np.testing.assert_array_equal(batch_tokens, stream_tokens)
+
+    def test_eos_padding_after_stop(self, setup, rng):
+        cfg, params = setup
+        ids, images, pv = make_inputs(cfg, rng)
+        # Find which token greedy emits first, then declare it EOS: the
+        # remainder of the batch output must be EOS-padded.
+        probe = SamplingConfig(max_new_tokens=4, temperature=0.0, eos_token_id=-1)
+        first = int(generate(params, ids, images, pv, cfg, probe)[0][0])
+        sampling = SamplingConfig(max_new_tokens=6, temperature=0.0, eos_token_id=first)
+        out = generate(params, ids, images, pv, cfg, sampling)[0]
+        assert (out == first).all()
+        assert list(generate_stream(params, ids, images, pv, cfg, sampling)) == []
+
+    def test_text_only_generation(self, setup, rng):
+        cfg, params = setup
+        ids = jnp.asarray(rng.integers(5, cfg.decoder.vocab_size, (2, 5)))
+        sampling = SamplingConfig(max_new_tokens=4, temperature=0.0, eos_token_id=-1)
+        out = generate(params, ids, None, None, cfg, sampling)
+        assert out.shape == (2, 4)
+
+    def test_sampling_reproducible(self, setup, rng):
+        cfg, params = setup
+        ids, images, pv = make_inputs(cfg, rng)
+        sampling = SamplingConfig(max_new_tokens=6, temperature=0.8, top_p=0.9, eos_token_id=-1)
+        a = generate(params, ids, images, pv, cfg, sampling, rng=jax.random.PRNGKey(7))
+        b = generate(params, ids, images, pv, cfg, sampling, rng=jax.random.PRNGKey(7))
+        c = generate(params, ids, images, pv, cfg, sampling, rng=jax.random.PRNGKey(8))
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c) or True  # different seed may coincide on tiny vocab
+
+    def test_ragged_batch_greedy_matches_singletons(self, setup, rng):
+        """Two prompts of different lengths in one padded batch must decode
+        the same tokens as each run alone."""
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=5, temperature=0.0, eos_token_id=-1)
+        H = cfg.vision.image_size
+        P = 3
+        lens = [4, 7]
+        T = max(lens)
+        ids = rng.integers(5, cfg.decoder.vocab_size, (2, T))
+        ids[:, 1] = IMAGE_TOKEN_INDEX
+        images = rng.standard_normal((2, P, H, H, 3)).astype(np.float32)
+        pv = np.ones((2, P), bool)
+        valid = np.array([[i < L for i in range(T)] for L in lens])
+
+        batch_out = generate(
+            params, jnp.asarray(ids), jnp.asarray(images), jnp.asarray(pv), cfg,
+            sampling, text_valid=jnp.asarray(valid), cache_len=256,
+        )
+        for b, L in enumerate(lens):
+            solo = generate(
+                params,
+                jnp.asarray(ids[b : b + 1, :L]),
+                jnp.asarray(images[b : b + 1]),
+                jnp.asarray(pv[b : b + 1]),
+                cfg,
+                sampling,
+                cache_len=256,
+            )
+            np.testing.assert_array_equal(batch_out[b], solo[0])
+
+
+def test_pad_to_bucket():
+    assert pad_to_bucket(1) == 128
+    assert pad_to_bucket(128) == 128
+    assert pad_to_bucket(129) == 256
+    assert pad_to_bucket(300, bucket=64) == 320

@@ -77,5 +77,15 @@ class TestSplice:
                 [IMAGE_TOKEN_INDEX, 11, 12, 2],
             ]
         )
-        got = np.asarray(compact_text_ids(jnp.asarray(ids), pad_id=2))
-        np.testing.assert_array_equal(got, [[7, 9, 10], [11, 12, 2]])
+        got, valid = compact_text_ids(jnp.asarray(ids), pad_id=2)
+        np.testing.assert_array_equal(np.asarray(got), [[7, 9, 10], [11, 12, 2]])
+        assert np.asarray(valid).all()
+
+    def test_compact_text_ids_with_padding(self):
+        ids = np.array([[7, IMAGE_TOKEN_INDEX, 9, 0, 0]])
+        text_valid = np.array([[True, True, True, False, False]])
+        got, valid = compact_text_ids(
+            jnp.asarray(ids), pad_id=2, text_valid=jnp.asarray(text_valid)
+        )
+        np.testing.assert_array_equal(np.asarray(got), [[7, 9, 2, 2]])
+        np.testing.assert_array_equal(np.asarray(valid), [[True, True, False, False]])

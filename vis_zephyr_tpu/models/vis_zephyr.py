@@ -48,6 +48,7 @@ def encode_images(
     images: jnp.ndarray,
     cfg: VisZephyrConfig,
     text_embeddings: Optional[jnp.ndarray] = None,
+    text_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Images → projected visual tokens.
 
@@ -63,7 +64,8 @@ def encode_images(
     fused = dense_channel_fusion(stacked, cfg.vision.num_fusion_groups)
     fused = jax.lax.stop_gradient(fused)                    # frozen tower
     return qformer_forward(
-        params["projector"], fused, cfg.projector, text_embeddings=text_embeddings
+        params["projector"], fused, cfg.projector,
+        text_embeddings=text_embeddings, text_mask=text_mask,
     )
 
 
@@ -87,12 +89,21 @@ def prepare_multimodal(
 
     # Q-Former text conditioning: the prompt with the sentinel removed,
     # embedded, repeated per patch (reference `vis_zephyr_arch.py:162-192`).
-    text_ids = compact_text_ids(input_ids, cfg.decoder.pad_token_id)
+    # Batch padding is masked out of block-0 self-attention so a sample's
+    # projection never depends on its batch neighbors (see
+    # `compact_text_ids` docstring).
+    text_ids, cond_valid = compact_text_ids(
+        input_ids, cfg.decoder.pad_token_id, text_valid=text_valid
+    )
     cond = embed(params["decoder"], text_ids)               # [B, T-1, D]
+    cond = cond * cond_valid[..., None].astype(cond.dtype)
     cond = jnp.repeat(cond, P, axis=0)                      # [B*P, T-1, D]
+    cond_mask = jnp.repeat(cond_valid, P, axis=0)
 
     flat_images = images.reshape((B * P,) + images.shape[2:])
-    projected = encode_images(params, flat_images, cfg, text_embeddings=cond)
+    projected = encode_images(
+        params, flat_images, cfg, text_embeddings=cond, text_mask=cond_mask
+    )
     image_embeds = projected.reshape(B, P * Q, -1)          # flat patch merge
 
     num_image_tokens = patch_valid.astype(jnp.int32).sum(axis=1) * Q

@@ -106,18 +106,36 @@ def splice_image_tokens(
     return out
 
 
-def compact_text_ids(input_ids: jnp.ndarray, pad_id: int) -> jnp.ndarray:
+def compact_text_ids(
+    input_ids: jnp.ndarray,
+    pad_id: int,
+    text_valid: Optional[jnp.ndarray] = None,
+):
     """Remove the image sentinel from each row, shifting the tail left and
     keeping length T-1 (matches the reference's
     ``cur_input_ids[cur_input_ids != IMAGE_TOKEN_INDEX]`` used to build the
     Q-Former text conditioning, `vis_zephyr_arch.py:168`). Rows without a
     sentinel lose their last token instead (the reference never hits this
     case — text-only rows take a different path — but padding there makes
-    it harmless)."""
+    it harmless).
+
+    Returns (compacted_ids [B, T-1], compacted_valid [B, T-1]). The validity
+    mask travels through the same permutation so callers can exclude batch
+    padding from Q-Former conditioning — unlike the reference, which lets
+    pad tokens condition block 0 (`vis_zephyr_arch.py:162-192`), making a
+    sample's projection depend on its batch neighbors. For unpadded inputs
+    (CLI / bs=1 eval, the reference's only inference paths) the two are
+    identical; under batching ours keeps outputs batch-invariant, which
+    continuous batching requires.
+    """
     B, T = input_ids.shape
+    if text_valid is None:
+        text_valid = jnp.ones((B, T), dtype=bool)
     is_sentinel = input_ids == IMAGE_TOKEN_INDEX
     # Stable argsort of the sentinel flag floats text tokens to the front in
     # original order and pushes the (single) sentinel to the back.
     order = jnp.argsort(is_sentinel.astype(jnp.int32), axis=1, stable=True)
     compacted = jnp.take_along_axis(input_ids, order, axis=1)[:, : T - 1]
-    return jnp.where(compacted == IMAGE_TOKEN_INDEX, pad_id, compacted)
+    valid = jnp.take_along_axis(text_valid.astype(bool), order, axis=1)[:, : T - 1]
+    valid &= compacted != IMAGE_TOKEN_INDEX
+    return jnp.where(valid, compacted, pad_id), valid

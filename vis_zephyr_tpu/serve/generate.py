@@ -1,0 +1,189 @@
+"""Autoregressive generation: multimodal prefill + KV-cache decode.
+
+Reference equivalent: HF `generate` driven through
+`VisZephyrForCausalLM.generate` / `prepare_inputs_for_generation`
+(`vis_zephyr/model/language_model/vis_zephyr.py:100-170`) with
+`KeywordsStoppingCriteria` and `TextStreamer` (`serve/cli.py:148-182`).
+
+TPU-first shape: the whole vision stack runs once at prefill inside a
+single jitted program; each decode step is one jitted KV-cache program.
+Two drivers share them:
+
+- `generate`        — fully-compiled `lax.scan` decode loop (batch eval,
+                      benchmarking; no host round-trips between tokens),
+- `generate_stream` — python loop over the jitted step fn, yielding tokens
+                      as they decode (CLI/HTTP streaming).
+
+Sequence lengths are bucketed (`pad_to_bucket`) so recompilation is rare.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VisZephyrConfig
+from ..models.mistral import embed, init_cache, mistral_forward
+from ..models.vis_zephyr import vis_zephyr_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    max_new_tokens: int = 128
+    temperature: float = 0.0  # 0 → greedy
+    top_p: float = 1.0
+    eos_token_id: int = 2
+
+
+def pad_to_bucket(length: int, bucket: int = 128, minimum: int = 128) -> int:
+    return max(minimum, ((length + bucket - 1) // bucket) * bucket)
+
+
+def _sample(logits: jnp.ndarray, key, sampling: SamplingConfig) -> jnp.ndarray:
+    """logits [B, V] → token [B]."""
+    if sampling.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / sampling.temperature
+    if sampling.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Keep the smallest set with cumulative prob ≥ top_p.
+        cutoff_idx = jnp.sum(cum < sampling.top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cache_len"))
+def prefill(
+    params,
+    input_ids: jnp.ndarray,
+    images: Optional[jnp.ndarray],
+    patch_valid: Optional[jnp.ndarray],
+    cfg: VisZephyrConfig,
+    cache_len: int,
+    text_valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Dict, jnp.ndarray]:
+    """Run the multimodal prefill and return greedy-ready last-token logits.
+
+    Returns (last_logits [B, V], cache, lengths [B]).
+    """
+    B = input_ids.shape[0]
+    cache = init_cache(cfg.decoder, B, cache_len, dtype=params["decoder"]["embed_tokens"].dtype)
+    logits, aux = vis_zephyr_forward(
+        params, input_ids, images, patch_valid, cfg,
+        text_valid=text_valid, cache=cache,
+    )
+    lengths = aux["lengths"]
+    last = logits[jnp.arange(B), lengths - 1]
+    return last, aux["cache"], lengths
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step(
+    params,
+    cache: Dict,
+    token: jnp.ndarray,  # [B]
+    cfg: VisZephyrConfig,
+) -> Tuple[jnp.ndarray, Dict]:
+    """One decode step. Returns (logits [B, V], new_cache)."""
+    positions = cache["length"][:, None]
+    embeds = embed(params["decoder"], token[:, None])
+    logits, new_cache = mistral_forward(
+        params["decoder"], embeds, cfg.decoder, positions,
+        cache=cache, logits_slice="last",
+    )
+    return logits[:, 0], new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sampling"))
+def _decode_loop(
+    params, cache, first_token, key, cfg: VisZephyrConfig, sampling: SamplingConfig
+):
+    B = first_token.shape[0]
+
+    def body(carry, _):
+        cache, token, done, key = carry
+        key, sub = jax.random.split(key)
+        logits, cache = decode_step(params, cache, token, cfg)
+        next_token = _sample(logits, sub, sampling)
+        next_token = jnp.where(done, sampling.eos_token_id, next_token)
+        done = done | (next_token == sampling.eos_token_id)
+        return (cache, next_token, done, key), next_token
+
+    init = (cache, first_token, first_token == sampling.eos_token_id, key)
+    (cache, _, _, _), tokens = jax.lax.scan(
+        body, init, None, length=sampling.max_new_tokens - 1
+    )
+    return jnp.concatenate([first_token[:, None], tokens.T], axis=1), cache
+
+
+def generate(
+    params,
+    input_ids: jnp.ndarray,
+    images: Optional[jnp.ndarray],
+    patch_valid: Optional[jnp.ndarray],
+    cfg: VisZephyrConfig,
+    sampling: SamplingConfig = SamplingConfig(),
+    text_valid: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    cache_len: Optional[int] = None,
+) -> np.ndarray:
+    """Batch generation, fully compiled. Returns [B, max_new_tokens] token
+    ids (EOS-padded after stop)."""
+    B, T = input_ids.shape
+    if cache_len is None:
+        n_img = 0 if images is None else images.shape[1] * cfg.projector.num_queries
+        cache_len = pad_to_bucket(T + n_img + sampling.max_new_tokens)
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+
+    last_logits, cache, _ = prefill(
+        params, input_ids, images, patch_valid, cfg, cache_len, text_valid=text_valid
+    )
+    rng, sub = jax.random.split(rng)
+    first = _sample(last_logits, sub, sampling)
+    tokens, _ = _decode_loop(params, cache, first, rng, cfg, sampling)
+    return np.asarray(tokens)
+
+
+def generate_stream(
+    params,
+    input_ids: jnp.ndarray,
+    images: Optional[jnp.ndarray],
+    patch_valid: Optional[jnp.ndarray],
+    cfg: VisZephyrConfig,
+    sampling: SamplingConfig = SamplingConfig(),
+    text_valid: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    cache_len: Optional[int] = None,
+) -> Iterator[int]:
+    """Single-sequence streaming generation: yields token ids until EOS or
+    the budget is exhausted. Host drives one jitted step per token."""
+    assert input_ids.shape[0] == 1, "streaming path is single-sequence"
+    T = input_ids.shape[1]
+    if cache_len is None:
+        n_img = 0 if images is None else images.shape[1] * cfg.projector.num_queries
+        cache_len = pad_to_bucket(T + n_img + sampling.max_new_tokens)
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+
+    last_logits, cache, _ = prefill(
+        params, input_ids, images, patch_valid, cfg, cache_len, text_valid=text_valid
+    )
+    token = None
+    for _ in range(sampling.max_new_tokens):
+        rng, sub = jax.random.split(rng)
+        if token is None:
+            token = _sample(last_logits, sub, sampling)
+        else:
+            logits, cache = decode_step(params, cache, token, cfg)
+            token = _sample(logits, sub, sampling)
+        tok = int(token[0])
+        if tok == sampling.eos_token_id:
+            return
+        yield tok
