@@ -97,7 +97,7 @@ def mistral_forward(
     attn_valid: Optional[jnp.ndarray] = None,
     cache: Optional[Dict] = None,
     logits_slice: str = "all",  # "all" | "last"
-    use_flash: bool = False,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Run the decoder stack.
 
@@ -136,6 +136,8 @@ def mistral_forward(
             h = h + _mlp(hn, layer_params["mlp"])
             return h, None
 
+        if remat:
+            body = jax.checkpoint(body)  # trade FLOPs for HBM during backprop
         h, _ = jax.lax.scan(body, h, params["layers"])
         new_cache = None
     else:

@@ -129,6 +129,7 @@ def vis_zephyr_forward(
     text_valid: Optional[jnp.ndarray] = None,
     labels: Optional[jnp.ndarray] = None,
     cache: Optional[Dict] = None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Full multimodal forward (prefill or training step).
 
@@ -164,6 +165,7 @@ def vis_zephyr_forward(
         prepared["positions"],
         attn_valid=prepared["valid"],
         cache=cache,
+        remat=remat,
     )
     aux = {k: v for k, v in prepared.items() if k != "embeds"}
     if new_cache is not None:

@@ -1,0 +1,49 @@
+"""Mesh construction helpers."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+# Canonical axis names:
+#   data  — pure data parallelism (batch split, params replicated)
+#   fsdp  — batch split AND parameter/optimizer sharding (ZeRO-3 equivalent)
+#   model — tensor parallelism (attention heads / FFN columns over ICI)
+AXES = ("data", "fsdp", "model")
+
+
+def create_mesh(
+    data: int = 1,
+    fsdp: int = 1,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a named mesh over the given (default: all) devices."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = data * fsdp * model
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(data, fsdp, model)
+    return Mesh(grid, AXES)
+
+
+def local_mesh() -> Mesh:
+    """Single-device mesh (degenerate: everything replicated)."""
+    return create_mesh(1, 1, 1)
+
+
+def training_mesh(n_devices: Optional[int] = None, fsdp: Optional[int] = None) -> Mesh:
+    """Default training layout: all devices on the fsdp axis (ZeRO-3-like:
+    batch and params both sharded N ways)."""
+    n = len(jax.devices()) if n_devices is None else n_devices
+    return create_mesh(data=1, fsdp=fsdp or n, model=n // (fsdp or n))
+
+
+def inference_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """Default inference layout: all devices on the model axis (Megatron-
+    style TP over ICI — the natural v5e-8 layout for a 7B decoder)."""
+    n = len(jax.devices()) if n_devices is None else n_devices
+    return create_mesh(data=1, fsdp=1, model=n)

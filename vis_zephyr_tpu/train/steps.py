@@ -1,0 +1,77 @@
+"""Loss + train-step functions (pjit/jit-ready pure functions).
+
+The train step is one XLA program: multimodal forward (vision encode,
+Q-Former projection, splice, decoder with remat) → shifted cross-entropy
+over non-IGNORE labels → grads → optax update. Under an fsdp-sharded mesh,
+XLA emits the ZeRO-style all-gather / reduce-scatter collectives from the
+parameter shardings (no explicit communication code).
+
+Reference equivalents: the HF Trainer loop + DeepSpeed step driven from
+`vis_zephyr/train/train.py:849-893`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import VisZephyrConfig
+from ..constants import IGNORE_INDEX
+from ..models.vis_zephyr import vis_zephyr_forward
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Next-token CE over positions whose *target* label != IGNORE_INDEX.
+
+    logits [B, T, V], labels [B, T] (already aligned to the spliced
+    sequence). Returns (mean loss, token count).
+    """
+    targets = labels[:, 1:]
+    preds = logits[:, :-1]
+    valid = targets != IGNORE_INDEX
+    safe_targets = jnp.maximum(targets, 0)
+    logp = jax.nn.log_softmax(preds.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    n = jnp.maximum(valid.sum(), 1)
+    return jnp.where(valid, nll, 0.0).sum() / n, valid.sum()
+
+
+def loss_fn(params, batch: Dict, cfg: VisZephyrConfig, remat: bool = True):
+    logits, aux = vis_zephyr_forward(
+        params,
+        batch["input_ids"],
+        batch.get("images"),
+        batch.get("patch_valid"),
+        cfg,
+        text_valid=batch.get("text_valid"),
+        labels=batch["labels"],
+        remat=remat,
+    )
+    loss, n_tokens = cross_entropy(logits, aux["labels"])
+    return loss, {"loss": loss, "tokens": n_tokens}
+
+
+def make_train_step(cfg: VisZephyrConfig, tx: optax.GradientTransformation, remat: bool = True):
+    """Returns `train_step(state, batch) -> (state, metrics)` where
+    state = {"params", "opt_state", "step"}."""
+
+    def train_step(state, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch, cfg, remat=remat), has_aux=True
+        )(state["params"])
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": params, "opt_state": opt_state, "step": state["step"] + 1}
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def init_train_state(params, tx: optax.GradientTransformation) -> Dict:
+    return {"params": params, "opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)}
