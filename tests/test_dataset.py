@@ -1,0 +1,150 @@
+"""Dataset / collator / sampler tests with synthetic fixtures."""
+
+import json
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+from vis_zephyr_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX  # noqa: E402
+from vis_zephyr_tpu.data.dataset import (  # noqa: E402
+    Collator,
+    DataConfig,
+    LengthGroupedSampler,
+    SupervisedDataset,
+    length_grouped_indices,
+    modality_grouped_indices,
+    split_to_even_chunks,
+)
+
+
+@pytest.fixture
+def fixture_dir(tmp_path):
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (480, 640, 3), np.uint8)).save(img_dir / "a.jpg")
+    Image.fromarray(rng.integers(0, 255, (500, 2000, 3), np.uint8)).save(img_dir / "b.jpg")
+    records = [
+        {
+            "id": "s1",
+            "image": "a.jpg",
+            "conversations": [
+                {"from": "human", "value": "<image>\nWhat is this?"},
+                {"from": "gpt", "value": "A synthetic test image."},
+            ],
+        },
+        {
+            "id": "s2",
+            "image": "b.jpg",
+            "conversations": [
+                {"from": "human", "value": "Describe <image> please"},
+                {"from": "gpt", "value": "Noise."},
+            ],
+        },
+        {
+            "id": "s3",
+            "conversations": [
+                {"from": "human", "value": "Text only question?"},
+                {"from": "gpt", "value": "Text only answer, somewhat longer."},
+            ],
+        },
+    ]
+    data_path = tmp_path / "data.json"
+    data_path.write_text(json.dumps(records))
+    return str(data_path), str(img_dir)
+
+
+class TestSupervisedDataset:
+    def test_multimodal_sample(self, fixture_dir, mock_tokenizer):
+        data_path, img_dir = fixture_dir
+        ds = SupervisedDataset(
+            DataConfig(data_path=data_path, image_folder=img_dir), mock_tokenizer
+        )
+        s = ds[0]
+        assert s["images"].shape == (4, 336, 336, 3)
+        assert s["patch_valid"].sum() == 3  # 640x480 → 2 tiles + global
+        assert (s["input_ids"] == IMAGE_TOKEN_INDEX).sum() == 1
+        assert s["images_size"] == (640, 480)
+
+    def test_image_token_normalized_even_mid_sentence(self, fixture_dir, mock_tokenizer):
+        data_path, img_dir = fixture_dir
+        ds = SupervisedDataset(
+            DataConfig(data_path=data_path, image_folder=img_dir), mock_tokenizer
+        )
+        s = ds[1]
+        assert s["patch_valid"].sum() == 4  # 2000x500 → 3 tiles + global
+        assert (s["input_ids"] == IMAGE_TOKEN_INDEX).sum() == 1
+
+    def test_text_only_sample(self, fixture_dir, mock_tokenizer):
+        data_path, img_dir = fixture_dir
+        ds = SupervisedDataset(
+            DataConfig(data_path=data_path, image_folder=img_dir), mock_tokenizer
+        )
+        s = ds[2]
+        assert not s["patch_valid"].any()
+        assert (s["input_ids"] != IMAGE_TOKEN_INDEX).all()
+        assert (s["labels"] != IGNORE_INDEX).any()
+
+    def test_modality_lengths_sign(self, fixture_dir, mock_tokenizer):
+        data_path, img_dir = fixture_dir
+        ds = SupervisedDataset(
+            DataConfig(data_path=data_path, image_folder=img_dir), mock_tokenizer
+        )
+        ml = ds.modality_lengths
+        assert ml[0] > 0 and ml[1] > 0 and ml[2] < 0
+        assert ds.lengths[0] == ml[0] + 128
+
+    def test_collation_static_buckets(self, fixture_dir, mock_tokenizer):
+        data_path, img_dir = fixture_dir
+        ds = SupervisedDataset(
+            DataConfig(data_path=data_path, image_folder=img_dir), mock_tokenizer
+        )
+        collate = Collator(pad_token_id=0, max_length=256, pad_multiple=64)
+        batch = collate([ds[0], ds[1], ds[2]])
+        T = batch["input_ids"].shape[1]
+        longest = max(len(ds[i]["input_ids"]) for i in range(3))
+        assert T % 64 == 0 and longest <= T < longest + 64  # bucketed
+        assert batch["images"].shape == (3, 4, 336, 336, 3)
+        assert batch["text_valid"][0].sum() == len(ds[0]["input_ids"])
+        assert (batch["labels"][~batch["text_valid"]] == IGNORE_INDEX).all()
+
+
+class TestSampler:
+    def test_megabatches_sorted_by_length(self):
+        lengths = list(np.random.default_rng(0).integers(1, 100, 32))
+        idx = length_grouped_indices(lengths, batch_size=4, world_size=2, rng=np.random.default_rng(1))
+        assert sorted(idx) == list(range(32))
+        for i in range(0, 32, 8):
+            mb = idx[i : i + 8]
+            assert [lengths[j] for j in mb] == sorted([lengths[j] for j in mb], reverse=True)
+
+    def test_modality_separation(self):
+        lengths = [10, 20, -5, 30, -8, 40, 50, -3, 60, 70, -9, 80]
+        idx = modality_grouped_indices(lengths, batch_size=2, world_size=2, rng=np.random.default_rng(0))
+        assert sorted(idx) == list(range(12))
+        # All megabatches except the merged leftover (last mm + last lang
+        # batch, 8 items here) are modality-pure.
+        pure_region = len(idx) - 8
+        for i in range(0, pure_region, 4):
+            mb = idx[i : i + 4]
+            signs = {lengths[j] > 0 for j in mb}
+            assert len(signs) == 1
+
+    def test_even_chunks(self):
+        indices = list(range(8))
+        lengths = {i: l for i, l in enumerate([10, 9, 8, 7, 3, 2, 2, 1])}
+        chunks = split_to_even_chunks(indices, lengths, 2)
+        assert sorted(sum(chunks, [])) == indices
+        totals = [sum(lengths[i] for i in c) for c in chunks]
+        assert abs(totals[0] - totals[1]) <= 10
+
+    def test_sampler_epoch_reshuffles(self):
+        lengths = list(range(1, 33))
+        s = LengthGroupedSampler(lengths, batch_size=4, world_size=1, group_by_modality=False)
+        a = list(iter(s))
+        s.set_epoch(1)
+        b = list(iter(s))
+        assert a != b and sorted(a) == sorted(b)

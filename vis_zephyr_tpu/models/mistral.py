@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ..config import DecoderConfig
 from ..ops.attention import attention_mask, dot_product_attention
+from ..ops.quant import maybe_dequant
 
 
 def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -58,9 +59,9 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 def _project_qkv(h, attn_params, cfg: DecoderConfig, cos, sin):
     B, T, _ = h.shape
-    q = jnp.einsum("btd,df->btf", h, attn_params["q"]["kernel"])
-    k = jnp.einsum("btd,df->btf", h, attn_params["k"]["kernel"])
-    v = jnp.einsum("btd,df->btf", h, attn_params["v"]["kernel"])
+    q = jnp.einsum("btd,df->btf", h, maybe_dequant(attn_params["q"], h.dtype))
+    k = jnp.einsum("btd,df->btf", h, maybe_dequant(attn_params["k"], h.dtype))
+    v = jnp.einsum("btd,df->btf", h, maybe_dequant(attn_params["v"], h.dtype))
     q = apply_rope(q.reshape(B, T, cfg.num_heads, cfg.head_dim), cos, sin)
     k = apply_rope(k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim), cos, sin)
     v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
@@ -68,9 +69,11 @@ def _project_qkv(h, attn_params, cfg: DecoderConfig, cos, sin):
 
 
 def _mlp(h, mlp_params):
-    gate = jnp.einsum("btd,df->btf", h, mlp_params["gate"]["kernel"])
-    up = jnp.einsum("btd,df->btf", h, mlp_params["up"]["kernel"])
-    return jnp.einsum("btf,fd->btd", jax.nn.silu(gate) * up, mlp_params["down"]["kernel"])
+    gate = jnp.einsum("btd,df->btf", h, maybe_dequant(mlp_params["gate"], h.dtype))
+    up = jnp.einsum("btd,df->btf", h, maybe_dequant(mlp_params["up"], h.dtype))
+    return jnp.einsum(
+        "btf,fd->btd", jax.nn.silu(gate) * up, maybe_dequant(mlp_params["down"], h.dtype)
+    )
 
 
 def embed(params, input_ids: jnp.ndarray) -> jnp.ndarray:
@@ -129,7 +132,7 @@ def mistral_forward(
             q, k, v = _project_qkv(hn, layer_params["attn"], cfg, cos, sin)
             attn = dot_product_attention(q, k, v, mask=mask)
             attn = jnp.einsum("bthd,hdf->btf", attn,
-                              layer_params["attn"]["out"]["kernel"].reshape(
+                              maybe_dequant(layer_params["attn"]["out"], h.dtype).reshape(
                                   cfg.num_heads, cfg.head_dim, D))
             h = h + attn
             hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], cfg.rms_norm_eps)
@@ -175,7 +178,7 @@ def mistral_forward(
             layer_v = layer_v.at[batch_idx, slot].set(v.astype(layer_v.dtype))
             attn = dot_product_attention(q, layer_k.astype(q.dtype), layer_v.astype(q.dtype), mask=mask)
             attn = jnp.einsum("bthd,hdf->btf", attn,
-                              layer_params["attn"]["out"]["kernel"].reshape(
+                              maybe_dequant(layer_params["attn"]["out"], h.dtype).reshape(
                                   cfg.num_heads, cfg.head_dim, D))
             h = h + attn
             hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], cfg.rms_norm_eps)
