@@ -15,6 +15,7 @@ hardware (typical HF eager/flash decode rate for 7B models of that era),
 which is the reference's serving configuration (`serve/cli.py`).
 """
 
+import functools
 import json
 import os
 import time
@@ -28,48 +29,91 @@ import numpy as np
 from vis_zephyr_tpu.config import VisZephyrConfig
 from vis_zephyr_tpu.models.clip_vit import clip_vit_forward, init_clip_vit, select_and_stack
 from vis_zephyr_tpu.models.fusion import dense_channel_fusion
-from vis_zephyr_tpu.models.mistral import init_cache, init_mistral, mistral_forward
+from vis_zephyr_tpu.models.mistral import init_cache, mistral_forward
 from vis_zephyr_tpu.models.qformer import init_qformer, qformer_forward
-from vis_zephyr_tpu.ops.quant import quantize_decoder_layers
+
 from vis_zephyr_tpu.data.image_pipeline import anyres_preprocess
 
 A100_REFERENCE_DECODE_TOKS = 35.0  # see module docstring
 
 
-def _block(tree):
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), tree)
+def _sync(x):
+    """True device sync. On the tunneled axon platform block_until_ready
+    returns immediately; only a device_get round-trip actually waits, so we
+    fetch a tiny scalar reduction of the result."""
+    leaf = jax.tree_util.tree_leaves(x)[-1]
+    return jax.device_get(jnp.asarray(leaf).ravel()[0])
+
+
+def _random_quantized_mistral(dec, key):
+    """Random int8 decoder weights built directly at int8 (a bf16 init +
+    quantize pass would transiently need ~22GB — more than one chip's HBM)."""
+    L, D, I = dec.num_layers, dec.hidden_size, dec.intermediate_size
+    Hq, Hkv, hd = dec.num_heads, dec.num_kv_heads, dec.head_dim
+
+    def qdense(key, shape):
+        return {
+            "kernel_q": jax.random.randint(key, shape, -127, 128, jnp.int8),
+            "scale": jnp.full(shape[:-2] + (1, shape[-1]), 2e-4, jnp.float32),
+        }
+
+    k = jax.random.split(key, 10)
+    return {
+        "embed_tokens": jax.random.normal(k[0], (dec.vocab_size, D), jnp.bfloat16) * 0.02,
+        "final_ln": {"scale": jnp.ones((D,), jnp.bfloat16)},
+        "lm_head": {"kernel": jax.random.normal(k[1], (D, dec.vocab_size), jnp.bfloat16) * 0.02},
+        "layers": {
+            "input_ln": {"scale": jnp.ones((L, D), jnp.bfloat16)},
+            "post_attn_ln": {"scale": jnp.ones((L, D), jnp.bfloat16)},
+            "attn": {
+                "q": qdense(k[2], (L, D, Hq * hd)),
+                "k": qdense(k[3], (L, D, Hkv * hd)),
+                "v": qdense(k[4], (L, D, Hkv * hd)),
+                "out": qdense(k[5], (L, Hq * hd, D)),
+            },
+            "mlp": {
+                "gate": qdense(k[6], (L, D, I)),
+                "up": qdense(k[7], (L, D, I)),
+                "down": qdense(k[8], (L, I, D)),
+            },
+        },
+    }
 
 
 def bench_decode(cfg: VisZephyrConfig, steps: int = 64, warmup: int = 8) -> dict:
     """Single-stream decode tokens/sec on the full 7B decoder (int8 weights)."""
     dec = cfg.decoder
-    key = jax.random.PRNGKey(0)
-    params = init_mistral(dec, key, dtype=jnp.bfloat16)
-    params = quantize_decoder_layers(params)
+    params = _random_quantized_mistral(dec, jax.random.PRNGKey(0))
 
     B, S = 1, 2048
     cache = init_cache(dec, B, S, dtype=jnp.bfloat16)
     # Pretend a 512-token prefill happened.
     cache["length"] = jnp.full((B,), 512, jnp.int32)
 
-    @jax.jit
-    def step(cache, token):
-        embeds = params["embed_tokens"][token[:, None]]
-        logits, cache = mistral_forward(
-            params, embeds, dec, cache["length"][:, None], cache=cache,
-            logits_slice="last",
-        )
-        return cache, jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(params, cache, token, n):
+        def step(carry, _):
+            cache, token = carry
+            embeds = params["embed_tokens"][token[:, None]]
+            logits, cache = mistral_forward(
+                params, embeds, dec, cache["length"][:, None], cache=cache,
+                logits_slice="last",
+            )
+            return (cache, jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)), None
 
+        (cache, token), _ = jax.lax.scan(step, (cache, token), None, length=n)
+        return cache, token
+
+    # The tunneled dispatch overhead is ~25ms/call; running the whole decode
+    # loop as one lax.scan program measures device throughput, which is how
+    # a production decode loop runs anyway.
     token = jnp.zeros((B,), jnp.int32)
-    for _ in range(warmup):
-        cache, token = step(cache, token)
-    _block(token)
+    cache, token = run(params, cache, token, warmup)
+    _sync(token)
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        cache, token = step(cache, token)
-    _block(token)
+    cache, token = run(params, cache, token, steps)
+    _sync(token)
     dt = time.perf_counter() - t0
     return {"decode_tokens_per_sec": steps * B / dt, "decode_ms_per_token": dt / steps * 1e3}
 
@@ -92,7 +136,7 @@ def bench_vision(cfg: VisZephyrConfig, iters: int = 16, warmup: int = 3, batch_i
     )
 
     @jax.jit
-    def encode(raw, cond):
+    def encode(vparams, pparams, raw, cond):
         def prep(img):
             px, valid = anyres_preprocess(
                 img, target_size=cfg.vision.image_size, best_fit=(336, 1008),
@@ -109,12 +153,12 @@ def bench_vision(cfg: VisZephyrConfig, iters: int = 16, warmup: int = 3, batch_i
         return qformer_forward(pparams, fused, cfg.projector, text_embeddings=cond)
 
     for _ in range(warmup):
-        out = encode(raw, cond)
-    _block(out)
+        out = encode(vparams, pparams, raw, cond)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = encode(raw, cond)
-    _block(out)
+        out = encode(vparams, pparams, raw, cond)
+    _sync(out)
     dt = time.perf_counter() - t0
     per_image = dt / (iters * batch_images)
     return {

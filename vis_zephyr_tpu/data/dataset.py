@@ -75,6 +75,12 @@ class SupervisedDataset:
     def __len__(self):
         return len(self.records)
 
+    def _vip_rng(self, index: int):
+        """Per-item seeded RNG → reproducible train-time ViP randomization."""
+        import random as _random
+
+        return _random.Random((self.cfg.seed, index))
+
     @property
     def modality_lengths(self) -> List[int]:
         out = []
@@ -105,6 +111,18 @@ class SupervisedDataset:
 
             if self.vip_processor is not None and isinstance(rec.get("id"), str):
                 image, conversations = self.vip_processor(rec, image)
+            else:
+                from . import vip
+
+                if vip.supports(rec.get("id")):
+                    image, conversations = vip.visual_prompt_process(
+                        rec,
+                        image,
+                        image_size_anchor=self.cfg.image_size,
+                        image_folder=self.cfg.image_folder,
+                        visual_prompt_style=self.cfg.visual_prompt_style,
+                        rng=self._vip_rng(i),
+                    )
 
             if self.cfg.image_aspect_ratio == "anyres":
                 pixels, patch_valid = anyres_preprocess_host(

@@ -1,0 +1,166 @@
+"""Streaming HTTP chat server.
+
+JSON schema parity with the reference FastAPI app
+(`vis_zephyr/serve/api.py:65-189`): POST /chat with
+``{"session_id": str, "image_base64": str?, "question": str}`` →
+chunked text/plain streaming response; the first request of a session must
+carry the image.
+
+Implementation: a dependency-free stdlib `ThreadingHTTPServer` (chunked
+transfer-encoding streaming) wired to `ChatEngine`. `make_fastapi_app`
+builds the same endpoint on FastAPI when it is installed.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .engine import ChatEngine
+
+
+def decode_base64_image(b64: str):
+    from PIL import Image
+
+    try:
+        return Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(f"Failed to decode base64 image: {e}") from e
+
+
+def _handle_chat(engine: ChatEngine, payload: dict):
+    """Validate a /chat payload → (error dict | None, chunk iterator | None)."""
+    session_id = payload.get("session_id")
+    question = payload.get("question")
+    image_b64 = payload.get("image_base64")
+    if not session_id or not question:
+        return {"error": "Missing session_id or question"}, None
+
+    sess = engine.get_session(session_id)
+    image = None
+    if sess["images"] is None:
+        if not image_b64:
+            return {"error": "Missing image_base64 for first request"}, None
+        try:
+            image = decode_base64_image(image_b64)
+        except ValueError as e:
+            return {"error": str(e)}, None
+    return None, engine.chat(session_id, question, pil_image=image)
+
+
+class ChatHandler(BaseHTTPRequestHandler):
+    engine: ChatEngine = None  # injected by serve()
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    def do_POST(self):
+        if self.path.rstrip("/") != "/chat":
+            self.send_error(404)
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            self._json(400, {"error": "invalid JSON"})
+            return
+
+        error, stream = _handle_chat(self.engine, payload)
+        if error is not None:
+            self._json(400, error)
+            return
+
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain; charset=utf-8")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.end_headers()
+        try:
+            for chunk in stream:
+                data = chunk.encode("utf-8")
+                self.wfile.write(f"{len(data):X}\r\n".encode())
+                self.wfile.write(data + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+
+    def do_OPTIONS(self):
+        self.send_response(204)
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Access-Control-Allow-Methods", "POST, OPTIONS")
+        self.send_header("Access-Control-Allow-Headers", "*")
+        self.end_headers()
+
+    def _json(self, code: int, obj: dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def serve(engine: ChatEngine, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPServer:
+    handler = type("BoundChatHandler", (ChatHandler,), {"engine": engine})
+    server = ThreadingHTTPServer((host, port), handler)
+    return server
+
+
+def make_fastapi_app(engine: ChatEngine):
+    """FastAPI variant of the same endpoint (optional dependency)."""
+    from fastapi import FastAPI, Request
+    from fastapi.middleware.cors import CORSMiddleware
+    from fastapi.responses import JSONResponse, StreamingResponse
+
+    app = FastAPI()
+    app.add_middleware(
+        CORSMiddleware, allow_origins=["*"], allow_credentials=True,
+        allow_methods=["*"], allow_headers=["*"],
+    )
+
+    @app.post("/chat")
+    async def chat(request: Request):
+        payload = await request.json()
+        error, stream = _handle_chat(engine, payload)
+        if error is not None:
+            return JSONResponse(error, status_code=400)
+        return StreamingResponse(stream, media_type="text/plain")
+
+    return app
+
+
+def main(args=None):
+    import argparse
+
+    import jax.numpy as jnp
+
+    from ..models.builder import load_pretrained_model
+
+    p = argparse.ArgumentParser(description="Vis-Zephyr TPU HTTP server")
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--model-base", default=None)
+    p.add_argument("--vision-tower", default=None)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--max-new-tokens", type=int, default=512)
+    p.add_argument("--load-8bit", action="store_true")
+    a = p.parse_args(args)
+
+    tokenizer, params, cfg, _ = load_pretrained_model(
+        a.model_path, model_base=a.model_base, vision_tower_path=a.vision_tower,
+        load_8bit=a.load_8bit, dtype=jnp.bfloat16,
+    )
+    engine = ChatEngine(
+        params, cfg, tokenizer, temperature=a.temperature, max_new_tokens=a.max_new_tokens
+    )
+    server = serve(engine, a.host, a.port)
+    print(f"serving on {a.host}:{a.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""ChatEngine: shared session/conversation state + streaming generation,
+driving both the CLI and the HTTP server.
+
+Reference equivalents: the per-session dict + generation thread in
+`vis_zephyr/serve/api.py:41-184` and the interactive loop in
+`serve/cli.py:49-194`. Differences by design:
+- generation is serialized with a lock (the reference runs unguarded
+  concurrent `generate` calls on one model, SURVEY §5.2),
+- images are preprocessed once per session into static-shape patch
+  tensors + validity masks (anyres) and cached on device,
+- decoding streams through the jitted single-step path.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import VisZephyrConfig
+from ..constants import DEFAULT_IMAGE_TOKEN
+from ..conversation import templates
+from ..data import anyres
+from ..data.image_pipeline import anyres_preprocess_host, preprocess_mode_host
+from ..data.tokenization import tokenize_with_images
+from .generate import SamplingConfig, generate_stream
+
+
+class ChatEngine:
+    def __init__(
+        self,
+        params,
+        cfg: VisZephyrConfig,
+        tokenizer,
+        conv_mode: str = "zephyr_v1",
+        temperature: float = 0.0,
+        max_new_tokens: int = 512,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.conv_mode = conv_mode
+        self.sampling = SamplingConfig(
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            eos_token_id=cfg.decoder.eos_token_id,
+        )
+        self.sessions: Dict[str, Dict] = {}
+        self._lock = threading.Lock()
+
+    # -- session management -------------------------------------------------
+
+    def get_session(self, session_id: str) -> Dict:
+        if session_id not in self.sessions:
+            self.sessions[session_id] = {
+                "conversation": templates[self.conv_mode].copy(),
+                "images": None,
+                "patch_valid": None,
+                "image_size": None,
+            }
+        return self.sessions[session_id]
+
+    def reset_session(self, session_id: str) -> None:
+        self.sessions.pop(session_id, None)
+
+    def attach_image(self, session_id: str, pil_image) -> None:
+        """Preprocess + cache the session image (first request only,
+        reference `serve/api.py:100-122`)."""
+        sess = self.get_session(session_id)
+        if self.cfg.image_aspect_ratio == "anyres":
+            pixels, valid = anyres_preprocess_host(
+                pil_image,
+                self.cfg.mm_grid_pinpoints,
+                target_size=self.cfg.vision.image_size,
+            )
+        else:
+            one = preprocess_mode_host(
+                pil_image, self.cfg.image_aspect_ratio, self.cfg.vision.image_size
+            )
+            pins = anyres.parse_grid_pinpoints(self.cfg.mm_grid_pinpoints)
+            P = anyres.max_anyres_patches(pins, self.cfg.vision.image_size)
+            pixels = np.zeros((P,) + one.shape, np.float32)
+            pixels[0] = one
+            valid = np.arange(P) < 1
+        sess["images"] = jnp.asarray(pixels)[None]
+        sess["patch_valid"] = jnp.asarray(valid)[None]
+        sess["image_size"] = pil_image.size
+
+    # -- generation ----------------------------------------------------------
+
+    def chat(self, session_id: str, question: str, pil_image=None) -> Iterator[str]:
+        """Append the user turn, stream back the assistant reply text."""
+        sess = self.get_session(session_id)
+        conv = sess["conversation"]
+
+        if pil_image is not None and sess["images"] is None:
+            self.attach_image(session_id, pil_image)
+            question = DEFAULT_IMAGE_TOKEN + "\n" + question.replace(DEFAULT_IMAGE_TOKEN, "").strip()
+
+        conv.append_message(conv.roles[0], question)
+        conv.append_message(conv.roles[1], None)
+        prompt = conv.get_prompt()
+
+        ids = tokenize_with_images(prompt, self.tokenizer)
+        input_ids = jnp.asarray(np.asarray(ids, np.int64))[None]
+
+        produced: list[int] = []
+        emitted_text = ""
+        with self._lock:
+            stream = generate_stream(
+                self.params,
+                input_ids,
+                sess["images"],
+                sess["patch_valid"],
+                self.cfg,
+                self.sampling,
+            )
+            for tok in stream:
+                produced.append(tok)
+                text = self.tokenizer.decode(produced, skip_special_tokens=True)
+                # Emit only the stable prefix delta (last token may merge).
+                delta = text[len(emitted_text):]
+                if delta:
+                    emitted_text = text
+                    yield delta
+
+        conv.messages[-1][1] = emitted_text
+
+    def chat_text(self, session_id: str, question: str, pil_image=None) -> str:
+        return "".join(self.chat(session_id, question, pil_image))
