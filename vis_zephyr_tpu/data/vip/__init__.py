@@ -9,5 +9,5 @@ and all randomness flows through an explicit seeded `random.Random` so
 train-time augmentation is reproducible.
 """
 
-from .processor import visual_prompt_process
+from .processor import supports, visual_prompt_process
 from .config import VIP_TRAIN_STYLES, VIP_TEST_STYLES, COLOR_POOL
