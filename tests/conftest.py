@@ -55,6 +55,13 @@ class MockTokenizer:
         ids = [self.bos_token_id] + [self._word_id(p) for p in pieces]
         return self._Out(ids)
 
+    def decode(self, ids, skip_special_tokens=False):
+        rev = {v: k for k, v in self.vocab.items()}
+        words = [rev.get(i, f"<unk{i}>") for i in ids]
+        if skip_special_tokens:
+            words = [w for w in words if w not in ("<s>", "</s>", "<pad>")]
+        return " ".join(words)
+
 
 @pytest.fixture
 def mock_tokenizer():

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from ..config import DecoderConfig
 from ..ops.attention import attention_mask, dot_product_attention
-from ..ops.quant import maybe_dequant
+from ..ops.quant import maybe_dequant  # noqa: F401 (re-exported for callers)
+from ..ops.quant_matmul import qdot
 
 
 def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -59,9 +60,9 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 def _project_qkv(h, attn_params, cfg: DecoderConfig, cos, sin):
     B, T, _ = h.shape
-    q = jnp.einsum("btd,df->btf", h, maybe_dequant(attn_params["q"], h.dtype))
-    k = jnp.einsum("btd,df->btf", h, maybe_dequant(attn_params["k"], h.dtype))
-    v = jnp.einsum("btd,df->btf", h, maybe_dequant(attn_params["v"], h.dtype))
+    q = qdot(h, attn_params["q"])
+    k = qdot(h, attn_params["k"])
+    v = qdot(h, attn_params["v"])
     q = apply_rope(q.reshape(B, T, cfg.num_heads, cfg.head_dim), cos, sin)
     k = apply_rope(k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim), cos, sin)
     v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
@@ -69,11 +70,9 @@ def _project_qkv(h, attn_params, cfg: DecoderConfig, cos, sin):
 
 
 def _mlp(h, mlp_params):
-    gate = jnp.einsum("btd,df->btf", h, maybe_dequant(mlp_params["gate"], h.dtype))
-    up = jnp.einsum("btd,df->btf", h, maybe_dequant(mlp_params["up"], h.dtype))
-    return jnp.einsum(
-        "btf,fd->btd", jax.nn.silu(gate) * up, maybe_dequant(mlp_params["down"], h.dtype)
-    )
+    gate = qdot(h, mlp_params["gate"])
+    up = qdot(h, mlp_params["up"])
+    return qdot(jax.nn.silu(gate) * up, mlp_params["down"])
 
 
 def embed(params, input_ids: jnp.ndarray) -> jnp.ndarray:
@@ -131,9 +130,7 @@ def mistral_forward(
             hn = rms_norm(h, layer_params["input_ln"]["scale"], cfg.rms_norm_eps)
             q, k, v = _project_qkv(hn, layer_params["attn"], cfg, cos, sin)
             attn = dot_product_attention(q, k, v, mask=mask)
-            attn = jnp.einsum("bthd,hdf->btf", attn,
-                              maybe_dequant(layer_params["attn"]["out"], h.dtype).reshape(
-                                  cfg.num_heads, cfg.head_dim, D))
+            attn = qdot(attn.reshape(*attn.shape[:2], -1), layer_params["attn"]["out"])
             h = h + attn
             hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], cfg.rms_norm_eps)
             h = h + _mlp(hn, layer_params["mlp"])
@@ -177,9 +174,7 @@ def mistral_forward(
             layer_k = layer_k.at[batch_idx, slot].set(k.astype(layer_k.dtype))
             layer_v = layer_v.at[batch_idx, slot].set(v.astype(layer_v.dtype))
             attn = dot_product_attention(q, layer_k.astype(q.dtype), layer_v.astype(q.dtype), mask=mask)
-            attn = jnp.einsum("bthd,hdf->btf", attn,
-                              maybe_dequant(layer_params["attn"]["out"], h.dtype).reshape(
-                                  cfg.num_heads, cfg.head_dim, D))
+            attn = qdot(attn.reshape(*attn.shape[:2], -1), layer_params["attn"]["out"])
             h = h + attn
             hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], cfg.rms_norm_eps)
             h = h + _mlp(hn, layer_params["mlp"])
