@@ -166,21 +166,28 @@ def mistral_forward(
 
         batch_idx = jnp.arange(B)[:, None]
 
+        # The cache rides the scan CARRY (not xs/ys): XLA aliases carry
+        # buffers across iterations, so each layer's update is an in-place
+        # scatter instead of a full-cache copy per step.
         def body(carry, xs):
-            h = carry
-            layer_params, layer_k, layer_v = xs
+            h, ck, cv = carry
+            layer_params, i = xs
             hn = rms_norm(h, layer_params["input_ln"]["scale"], cfg.rms_norm_eps)
             q, k, v = _project_qkv(hn, layer_params["attn"], cfg, cos, sin)
-            layer_k = layer_k.at[batch_idx, slot].set(k.astype(layer_k.dtype))
-            layer_v = layer_v.at[batch_idx, slot].set(v.astype(layer_v.dtype))
-            attn = dot_product_attention(q, layer_k.astype(q.dtype), layer_v.astype(q.dtype), mask=mask)
+            ck = ck.at[i, batch_idx, slot].set(k.astype(ck.dtype))
+            cv = cv.at[i, batch_idx, slot].set(v.astype(cv.dtype))
+            attn = dot_product_attention(q, ck[i].astype(q.dtype), cv[i].astype(q.dtype), mask=mask)
             attn = qdot(attn.reshape(*attn.shape[:2], -1), layer_params["attn"]["out"])
             h = h + attn
             hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], cfg.rms_norm_eps)
             h = h + _mlp(hn, layer_params["mlp"])
-            return h, (layer_k, layer_v)
+            return (h, ck, cv), None
 
-        h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+        (h, new_k, new_v), _ = jax.lax.scan(
+            body,
+            (h, cache["k"], cache["v"]),
+            (params["layers"], jnp.arange(cfg.num_layers)),
+        )
         new_cache = {
             "k": new_k,
             "v": new_v,

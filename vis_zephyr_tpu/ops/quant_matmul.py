@@ -95,19 +95,35 @@ def quantized_matmul(
 
 
 def qdot(x: jnp.ndarray, p: dict, use_pallas: bool = True) -> jnp.ndarray:
-    """Dense apply for raw or quantized dense params.
+    """Dense apply for raw or quantized dense params, with optional LoRA.
 
-    `x`: [..., K]; `p`: {"kernel": [K, N]} or {"kernel_q", "scale"}.
+    `x`: [..., K]; `p`: {"kernel": [K, N]} or {"kernel_q", "scale"}, plus
+    optional LoRA leaves {"lora_a": [K, r], "lora_b": [r, N],
+    "lora_scale": scalar} whose contribution `(x@A)@B * scale` is added
+    (stage-2 adapters, reference peft wrap `train/train.py:775-787`).
     Uses the Pallas kernel on TPU backends when the shapes tile; otherwise
     falls back to dequant + einsum (CPU tests, odd shapes).
     """
+    out = _base_dot(x, p, use_pallas)
+    if "lora_a" in p:
+        delta = jnp.einsum("...k,kr->...r", x, p["lora_a"].astype(x.dtype))
+        delta = jnp.einsum("...r,rn->...n", delta, p["lora_b"].astype(x.dtype))
+        out = out + delta * p["lora_scale"].astype(x.dtype)
+    return out
+
+
+def _base_dot(x: jnp.ndarray, p: dict, use_pallas: bool) -> jnp.ndarray:
     if "kernel_q" not in p:
         return jnp.einsum("...k,kn->...n", x, p["kernel"])
 
     wq, scale = p["kernel_q"], p["scale"]
     K, N = wq.shape[-2:]
+    # Measured on v5e: XLA fuses the int8→bf16 convert into the dot (weights
+    # cross HBM once at int8 width, ~350 GB/s effective); the Pallas kernel
+    # currently reaches ~270 GB/s, so it is opt-in until it wins.
     pallas_ok = (
         use_pallas
+        and _PALLAS_QMM_ENABLED
         and jax.default_backend() not in ("cpu",)
         and K % 256 == 0
         and N % 256 == 0
@@ -122,3 +138,8 @@ def qdot(x: jnp.ndarray, p: dict, use_pallas: bool = True) -> jnp.ndarray:
         return out.reshape(*lead, N)
     w = wq.astype(x.dtype) * scale.astype(x.dtype)
     return jnp.einsum("...k,kn->...n", x, w)
+
+
+import os as _os
+
+_PALLAS_QMM_ENABLED = _os.environ.get("VZT_PALLAS_QMM", "0") == "1"

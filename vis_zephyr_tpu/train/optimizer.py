@@ -58,12 +58,25 @@ def trainable_mask(params, stage: str):
     """Boolean pytree: which params receive gradients.
 
     stage "1"     → projector only (reference Stage-1 freeze).
-    stage "2"     → decoder only, projector/tower frozen (the intended
-                    Stage-2; LoRA restricts further via lora.py).
+    stage "2"     → LoRA adapter leaves only when adapters are attached
+                    (the intended reference Stage-2: peft adapters with the
+                    projector frozen — note the reference's projector freeze
+                    is a silent typo no-op, SURVEY §2.4.6); otherwise the
+                    full decoder.
     stage "full"  → everything but the (always-frozen) vision tower.
     """
+    has_lora = any(
+        str(getattr(path[-1], "key", "")) == "lora_a"
+        for path, _ in jax.tree_util.tree_leaves_with_path(params)
+    )
+
     def decide(path, _):
         p = _path_str(path)
+        leaf = str(getattr(path[-1], "key", ""))
+        if leaf == "lora_scale":
+            return False
+        if stage == "2" and has_lora:
+            return leaf in ("lora_a", "lora_b")
         if p.startswith("vision"):
             return False
         if stage == "1":
