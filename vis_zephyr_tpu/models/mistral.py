@@ -100,19 +100,24 @@ def mistral_forward(
     cache: Optional[Dict] = None,
     logits_slice: str = "all",  # "all" | "last"
     remat: bool = False,
+    return_kv: bool = False,
+    use_flash: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Run the decoder stack.
 
     Two modes:
-      - cache=None: self-contained forward over [B, T] (training / scoring).
-        Mask = causal ∧ sliding-window ∧ attn_valid.
-      - cache given: prefill (T>1) or decode (T=1). New K/V are written into
-        the cache at slots `cache.length[b] + arange(T)`; attention runs
-        against the whole cache buffer with slot-validity masking.
-        `attn_valid` here marks which of the T new tokens are real (right
-        padding support); padded tokens are still written but never attended.
+      - cache=None: self-contained forward over [B, T] (training / scoring /
+        prefill). Mask = causal ∧ sliding-window ∧ attn_valid. Attention
+        runs through the Pallas flash kernel on TPU when shapes allow
+        (`use_flash=None` → auto), the XLA reference op otherwise. With
+        `return_kv=True` the per-layer K/V are also returned (stacked
+        [L, B, T, Hkv, D]) so callers can seed a decode cache — prefill is
+        just this mode + a pad (see `serve.generate.prefill`).
+      - cache given: appends T tokens at slots `cache.length[b] + arange(T)`
+        and attends against the whole cache buffer (the decode hot loop;
+        also serves mid-conversation cache extension).
 
-    Returns (logits, new_cache). logits are float32.
+    Returns (logits, new_cache_or_kv). logits are float32.
     """
     B, T, D = inputs_embeds.shape
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
@@ -120,26 +125,46 @@ def mistral_forward(
     h = inputs_embeds
 
     if cache is None:
-        mask = attention_mask(
-            positions, positions, kv_valid=attn_valid, causal=True,
-            sliding_window=cfg.sliding_window,
-        )
+        if use_flash is None:
+            use_flash = (
+                jax.default_backend() != "cpu"
+                and T % 128 == 0
+                and cfg.head_dim % 128 == 0
+                and (cfg.sliding_window is None or T <= cfg.sliding_window)
+            )
+        if use_flash:
+            from ..ops.flash_attention import flash_attention
+
+            kv_valid = (
+                jnp.ones((B, T), bool) if attn_valid is None else attn_valid.astype(bool)
+            )
+
+            def attend(q, k, v):
+                return flash_attention(q, k, v, kv_valid=kv_valid, causal=True)
+        else:
+            mask = attention_mask(
+                positions, positions, kv_valid=attn_valid, causal=True,
+                sliding_window=cfg.sliding_window,
+            )
+
+            def attend(q, k, v):
+                return dot_product_attention(q, k, v, mask=mask)
 
         def body(carry, layer_params):
             h = carry
             hn = rms_norm(h, layer_params["input_ln"]["scale"], cfg.rms_norm_eps)
             q, k, v = _project_qkv(hn, layer_params["attn"], cfg, cos, sin)
-            attn = dot_product_attention(q, k, v, mask=mask)
+            attn = attend(q, k, v)
             attn = qdot(attn.reshape(*attn.shape[:2], -1), layer_params["attn"]["out"])
             h = h + attn
             hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], cfg.rms_norm_eps)
             h = h + _mlp(hn, layer_params["mlp"])
-            return h, None
+            return h, (k, v) if return_kv else None
 
         if remat:
             body = jax.checkpoint(body)  # trade FLOPs for HBM during backprop
-        h, _ = jax.lax.scan(body, h, params["layers"])
-        new_cache = None
+        h, kv = jax.lax.scan(body, h, params["layers"])
+        new_cache = kv if return_kv else None
     else:
         S = cache["k"].shape[2]
         lengths = cache["length"]  # [B]

@@ -77,6 +77,7 @@ def prepare_multimodal(
     cfg: VisZephyrConfig,
     text_valid: Optional[jnp.ndarray] = None,
     labels: Optional[jnp.ndarray] = None,
+    pad_to_multiple: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Encode images, build Q-Former text conditioning, splice embeddings.
 
@@ -117,6 +118,7 @@ def prepare_multimodal(
         text_valid=text_valid,
         labels=labels,
         max_length=cfg.tokenizer_model_max_length,
+        pad_to_multiple=pad_to_multiple,
     )
 
 
@@ -130,6 +132,8 @@ def vis_zephyr_forward(
     labels: Optional[jnp.ndarray] = None,
     cache: Optional[Dict] = None,
     remat: bool = False,
+    return_kv: bool = False,
+    pad_to_multiple: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Full multimodal forward (prefill or training step).
 
@@ -155,10 +159,10 @@ def vis_zephyr_forward(
     else:
         prepared = prepare_multimodal(
             params, input_ids, images, patch_valid, cfg,
-            text_valid=text_valid, labels=labels,
+            text_valid=text_valid, labels=labels, pad_to_multiple=pad_to_multiple,
         )
 
-    logits, new_cache = mistral_forward(
+    logits, extra = mistral_forward(
         params["decoder"],
         prepared["embeds"],
         cfg.decoder,
@@ -166,8 +170,9 @@ def vis_zephyr_forward(
         attn_valid=prepared["valid"],
         cache=cache,
         remat=remat,
+        return_kv=return_kv,
     )
     aux = {k: v for k, v in prepared.items() if k != "embeds"}
-    if new_cache is not None:
-        aux["cache"] = new_cache
+    if extra is not None:
+        aux["kv" if cache is None else "cache"] = extra
     return logits, aux

@@ -37,6 +37,7 @@ def splice_image_tokens(
     text_valid: Optional[jnp.ndarray] = None,
     labels: Optional[jnp.ndarray] = None,
     max_length: Optional[int] = None,
+    pad_to_multiple: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Expand image sentinels into image-embedding blocks.
 
@@ -65,6 +66,10 @@ def splice_image_tokens(
     T_out = T - 1 + N
     if max_length is not None:
         T_out = min(T_out, max_length)
+    if pad_to_multiple:
+        # Round the static output length up so downstream attention can use
+        # 128-aligned flash-kernel tiles; the validity mask covers the rest.
+        T_out = -(-T_out // pad_to_multiple) * pad_to_multiple
 
     if text_valid is None:
         text_valid = jnp.ones((B, T), dtype=bool)

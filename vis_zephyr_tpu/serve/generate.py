@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import VisZephyrConfig
-from ..models.mistral import embed, init_cache, mistral_forward
+from ..models.mistral import embed, mistral_forward
 from ..models.vis_zephyr import vis_zephyr_forward
 
 
@@ -72,17 +72,32 @@ def prefill(
 ) -> Tuple[jnp.ndarray, Dict, jnp.ndarray]:
     """Run the multimodal prefill and return greedy-ready last-token logits.
 
+    The prefill runs through the no-cache forward (flash attention on TPU)
+    and the per-layer K/V it returns are padded into a fresh decode cache —
+    one program, no cache-buffer scatter on the hot path.
+
     Returns (last_logits [B, V], cache, lengths [B]).
     """
     B = input_ids.shape[0]
-    cache = init_cache(cfg.decoder, B, cache_len, dtype=params["decoder"]["embed_tokens"].dtype)
+    pad_mult = 128 if jax.default_backend() != "cpu" else None
     logits, aux = vis_zephyr_forward(
         params, input_ids, images, patch_valid, cfg,
-        text_valid=text_valid, cache=cache,
+        text_valid=text_valid, return_kv=True, pad_to_multiple=pad_mult,
     )
     lengths = aux["lengths"]
+    k, v = aux["kv"]  # [L, B, T, Hkv, D]
+    T = k.shape[2]
+    if cache_len < T:
+        raise ValueError(f"cache_len={cache_len} < prefill length {T}")
+    dtype = params["decoder"]["embed_tokens"].dtype
+    pad = ((0, 0), (0, 0), (0, cache_len - T), (0, 0), (0, 0))
+    cache = {
+        "k": jnp.pad(k.astype(dtype), pad),
+        "v": jnp.pad(v.astype(dtype), pad),
+        "length": lengths.astype(jnp.int32),
+    }
     last = logits[jnp.arange(B), lengths - 1]
-    return last, aux["cache"], lengths
+    return last, cache, lengths
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
