@@ -1,0 +1,81 @@
+"""End-to-end training loop test: stage-1 run on the synthetic fixture set
+over the 8-device virtual mesh, with checkpoint + resume."""
+
+import json
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+import jax  # noqa: E402
+
+from vis_zephyr_tpu.config import tiny_config  # noqa: E402
+from vis_zephyr_tpu.train.checkpoints import latest_checkpoint  # noqa: E402
+from vis_zephyr_tpu.train.train import TrainArguments, train  # noqa: E402
+
+
+@pytest.fixture
+def fixture_data(tmp_path):
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(8):
+        name = f"img{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (80 + 10 * i, 100, 3), np.uint8)).save(img_dir / name)
+        records.append(
+            {
+                "id": f"sample-{i}",
+                "image": name,
+                "conversations": [
+                    {"from": "human", "value": f"<image>\nQuestion number {i}?"},
+                    {"from": "gpt", "value": f"Answer number {i} with several words."},
+                ],
+            }
+        )
+    data_path = tmp_path / "data.json"
+    data_path.write_text(json.dumps(records))
+    return str(data_path), str(img_dir)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_stage1_train_run_and_resume(tmp_path, fixture_data, mock_tokenizer):
+    data_path, img_dir = fixture_data
+    cfg = tiny_config(vocab_size=50000)
+    args = TrainArguments(
+        stage="1",
+        data_path=data_path,
+        image_folder=img_dir,
+        image_aspect_ratio="anyres",
+        mm_grid_pinpoints=cfg.mm_grid_pinpoints,
+        model_max_length=128,
+        per_device_batch_size=1,
+        num_epochs=1,
+        max_steps=2,
+        learning_rate=1e-3,
+        mm_projector_lr=1e-2,
+        mesh_data=1,
+        mesh_fsdp=4,
+        mesh_model=2,
+        output_dir=str(tmp_path / "run"),
+        save_steps=1,
+        logging_steps=1,
+        remat=True,
+        resume=False,
+    )
+    state = train(args, mock_tokenizer, cfg=cfg)
+    assert int(jax.device_get(state["step"])) == 2
+
+    last = latest_checkpoint(args.output_dir)
+    assert last is not None
+
+    # Resume continues from the saved full-state checkpoint.
+    args2 = TrainArguments(**{**args.__dict__, "max_steps": 3, "resume": True})
+    state2 = train(args2, mock_tokenizer, cfg=cfg)
+    assert int(jax.device_get(state2["step"])) == 3
+
+    # benchmark.csv written.
+    bench = (tmp_path / "run" / "benchmark.csv").read_text()
+    assert "samples_per_s" in bench

@@ -43,9 +43,10 @@ def save_checkpoint(
             ckptr.save(
                 os.path.abspath(os.path.join(path, "projector")),
                 state["params"]["projector"],
+                force=True,
             )
         else:
-            ckptr.save(os.path.abspath(os.path.join(path, "state")), state)
+            ckptr.save(os.path.abspath(os.path.join(path, "state")), state, force=True)
     meta = {"step": step, "projector_only": projector_only}
     meta.update(metadata or {})
     with open(os.path.join(path, "trainer_state.json"), "w") as f:
@@ -53,16 +54,21 @@ def save_checkpoint(
     return path
 
 
-def latest_checkpoint(output_dir: str) -> Optional[str]:
+def latest_checkpoint(output_dir: str, full_state: bool = False) -> Optional[str]:
+    """Newest checkpoint dir; with `full_state=True`, the newest one that
+    carries a resumable full state (skipping projector-only saves)."""
     if not os.path.isdir(output_dir):
         return None
-    best, best_step = None, -1
+    steps = []
     for name in os.listdir(output_dir):
         m = re.fullmatch(r"checkpoint-(\d+)", name)
-        if m and int(m.group(1)) > best_step:
-            best_step = int(m.group(1))
-            best = os.path.join(output_dir, name)
-    return best
+        if m:
+            steps.append(int(m.group(1)))
+    for step in sorted(steps, reverse=True):
+        path = os.path.join(output_dir, f"checkpoint-{step}")
+        if not full_state or os.path.isdir(os.path.join(path, "state")):
+            return path
+    return None
 
 
 def load_checkpoint(path: str, target_state: Dict) -> Dict:

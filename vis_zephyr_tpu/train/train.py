@@ -1,0 +1,257 @@
+"""Training entry point: two-stage multimodal training on a TPU mesh.
+
+Reference surface: `vis_zephyr/train/train.py:729-957` (`train()`), driven
+by `script/pretrain.sh` / `script/finetune.sh`. Capabilities mirrored:
+- Stage 1 "pretrain": frozen tower + decoder, Q-Former projector trains
+  (projector LR, cosine schedule, warmup 0.03),
+- Stage 2 "finetune": LoRA adapters on decoder linears, everything else
+  frozen,
+- modality-grouped length sampler, bucket-padded collation,
+- projector-only checkpoints each save interval + resume from the latest
+  checkpoint (`train.py:870-893`),
+- per-run throughput instrumentation appended to benchmark.csv
+  (`train.py:856-927`).
+
+TPU-native execution: one pjit-compiled train step over a data×fsdp(×tp)
+mesh; ZeRO-equivalence comes from the parameter shardings, remat from
+`jax.checkpoint` in the decoder scan.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VisZephyrConfig
+from ..data.dataset import Collator, DataConfig, LengthGroupedSampler, SupervisedDataset
+from ..models.vis_zephyr import init_vis_zephyr
+from ..parallel.mesh import create_mesh
+from ..parallel.sharding import shard_batch, shard_params
+from .checkpoints import latest_checkpoint, load_checkpoint, save_checkpoint
+from .lora import LoraConfig, add_lora
+from .optimizer import OptimizerConfig, build_optimizer
+from .steps import init_train_state, make_train_step
+
+
+@dataclasses.dataclass
+class TrainArguments:
+    # Stage/model
+    stage: str = "1"                      # "1" projector pretrain | "2" LoRA finetune
+    model_path: str = ""                  # init checkpoint dir (optional)
+    pretrain_mm_mlp_adapter: str = ""     # projector-only ckpt to load for stage 2
+    lora_r: int = 128
+    lora_alpha: int = 256
+    # Data
+    data_path: str = ""
+    image_folder: str = ""
+    image_aspect_ratio: str = "anyres"
+    mm_grid_pinpoints: str = "[[336, 672], [672, 336], [336, 1008], [1008, 336]]"
+    model_max_length: int = 2048
+    group_by_modality_length: bool = True
+    # Optimization
+    learning_rate: float = 2e-5
+    mm_projector_lr: Optional[float] = 2e-3
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03
+    num_epochs: int = 1
+    per_device_batch_size: int = 16
+    max_steps: Optional[int] = None
+    max_grad_norm: float = 1.0
+    seed: int = 42
+    remat: bool = True
+    # Mesh
+    mesh_data: int = 1
+    mesh_fsdp: int = 0                    # 0 = all devices
+    mesh_model: int = 1
+    # Output
+    output_dir: str = "./checkpoints/run"
+    save_steps: int = 500
+    logging_steps: int = 1
+    resume: bool = True
+    dtype: str = "bfloat16"
+
+
+def build_components(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None):
+    """Construct (cfg, params, dataset, collator) for a run."""
+    cfg = cfg or VisZephyrConfig(
+        image_aspect_ratio=args.image_aspect_ratio,
+        mm_grid_pinpoints=args.mm_grid_pinpoints,
+        tokenizer_model_max_length=args.model_max_length,
+    )
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    params = init_vis_zephyr(cfg, jax.random.PRNGKey(args.seed), dtype=dtype)
+
+    if args.model_path:
+        from ..models.builder import load_pretrained_model
+
+        _, params, cfg, _ = load_pretrained_model(args.model_path, dtype=dtype)
+    if args.pretrain_mm_mlp_adapter:
+        from .checkpoints import load_projector
+
+        params["projector"] = load_projector(args.pretrain_mm_mlp_adapter, params["projector"])
+    if args.stage == "2":
+        params = add_lora(
+            params, LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
+            jax.random.PRNGKey(args.seed + 1), dtype=dtype,
+        )
+
+    data_cfg = DataConfig(
+        data_path=args.data_path,
+        image_folder=args.image_folder,
+        image_aspect_ratio=args.image_aspect_ratio,
+        mm_grid_pinpoints=args.mm_grid_pinpoints,
+        image_size=cfg.vision.image_size,
+        seed=args.seed,
+    )
+    dataset = SupervisedDataset(data_cfg, tokenizer)
+    collator = Collator(
+        pad_token_id=cfg.decoder.pad_token_id, max_length=args.model_max_length
+    )
+    return cfg, params, dataset, collator
+
+
+def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None):
+    cfg, params, dataset, collator = build_components(args, tokenizer, cfg)
+
+    n_dev = len(jax.devices())
+    fsdp = args.mesh_fsdp or max(1, n_dev // (args.mesh_data * args.mesh_model))
+    mesh = create_mesh(data=args.mesh_data, fsdp=fsdp, model=args.mesh_model)
+    dp = args.mesh_data * fsdp
+    global_batch = args.per_device_batch_size * dp
+
+    steps_per_epoch = max(1, len(dataset) // global_batch)
+    total_steps = args.max_steps or steps_per_epoch * args.num_epochs
+
+    opt_cfg = OptimizerConfig(
+        learning_rate=args.learning_rate,
+        projector_lr=args.mm_projector_lr,
+        weight_decay=args.weight_decay,
+        warmup_ratio=args.warmup_ratio,
+        total_steps=total_steps,
+        max_grad_norm=args.max_grad_norm,
+    )
+    tx = build_optimizer(params, opt_cfg, stage=args.stage)
+    train_step = jax.jit(make_train_step(cfg, tx, remat=args.remat))
+
+    with jax.set_mesh(mesh):
+        params = shard_params(params, mesh)
+        state = init_train_state(params, tx)
+
+        start_step = 0
+        if args.resume:
+            last = latest_checkpoint(args.output_dir, full_state=True)
+            if last:
+                state = load_checkpoint(last, state)
+                start_step = int(jax.device_get(state["step"]))
+                print(f"resumed from {last} at step {start_step}")
+
+        sampler = LengthGroupedSampler(
+            dataset.modality_lengths if args.group_by_modality_length else dataset.lengths,
+            batch_size=args.per_device_batch_size,
+            world_size=dp,
+            group_by_modality=args.group_by_modality_length,
+            seed=args.seed,
+        )
+
+        run_t0 = time.perf_counter()
+        seen_samples = 0
+        step = start_step
+        losses = []
+        for epoch in range(args.num_epochs):
+            sampler.set_epoch(epoch)
+            order = list(iter(sampler))
+            for start in range(0, len(order) - global_batch + 1, global_batch):
+                if step >= total_steps:
+                    break
+                batch = collator([dataset[i] for i in order[start : start + global_batch]])
+                batch = shard_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh
+                )
+                state, metrics = train_step(state, batch)
+                step += 1
+                seen_samples += global_batch
+
+                if step % args.logging_steps == 0:
+                    loss = float(jax.device_get(metrics["loss"]))
+                    losses.append(loss)
+                    print(f"step {step}/{total_steps} loss {loss:.4f}", flush=True)
+                if step % args.save_steps == 0:
+                    save_checkpoint(
+                        args.output_dir, state, step,
+                        projector_only=(args.stage == "1"),
+                        metadata={"loss": losses[-1] if losses else None},
+                    )
+
+        # Final save: stage 1 keeps the projector artifact AND the full
+        # state; stage 2 saves adapters in the full state.
+        save_checkpoint(args.output_dir, state, step, projector_only=False)
+        if args.stage == "1":
+            save_checkpoint(args.output_dir, state, step + 1, projector_only=True)
+
+        # benchmark.csv instrumentation (reference train.py:856-927).
+        wall = time.perf_counter() - run_t0
+        _append_benchmark(args.output_dir, {
+            "steps": step - start_step,
+            "samples": seen_samples,
+            "wall_s": round(wall, 2),
+            "samples_per_s": round(seen_samples / max(wall, 1e-9), 3),
+            "final_loss": losses[-1] if losses else None,
+            "global_batch": global_batch,
+            "mesh": f"data={args.mesh_data},fsdp={fsdp},model={args.mesh_model}",
+        })
+    return state
+
+
+def _append_benchmark(output_dir: str, row: dict) -> None:
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, "benchmark.csv")
+    exists = os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(row.keys()))
+        if not exists:
+            writer.writeheader()
+        writer.writerow(row)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Vis-Zephyr TPU trainer")
+    for field in dataclasses.fields(TrainArguments):
+        name = "--" + field.name.replace("_", "-")
+        if field.type == "bool" or isinstance(field.default, bool):
+            p.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=field.default)
+        else:
+            caster = str
+            if isinstance(field.default, int):
+                caster = int
+            elif isinstance(field.default, float):
+                caster = float
+            p.add_argument(name, type=caster, default=field.default)
+    p.add_argument("--tokenizer-path", default="")
+    return p
+
+
+def main(argv=None):
+    ns = build_parser().parse_args(argv)
+    tok_path = ns.tokenizer_path
+    kwargs = {f.name: getattr(ns, f.name) for f in dataclasses.fields(TrainArguments)}
+    args = TrainArguments(**kwargs)
+
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(tok_path or args.model_path)
+    train(args, tokenizer)
+
+
+if __name__ == "__main__":
+    main()
