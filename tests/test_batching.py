@@ -1,0 +1,98 @@
+"""Continuous batching engine tests (tiny model, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vis_zephyr_tpu.config import tiny_config
+from vis_zephyr_tpu.constants import IMAGE_TOKEN_INDEX
+from vis_zephyr_tpu.models.vis_zephyr import init_vis_zephyr
+from vis_zephyr_tpu.serve.batching import ContinuousBatcher
+from vis_zephyr_tpu.serve.generate import SamplingConfig, generate
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def make_request(cfg, rng, T, with_image=True, P=3):
+    H = cfg.vision.image_size
+    ids = rng.integers(5, cfg.decoder.vocab_size, (T,))
+    images = patch_valid = None
+    if with_image:
+        ids[1] = IMAGE_TOKEN_INDEX
+        images = rng.standard_normal((P, H, H, 3)).astype(np.float32)
+        patch_valid = np.ones((P,), bool)
+    return ids, images, patch_valid
+
+
+class TestContinuousBatcher:
+    def test_matches_standalone_generate(self, setup, rng):
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=6, temperature=0.0, eos_token_id=-1)
+        batcher = ContinuousBatcher(
+            params, cfg, max_slots=4, cache_len=256, sampling=sampling
+        )
+
+        requests = [make_request(cfg, rng, T, with_image=True) for T in (5, 8, 6)]
+        handles = [batcher.submit(ids, im, pv) for ids, im, pv in requests]
+        batcher.run_until_drained()
+
+        for (ids, im, pv), handle in zip(requests, handles):
+            got = list(batcher.stream(handle))
+            solo = generate(
+                params, jnp.asarray(ids[None]), jnp.asarray(im[None]),
+                jnp.asarray(pv[None]), cfg, sampling, cache_len=256,
+            )[0]
+            np.testing.assert_array_equal(got, solo)
+
+    def test_slot_reuse_beyond_pool(self, setup, rng):
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=3, temperature=0.0, eos_token_id=-1)
+        batcher = ContinuousBatcher(
+            params, cfg, max_slots=2, cache_len=256, sampling=sampling
+        )
+        handles = [
+            batcher.submit(*make_request(cfg, rng, 4 + i, with_image=False))
+            for i in range(5)
+        ]
+        batcher.run_until_drained()
+        for h in handles:
+            toks = list(batcher.stream(h))
+            assert len(toks) == 3
+        assert not batcher.active.any()
+
+    def test_interleaved_submission(self, setup, rng):
+        """Requests submitted while others decode still produce the same
+        output as solo runs (batch invariance end-to-end)."""
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=5, temperature=0.0, eos_token_id=-1)
+        batcher = ContinuousBatcher(
+            params, cfg, max_slots=4, cache_len=256, sampling=sampling
+        )
+        r1 = make_request(cfg, rng, 5, with_image=False)
+        r2 = make_request(cfg, rng, 7, with_image=False)
+        h1 = batcher.submit(*r1)
+        batcher.step()
+        batcher.step()  # r1 is mid-decode when r2 arrives
+        h2 = batcher.submit(*r2)
+        batcher.run_until_drained()
+
+        for r, h in ((r1, h1), (r2, h2)):
+            ids, im, pv = r
+            solo = generate(
+                params, jnp.asarray(ids[None]), None, None, cfg, sampling, cache_len=256
+            )[0]
+            np.testing.assert_array_equal(list(batcher.stream(h)), solo)
+
+    def test_too_long_request_rejected(self, setup, rng):
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=200, temperature=0.0, eos_token_id=-1)
+        batcher = ContinuousBatcher(params, cfg, max_slots=2, cache_len=64, sampling=sampling)
+        h = batcher.submit(*make_request(cfg, rng, 10, with_image=False))
+        batcher.run_until_drained()
+        assert list(batcher.stream(h)) == []

@@ -1,32 +1,38 @@
 """Pallas TPU kernel: fused int8-weight dequantize + matmul.
 
-Why: XLA lowers `x @ (w_int8 * scale)` by materializing the dequantized
-bf16 weights in HBM — for Zephyr-7B decode that turns ~7.5 GB/token of
-weight traffic into ~35 GB/token (measured 40.8 ms/token on v5e). This
-kernel reads int8 tiles HBM→VMEM, upconverts in VMEM, and feeds the MXU —
-weight bytes cross HBM exactly once, at int8 width.
+Why: XLA lowers `x @ (w_int8 * scale)` well (it fuses the convert into the
+dot — measured ~350 GB/s of int8 weight reads on v5e), but that still
+leaves >50% of HBM bandwidth on the table for the decode hot loop, which is
+purely weight-bandwidth-bound. This kernel streams *contiguous* full-width
+row panels of the int8 weight matrix (one DMA per K-tile, no small strided
+transfers), upconverts in VMEM, and feeds the MXU; the f32 accumulator
+[M, N] lives in VMEM across K tiles and the per-output-channel scale is
+applied once at the end.
 
-Contract: `quantized_matmul(x [M, K] bf16/f32, wq [K, N] int8,
-scale [1, N] f32) -> [M, N]`, equal to `x @ (wq * scale)`.
+Contract: `quantized_matmul(x [M, K], wq [K, N] int8, scale [1, N] f32)
+== x @ (wq * scale)`. M is small (decode: 1-16 rows).
 
-Tiling: grid (N tiles, K tiles); K is the sequential reduction dimension
-(accumulated in an f32 VMEM scratch, scale applied on the last K step —
-per-output-column scales commute with the K reduction). M is small in
-decode (1-16 tokens) and stays un-tiled.
+Grid: (K / block_k,) — sequential reduction; each step reads an
+x tile [M, block_k] and a weight panel [block_k, N].
+VMEM @ block_k=512, N=14336, M=8: panel 7.3 MB (double-buffered by the
+pipeline) + acc 0.46 MB — well inside v5e's 128 MB VMEM.
 """
 
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_PALLAS_QMM_ENABLED = _os.environ.get("VZT_PALLAS_QMM", "0") == "1"
+
 
 def _kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref):
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pl.program_id(0) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -36,19 +42,18 @@ def _kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref):
         x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
 
-    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _finish():
         out_ref[...] = (acc_ref[...] * scale_ref[...].astype(jnp.float32)).astype(
             out_ref.dtype
         )
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "out_dtype"))
+@functools.partial(jax.jit, static_argnames=("block_k", "out_dtype"))
 def quantized_matmul(
     x: jnp.ndarray,
     wq: jnp.ndarray,
     scale: jnp.ndarray,
-    block_n: int = 512,
     block_k: int = 512,
     out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
@@ -59,9 +64,8 @@ def quantized_matmul(
     scale = scale.reshape(1, N)
 
     block_k = min(block_k, K)
-    block_n = min(block_n, N)
-    if K % block_k or N % block_n:
-        raise ValueError(f"K={K}, N={N} must tile by ({block_k}, {block_n})")
+    if K % block_k:
+        raise ValueError(f"K={K} must tile by block_k={block_k}")
 
     # Pad M up to the sublane quantum so tiny decode batches still map.
     M_pad = max(8, ((M + 7) // 8) * 8)
@@ -73,17 +77,17 @@ def quantized_matmul(
         out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(N // block_n, K // block_k),
+            grid=(K // block_k,),
             in_specs=[
-                pl.BlockSpec((M_pad, block_k), lambda j, k: (0, k)),
-                pl.BlockSpec((block_k, block_n), lambda j, k: (k, j)),
-                pl.BlockSpec((1, block_n), lambda j, k: (0, j)),
+                pl.BlockSpec((M_pad, block_k), lambda k: (0, k)),
+                pl.BlockSpec((block_k, N), lambda k: (k, 0)),
+                pl.BlockSpec((1, N), lambda k: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((M_pad, block_n), lambda j, k: (0, j)),
-            scratch_shapes=[pltpu.VMEM((M_pad, block_n), jnp.float32)],
+            out_specs=pl.BlockSpec((M_pad, N), lambda k: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((M_pad, N), jnp.float32)],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M_pad * K * N,
@@ -118,28 +122,24 @@ def _base_dot(x: jnp.ndarray, p: dict, use_pallas: bool) -> jnp.ndarray:
 
     wq, scale = p["kernel_q"], p["scale"]
     K, N = wq.shape[-2:]
-    # Measured on v5e: XLA fuses the int8→bf16 convert into the dot (weights
-    # cross HBM once at int8 width, ~350 GB/s effective); the Pallas kernel
-    # currently reaches ~270 GB/s, so it is opt-in until it wins.
+    small_m = int(jnp.prod(jnp.asarray(x.shape[:-1]))) if False else None
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= int(d)
+    # The panel kernel targets the decode/matvec regime (small M); large-M
+    # matmuls (prefill/training) go through XLA's fused int8 dot, which
+    # tiles both operands properly.
     pallas_ok = (
         use_pallas
         and _PALLAS_QMM_ENABLED
         and jax.default_backend() not in ("cpu",)
-        and K % 256 == 0
-        and N % 256 == 0
+        and K % 512 == 0
+        and N % 128 == 0
+        and m <= 64
     )
     if pallas_ok:
-        lead = x.shape[:-1]
-        flat = x.reshape(-1, K)
-        bn = 512 if N % 512 == 0 else 256
-        bk = 512 if K % 512 == 0 else 256
-        out = quantized_matmul(flat, wq, scale.reshape(1, N), block_n=bn, block_k=bk,
-                               out_dtype=x.dtype)
+        out = quantized_matmul(x.reshape(m, K), wq, scale.reshape(1, N), out_dtype=x.dtype)
         return out.reshape(*lead, N)
     w = wq.astype(x.dtype) * scale.astype(x.dtype)
     return jnp.einsum("...k,kn->...n", x, w)
-
-
-import os as _os
-
-_PALLAS_QMM_ENABLED = _os.environ.get("VZT_PALLAS_QMM", "0") == "1"
