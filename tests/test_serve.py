@@ -1,0 +1,98 @@
+"""Serve layer tests: ChatEngine session flow + the stdlib HTTP server."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+import jax  # noqa: E402
+
+from vis_zephyr_tpu.config import tiny_config  # noqa: E402
+from vis_zephyr_tpu.models.vis_zephyr import init_vis_zephyr  # noqa: E402
+from vis_zephyr_tpu.serve.api import serve  # noqa: E402
+from vis_zephyr_tpu.serve.engine import ChatEngine  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def engine(mock_tokenizer_module):
+    cfg = tiny_config(vocab_size=50000)
+    params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+    return ChatEngine(
+        params, cfg, mock_tokenizer_module, max_new_tokens=4, temperature=0.0
+    )
+
+
+@pytest.fixture(scope="module")
+def mock_tokenizer_module():
+    from conftest import MockTokenizer
+
+    return MockTokenizer()
+
+
+@pytest.fixture
+def image():
+    rng = np.random.default_rng(0)
+    return Image.fromarray(rng.integers(0, 255, (60, 90, 3), np.uint8))
+
+
+class TestChatEngine:
+    def test_first_turn_attaches_image(self, engine, image):
+        engine.reset_session("s1")
+        reply = engine.chat_text("s1", "What is this?", pil_image=image)
+        assert isinstance(reply, str)
+        sess = engine.get_session("s1")
+        assert sess["images"] is not None
+        assert sess["conversation"].messages[-1][1] == reply
+
+    def test_multi_turn_keeps_image(self, engine, image):
+        engine.reset_session("s2")
+        engine.chat_text("s2", "Turn one", pil_image=image)
+        engine.chat_text("s2", "Turn two")
+        conv = engine.get_session("s2")["conversation"]
+        assert len(conv.messages) == 4
+        assert conv.messages[0][1].startswith("<image>\n")
+        assert "<image>" not in conv.messages[2][1]
+
+
+class TestHttpServer:
+    def test_chat_endpoint_streams(self, engine, image):
+        server = serve(engine, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            buf = io.BytesIO()
+            image.save(buf, format="PNG")
+            payload = {
+                "session_id": "http1",
+                "question": "Describe the image",
+                "image_base64": base64.b64encode(buf.getvalue()).decode(),
+            }
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/chat",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                assert resp.status == 200
+                body = resp.read().decode()
+            assert isinstance(body, str)
+
+            # Missing image on a fresh session → 400.
+            req2 = urllib.request.Request(
+                f"http://127.0.0.1:{port}/chat",
+                data=json.dumps({"session_id": "http2", "question": "hi"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as err:
+                urllib.request.urlopen(req2, timeout=30)
+            assert err.value.code == 400
+        finally:
+            server.shutdown()
