@@ -81,9 +81,12 @@ def _random_quantized_mistral(dec, key):
 
 
 def bench_decode(cfg: VisZephyrConfig, steps: int = 64, warmup: int = 8) -> dict:
-    """Single-stream decode tokens/sec on the full 7B decoder (int8 weights)."""
+    """Single-stream decode tokens/sec on the full 7B decoder (int8 weights,
+    inference-fused qkv/gate_up layout)."""
+    from vis_zephyr_tpu.models.mistral import fuse_decoder_layers
+
     dec = cfg.decoder
-    params = _random_quantized_mistral(dec, jax.random.PRNGKey(0))
+    params = fuse_decoder_layers(_random_quantized_mistral(dec, jax.random.PRNGKey(0)))
 
     B, S = 1, 2048
     cache = init_cache(dec, B, S, dtype=jnp.bfloat16)

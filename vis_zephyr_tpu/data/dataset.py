@@ -53,6 +53,7 @@ class DataConfig:
     visual_prompt_style: Optional[str] = None  # e.g. "vcr_qa" (eval) or None
     conv: Conversation = field(default_factory=lambda: default_conversation)
     seed: int = 0
+    use_native: str = "auto"  # "auto" | "yes" | "no" — C++ image pipeline
 
 
 class SupervisedDataset:
@@ -71,6 +72,12 @@ class SupervisedDataset:
             self.max_patches = anyres.max_anyres_patches(pins, data_config.image_size)
         else:
             self.max_patches = data_config.max_patches
+        if data_config.use_native == "no":
+            self._use_native = False
+        else:
+            from . import native
+
+            self._use_native = native.available()
 
     def __len__(self):
         return len(self.records)
@@ -125,10 +132,20 @@ class SupervisedDataset:
                     )
 
             if self.cfg.image_aspect_ratio == "anyres":
-                pixels, patch_valid = anyres_preprocess_host(
-                    image, self.cfg.mm_grid_pinpoints,
-                    target_size=self.cfg.image_size, max_patches=self.max_patches,
-                )
+                if self._use_native:
+                    from . import native
+
+                    pixels, patch_valid = native.anyres_preprocess_native(
+                        np.asarray(image.convert("RGB"), np.uint8),
+                        self.cfg.mm_grid_pinpoints,
+                        target_size=self.cfg.image_size,
+                        max_patches=self.max_patches,
+                    )
+                else:
+                    pixels, patch_valid = anyres_preprocess_host(
+                        image, self.cfg.mm_grid_pinpoints,
+                        target_size=self.cfg.image_size, max_patches=self.max_patches,
+                    )
             else:
                 one = preprocess_mode_host(image, self.cfg.image_aspect_ratio, self.cfg.image_size)
                 pixels = np.zeros((self.max_patches,) + one.shape, np.float32)

@@ -60,9 +60,17 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 def _project_qkv(h, attn_params, cfg: DecoderConfig, cos, sin):
     B, T, _ = h.shape
-    q = qdot(h, attn_params["q"])
-    k = qdot(h, attn_params["k"])
-    v = qdot(h, attn_params["v"])
+    nq = cfg.num_heads * cfg.head_dim
+    nkv = cfg.num_kv_heads * cfg.head_dim
+    if "qkv" in attn_params:
+        # Inference-fused layout (see `fuse_decoder_layers`): one matmul for
+        # q|k|v — fewer, larger weight reads in the bandwidth-bound decode.
+        qkv = qdot(h, attn_params["qkv"])
+        q, k, v = qkv[..., :nq], qkv[..., nq : nq + nkv], qkv[..., nq + nkv :]
+    else:
+        q = qdot(h, attn_params["q"])
+        k = qdot(h, attn_params["k"])
+        v = qdot(h, attn_params["v"])
     q = apply_rope(q.reshape(B, T, cfg.num_heads, cfg.head_dim), cos, sin)
     k = apply_rope(k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim), cos, sin)
     v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
@@ -70,9 +78,41 @@ def _project_qkv(h, attn_params, cfg: DecoderConfig, cos, sin):
 
 
 def _mlp(h, mlp_params):
-    gate = qdot(h, mlp_params["gate"])
-    up = qdot(h, mlp_params["up"])
+    if "gate_up" in mlp_params:
+        fused = qdot(h, mlp_params["gate_up"])
+        gate, up = jnp.split(fused, 2, axis=-1)
+    else:
+        gate = qdot(h, mlp_params["gate"])
+        up = qdot(h, mlp_params["up"])
     return qdot(jax.nn.silu(gate) * up, mlp_params["down"])
+
+
+def fuse_decoder_layers(decoder_params: Dict) -> Dict:
+    """Concatenate q|k|v and gate|up kernels for inference (fewer, larger
+    matmuls in the decode hot loop — the reference's flash-attn patch packs
+    QKV the same way, `zephyr_flash_attn_monkey_patch.py:100-131`). Works on
+    raw or int8-quantized layers; merge LoRA adapters first."""
+    out = dict(decoder_params)
+    layers = dict(decoder_params["layers"])
+    attn = dict(layers["attn"])
+    mlp = dict(layers["mlp"])
+
+    def cat(parts, key):
+        return jnp.concatenate([p[key] for p in parts], axis=-1)
+
+    def fuse(parts):
+        if any("lora_a" in p for p in parts):
+            raise ValueError("merge LoRA adapters before fusing")
+        if "kernel_q" in parts[0]:
+            return {"kernel_q": cat(parts, "kernel_q"), "scale": cat(parts, "scale")}
+        return {"kernel": cat(parts, "kernel")}
+
+    attn["qkv"] = fuse([attn.pop("q"), attn.pop("k"), attn.pop("v")])
+    mlp["gate_up"] = fuse([mlp.pop("gate"), mlp.pop("up")])
+    layers["attn"] = attn
+    layers["mlp"] = mlp
+    out["layers"] = layers
+    return out
 
 
 def embed(params, input_ids: jnp.ndarray) -> jnp.ndarray:

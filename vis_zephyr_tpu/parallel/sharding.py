@@ -30,6 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # Paths are '/'-joined dict keys, e.g. "decoder/layers/attn/q/kernel".
 _RULES: Tuple[Tuple[str, Tuple], ...] = (
     # Decoder (stacked [L, ...]).
+    (r"decoder/layers/attn/(q|k|v|qkv)/(kernel|kernel_q)$", (None, "fsdp", "model")),
+    (r"decoder/layers/mlp/gate_up/(kernel|kernel_q)$", (None, "fsdp", "model")),
     (r"decoder/layers/attn/(q|k|v)/kernel$", (None, "fsdp", "model")),
     (r"decoder/layers/attn/out/kernel$", (None, "model", "fsdp")),
     (r"decoder/layers/mlp/(gate|up)/kernel$", (None, "fsdp", "model")),
