@@ -134,11 +134,13 @@ def convert_qformer(state_dict: Mapping, cfg: ProjectorConfig, dtype=jnp.float32
     `mm_projector.bin`, reference `vis_zephyr_arch.py:95-102`).
     """
     sd = dict(state_dict)
-    if any(k.startswith("mm_projector.") for k in sd):
+    if any("mm_projector." in k for k in sd):
+        # Keys may carry any outer prefix, e.g. "model.mm_projector.blocks..."
+        # (reference get_w splits on the keyword, `vis_zephyr_arch.py:98-100`).
         sd = {
-            k[len("mm_projector."):]: v
+            k.split("mm_projector.", 1)[1]: v
             for k, v in sd.items()
-            if k.startswith("mm_projector.")
+            if "mm_projector." in k
         }
 
     blocks = []
