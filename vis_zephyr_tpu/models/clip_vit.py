@@ -46,23 +46,39 @@ def _dense(x, p):
     return jnp.einsum("...d,df->...f", x, p["kernel"]) + p["bias"]
 
 
-def _attention(x, p, num_heads):
-    """Bidirectional multi-head attention (no mask — full visual field)."""
+def _attention(x, p, num_heads, kv_valid=None, use_flash=False):
+    """Bidirectional multi-head attention (no mask — full visual field).
+
+    With `use_flash` the Pallas blockwise kernel runs instead of
+    materializing the [T, T] score matrix — at ViT-L/336 scale (577 tokens,
+    f32 scores) the naive path moves ~1 GB of HBM traffic per layer per
+    16-patch batch, which dominates encode latency."""
     B, T, D = x.shape
     head_dim = D // num_heads
     q = _dense(x, p["q"]).reshape(B, T, num_heads, head_dim)
     k = _dense(x, p["k"]).reshape(B, T, num_heads, head_dim)
     v = _dense(x, p["v"]).reshape(B, T, num_heads, head_dim)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim ** -0.5)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
+    if use_flash:
+        from ..ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, kv_valid=kv_valid, causal=False).reshape(B, T, D)
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim ** -0.5)
+        if kv_valid is not None:
+            scores = jnp.where(
+                kv_valid[:, None, None, :], scores, jnp.finfo(jnp.float32).min
+            )
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
     return _dense(out, p["out"])
 
 
-def _block(x, layer_params, cfg: VisionConfig):
+def _block(x, layer_params, cfg: VisionConfig, kv_valid=None, use_flash=False):
     residual = x
     h = _layer_norm(x, layer_params["ln1"]["scale"], layer_params["ln1"]["bias"], cfg.layer_norm_eps)
-    x = residual + _attention(h, layer_params["attn"], cfg.num_heads)
+    x = residual + _attention(
+        h, layer_params["attn"], cfg.num_heads, kv_valid=kv_valid, use_flash=use_flash
+    )
     residual = x
     h = _layer_norm(x, layer_params["ln2"]["scale"], layer_params["ln2"]["bias"], cfg.layer_norm_eps)
     h = _dense(_quick_gelu(_dense(h, layer_params["fc1"])), layer_params["fc2"])
@@ -78,13 +94,18 @@ def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, patch_size * patch_size * C)
 
 
-def clip_vit_forward(params, images: jnp.ndarray, cfg: VisionConfig) -> jnp.ndarray:
+def clip_vit_forward(
+    params, images: jnp.ndarray, cfg: VisionConfig, use_flash: Optional[bool] = None
+) -> jnp.ndarray:
     """Encode images and return ALL hidden states.
 
     Args:
       params: pytree from `init_clip_vit` / `hf_convert.convert_clip_vision`.
       images: [B, H, W, 3] normalized pixel values (CLIP mean/std), NHWC.
       cfg: vision config.
+      use_flash: None → auto (Pallas kernel on TPU; the 577-token sequence
+        is padded to the next 128 multiple with masked attention, and the
+        pad rows are dropped from the returned states).
 
     Returns:
       [num_layers + 1, B, 1 + tokens, hidden] — index 0 is the
@@ -99,12 +120,26 @@ def clip_vit_forward(params, images: jnp.ndarray, cfg: VisionConfig) -> jnp.ndar
     x = x + emb["position_embedding"][None, : x.shape[1]]
     x = _layer_norm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"], cfg.layer_norm_eps)
 
+    B, T = x.shape[0], x.shape[1]
+    head_dim = cfg.hidden_size // cfg.num_heads
+    if use_flash is None:
+        use_flash = jax.default_backend() != "cpu" and head_dim % 128 == 0
+
+    kv_valid = None
+    T_pad = T
+    if use_flash and T % 128:
+        T_pad = -(-T // 128) * 128
+        x = jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0)))
+        kv_valid = jnp.arange(T_pad)[None, :] < T
+        kv_valid = jnp.broadcast_to(kv_valid, (B, T_pad))
+
     def body(carry, layer_params):
-        y = _block(carry, layer_params, cfg)
+        y = _block(carry, layer_params, cfg, kv_valid=kv_valid, use_flash=use_flash)
         return y, y
 
     _, states = jax.lax.scan(body, x, params["layers"])
-    return jnp.concatenate([x[None], states], axis=0)
+    out = jnp.concatenate([x[None], states], axis=0)
+    return out[:, :, :T] if T_pad != T else out
 
 
 def select_and_stack(hidden_states: jnp.ndarray, cfg: VisionConfig) -> jnp.ndarray:
