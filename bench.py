@@ -81,17 +81,14 @@ def _random_quantized_mistral(dec, key):
 
 
 def bench_decode(cfg: VisZephyrConfig, steps: int = 64, warmup: int = 8) -> dict:
-    """Single-stream decode tokens/sec on the full 7B decoder (int8 weights,
-    inference-fused qkv/gate_up layout)."""
+    """Decode tokens/sec on the full 7B decoder (int8 weights, inference-
+    fused qkv/gate_up layout): single-stream latency AND continuous-batching
+    aggregate throughput (B=8 slots sharing one step — the production
+    serving configuration, serve/batching.py)."""
     from vis_zephyr_tpu.models.mistral import fuse_decoder_layers
 
     dec = cfg.decoder
     params = fuse_decoder_layers(_random_quantized_mistral(dec, jax.random.PRNGKey(0)))
-
-    B, S = 1, 2048
-    cache = init_cache(dec, B, S, dtype=jnp.bfloat16)
-    # Pretend a 512-token prefill happened.
-    cache["length"] = jnp.full((B,), 512, jnp.int32)
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def run(params, cache, token, n):
@@ -107,18 +104,22 @@ def bench_decode(cfg: VisZephyrConfig, steps: int = 64, warmup: int = 8) -> dict
         (cache, token), _ = jax.lax.scan(step, (cache, token), None, length=n)
         return cache, token
 
-    # The tunneled dispatch overhead is ~25ms/call; running the whole decode
-    # loop as one lax.scan program measures device throughput, which is how
-    # a production decode loop runs anyway.
-    token = jnp.zeros((B,), jnp.int32)
-    cache, token = run(params, cache, token, warmup)
-    _sync(token)
-
-    t0 = time.perf_counter()
-    cache, token = run(params, cache, token, steps)
-    _sync(token)
-    dt = time.perf_counter() - t0
-    return {"decode_tokens_per_sec": steps * B / dt, "decode_ms_per_token": dt / steps * 1e3}
+    out = {}
+    # One lax.scan program per measurement (the tunneled dispatch overhead
+    # is ~25 ms/call; production decode loops are scan-shaped anyway).
+    for tag, B in (("single", 1), ("batch8", 8)):
+        cache = init_cache(dec, B, 2048, dtype=jnp.bfloat16)
+        cache["length"] = jnp.full((B,), 512, jnp.int32)  # post-prefill state
+        token = jnp.zeros((B,), jnp.int32)
+        cache, token = run(params, cache, token, warmup)
+        _sync(token)
+        t0 = time.perf_counter()
+        cache, token = run(params, cache, token, steps)
+        _sync(token)
+        dt = time.perf_counter() - t0
+        out[f"decode_tokens_per_sec_{tag}"] = steps * B / dt
+        out[f"decode_ms_per_step_{tag}"] = dt / steps * 1e3
+    return out
 
 
 def bench_vision(cfg: VisZephyrConfig, iters: int = 16, warmup: int = 3, batch_images: int = 4) -> dict:
@@ -184,13 +185,13 @@ def main():
     try:
         d = bench_decode(cfg)
         extras.update(d)
-        value = d["decode_tokens_per_sec"]
+        value = d["decode_tokens_per_sec_batch8"]
     except Exception as e:  # noqa: BLE001
         extras["decode_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if value is not None:
         result = {
-            "metric": "zephyr7b_decode_tokens_per_sec_per_chip",
+            "metric": "zephyr7b_decode_tokens_per_sec_per_chip_batch8",
             "value": round(value, 2),
             "unit": "tokens/s",
             "vs_baseline": round(value / A100_REFERENCE_DECODE_TOKS, 3),

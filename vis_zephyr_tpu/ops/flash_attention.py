@@ -67,7 +67,7 @@ def _fwd_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                            # [block_q, block_k]
 
-        valid = kv_valid_ref[0] > 0          # [1?, block_k] → broadcast rows
+        valid = kv_valid_ref[0, 0] > 0       # [block_k]
         mask = jnp.broadcast_to(valid.reshape(1, block_k), s.shape)
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_idx * block_q
@@ -127,7 +127,7 @@ def _flash_forward(
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)),
                 pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki: (b, h // group, ki, 0)),
                 pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki: (b, h // group, ki, 0)),
-                pl.BlockSpec((1, block_k), lambda b, h, qi, ki: (b, ki)),
+                pl.BlockSpec((1, 1, block_k), lambda b, h, qi, ki: (b, 0, ki)),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)),
             scratch_shapes=[
@@ -163,7 +163,8 @@ def _flash(q, k, v, kv_valid, causal, scale, block_q, block_k):
     interpret = jax.default_backend() == "cpu"
     out = _flash_forward(
         jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
-        kv_valid.astype(jnp.int32), causal, scale, block_q, block_k, interpret,
+        kv_valid.astype(jnp.int32)[:, None, :], causal, scale, block_q, block_k,
+        interpret,
     )
     return jnp.swapaxes(out, 1, 2)
 
@@ -202,10 +203,9 @@ def flash_attention(
     scale = D ** -0.5 if scale is None else scale
     if T % 128 or S % 128:
         raise ValueError(f"T={T}, S={S} must be multiples of 128 (pad to a bucket)")
-    block_q = min(block_q, T)
-    block_k = min(block_k, S)
-    if T % block_q or S % block_k:
-        raise ValueError(f"T={T}, S={S} must tile by ({block_q}, {block_k})")
+    # Largest block ≤ requested that divides the sequence exactly.
+    block_q = next(b for b in (block_q, 256, 128) if b <= T and T % b == 0)
+    block_k = next(b for b in (block_k, 256, 128) if b <= S and S % b == 0)
     if kv_valid is None:
         kv_valid = jnp.ones((B, S), bool)
     return _flash(q, k, v, kv_valid, causal, scale, block_q, block_k)
