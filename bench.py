@@ -122,6 +122,30 @@ def bench_decode(cfg: VisZephyrConfig, steps: int = 64, warmup: int = 8) -> dict
     return out
 
 
+def bench_prefill(cfg: VisZephyrConfig, tokens: int = 640, iters: int = 4) -> dict:
+    """Decoder prefill latency for a spliced multimodal sequence (text +
+    4×32 image tokens ≈ 640 total) — the LLM share of TTFT."""
+    from vis_zephyr_tpu.models.mistral import fuse_decoder_layers, mistral_forward
+
+    dec = cfg.decoder
+    params = fuse_decoder_layers(_random_quantized_mistral(dec, jax.random.PRNGKey(0)))
+    embeds = jax.random.normal(jax.random.PRNGKey(3), (1, tokens, dec.hidden_size), jnp.bfloat16)
+    pos = jnp.broadcast_to(jnp.arange(tokens), (1, tokens))
+
+    @jax.jit
+    def prefill(params, embeds):
+        logits, _ = mistral_forward(params, embeds, dec, pos, return_kv=True)
+        return logits[:, -1]
+
+    y = prefill(params, embeds)
+    _sync(y)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = prefill(params, embeds)
+    _sync(y)
+    return {"prefill_640_ms": (time.perf_counter() - t0) / iters * 1e3}
+
+
 def bench_vision(cfg: VisZephyrConfig, iters: int = 16, warmup: int = 3, batch_images: int = 4) -> dict:
     """anyres images/sec/chip: on-device preprocess (resize/pad/tile/
     normalize) + ViT-L encode + fusion + Q-Former projection, bf16."""
@@ -180,6 +204,15 @@ def main():
         extras.update(bench_vision(cfg))
     except Exception as e:  # noqa: BLE001 — report partial results
         extras["vision_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    try:
+        extras.update(bench_prefill(cfg))
+        if "anyres_encode_ms_per_image" in extras:
+            extras["ttft_ms_estimate"] = round(
+                extras["anyres_encode_ms_per_image"] + extras["prefill_640_ms"], 1
+            )
+    except Exception as e:  # noqa: BLE001
+        extras["prefill_error"] = f"{type(e).__name__}: {e}"[:200]
 
     value = None
     try:
