@@ -1,0 +1,27 @@
+"""Int8 Q-Former inference quantization stays close to the bf16 path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vis_zephyr_tpu.config import ProjectorConfig
+from vis_zephyr_tpu.models.qformer import init_qformer, qformer_forward
+from vis_zephyr_tpu.ops.quant import quantize_qformer
+
+
+def test_quantized_qformer_close(rng):
+    cfg = ProjectorConfig(
+        num_queries=8, hidden_size=32, visual_hidden_size=48, num_blocks=2,
+        num_heads=4, ffn_dim=64,
+    )
+    params = init_qformer(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_qformer(params)
+    assert "kernel_q" in qparams["blocks"]["cross_attn"]["k"]
+    assert "bias" in qparams["blocks"]["cross_attn"]["k"]
+
+    visual = jnp.asarray(rng.standard_normal((2, 12, cfg.visual_hidden_size)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((2, 5, cfg.hidden_size)), jnp.float32)
+    ref = np.asarray(qformer_forward(params, visual, cfg, text_embeddings=text))
+    got = np.asarray(qformer_forward(qparams, visual, cfg, text_embeddings=text))
+    rel = np.abs(got - ref) / (np.abs(ref).max() + 1e-9)
+    assert rel.mean() < 0.02, rel.mean()

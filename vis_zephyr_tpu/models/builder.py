@@ -109,10 +109,13 @@ def load_pretrained_model(
                 f"{model_path}: neither a native checkpoint nor HF weights found"
             )
 
-    if load_8bit and "decoder" in params:
-        from ..ops.quant import quantize_decoder_layers
+    if load_8bit:
+        from ..ops.quant import quantize_decoder_layers, quantize_qformer
 
-        params["decoder"] = quantize_decoder_layers(params["decoder"])
+        if "decoder" in params:
+            params["decoder"] = quantize_decoder_layers(params["decoder"])
+        if "projector" in params:
+            params["projector"] = quantize_qformer(params["projector"])
 
     context_len = cfg.tokenizer_model_max_length
     return tokenizer, params, cfg, context_len

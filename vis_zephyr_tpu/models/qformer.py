@@ -40,7 +40,9 @@ def _layer_norm(x, p, eps):
 
 
 def _dense(x, p):
-    y = jnp.einsum("...d,df->...f", x, p["kernel"])
+    from ..ops.quant_matmul import qdot
+
+    y = qdot(x, p)  # raw or int8-quantized kernels (quant.quantize_qformer)
     if "bias" in p:
         y = y + p["bias"]
     return y

@@ -40,6 +40,30 @@ def maybe_dequant(p: Dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     return p["kernel"]
 
 
+def quantize_qformer(projector_params: Dict) -> Dict:
+    """Int8-quantize the Q-Former's dense kernels for inference (the
+    projector is ~1.7B params at full scale — the dominant share of the
+    vision-side weight bytes). LayerNorms, biases and the learned queries
+    stay in their original dtype."""
+    out = dict(projector_params)
+    blocks = dict(projector_params["blocks"])
+
+    def q(d):
+        rest = {k: v for k, v in d.items() if k != "kernel"}
+        rest.update(quantize_kernel(d["kernel"]))
+        return rest
+
+    for attn_name in ("self_attn", "cross_attn"):
+        attn = dict(blocks[attn_name])
+        for proj in ("q", "k", "v", "out"):
+            attn[proj] = q(attn[proj])
+        blocks[attn_name] = attn
+    blocks["fc1"] = q(blocks["fc1"])
+    blocks["fc2"] = q(blocks["fc2"])
+    out["blocks"] = blocks
+    return out
+
+
 def quantize_decoder_layers(decoder_params: Dict) -> Dict:
     """Quantize the per-layer attention/MLP kernels of a Mistral param tree
     (embed_tokens / lm_head / norms stay in their original dtype — they are
