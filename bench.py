@@ -106,17 +106,21 @@ def bench_decode(cfg: VisZephyrConfig, steps: int = 64, warmup: int = 8) -> dict
 
     out = {}
     # One lax.scan program per measurement (the tunneled dispatch overhead
-    # is ~25 ms/call; production decode loops are scan-shaped anyway).
+    # is ~25 ms/call; production decode loops are scan-shaped anyway). The
+    # warmup call uses the SAME static step count so the timed calls hit a
+    # fully compiled program.
+    reps = 3
     for tag, B in (("single", 1), ("batch8", 8)):
         cache = init_cache(dec, B, 2048, dtype=jnp.bfloat16)
         cache["length"] = jnp.full((B,), 512, jnp.int32)  # post-prefill state
         token = jnp.zeros((B,), jnp.int32)
-        cache, token = run(params, cache, token, warmup)
-        _sync(token)
-        t0 = time.perf_counter()
         cache, token = run(params, cache, token, steps)
         _sync(token)
-        dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            cache, token = run(params, cache, token, steps)
+        _sync(token)
+        dt = (time.perf_counter() - t0) / reps
         out[f"decode_tokens_per_sec_{tag}"] = steps * B / dt
         out[f"decode_ms_per_step_{tag}"] = dt / steps * 1e3
     return out
