@@ -153,6 +153,9 @@ def bench_prefill(cfg: VisZephyrConfig, tokens: int = 640, iters: int = 4) -> di
 def bench_vision(cfg: VisZephyrConfig, iters: int = 16, warmup: int = 3, batch_images: int = 4) -> dict:
     """anyres images/sec/chip: on-device preprocess (resize/pad/tile/
     normalize) + ViT-L encode + fusion + Q-Former projection, bf16."""
+    # bf16 throughput configuration: at batch 16 the projector is compute-
+    # bound, so int8 weight-only (the load_8bit serving option) would only
+    # add convert overhead here.
     key = jax.random.PRNGKey(1)
     vparams = init_clip_vit(cfg.vision, key, dtype=jnp.bfloat16)
     pparams = init_qformer(cfg.projector, jax.random.fold_in(key, 1), dtype=jnp.bfloat16)

@@ -167,13 +167,19 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
         seen_samples = 0
         step = start_step
         losses = []
+        from ..data.prefetch import PrefetchLoader
+
         for epoch in range(args.num_epochs):
             sampler.set_epoch(epoch)
             order = list(iter(sampler))
-            for start in range(0, len(order) - global_batch + 1, global_batch):
+            batch_indices = [
+                order[s : s + global_batch]
+                for s in range(0, len(order) - global_batch + 1, global_batch)
+            ]
+            loader = PrefetchLoader(dataset, collator, batch_indices, num_workers=4)
+            for batch in loader:
                 if step >= total_steps:
                     break
-                batch = collator([dataset[i] for i in order[start : start + global_batch]])
                 batch = shard_batch(
                     {k: jnp.asarray(v) for k, v in batch.items()}, mesh
                 )
