@@ -84,11 +84,12 @@ def mask_labels_zephyr(
     conv = conv or default_conversation
     labels = np.asarray(input_ids).copy()
 
-    pad_id = getattr(tokenizer, "pad_token_id", None)
-    if pad_id is None:
-        total_length = int(labels.shape[0])
-    else:
-        total_length = int(np.sum(labels != pad_id))
+    # Sequences reach this function unpadded (batch padding happens in the
+    # collator), so the true length is the array length. The reference
+    # instead counts `!= pad_token_id` (`train/train.py:434`) — but Zephyr
+    # sets pad == eos and "</s>" appears literally in the rendered text, so
+    # that count undercounts and can trip the mask-everything fallback.
+    total_length = int(labels.shape[0])
 
     system_header = "<|system|>\n"
     user_header = f"<|{conv.roles[0]}|>\n"

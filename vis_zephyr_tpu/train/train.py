@@ -83,18 +83,18 @@ class TrainArguments:
 
 def build_components(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None):
     """Construct (cfg, params, dataset, collator) for a run."""
-    cfg = cfg or VisZephyrConfig(
-        image_aspect_ratio=args.image_aspect_ratio,
-        mm_grid_pinpoints=args.mm_grid_pinpoints,
-        tokenizer_model_max_length=args.model_max_length,
-    )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    params = init_vis_zephyr(cfg, jax.random.PRNGKey(args.seed), dtype=dtype)
-
     if args.model_path:
         from ..models.builder import load_pretrained_model
 
         _, params, cfg, _ = load_pretrained_model(args.model_path, dtype=dtype)
+    else:
+        cfg = cfg or VisZephyrConfig(
+            image_aspect_ratio=args.image_aspect_ratio,
+            mm_grid_pinpoints=args.mm_grid_pinpoints,
+            tokenizer_model_max_length=args.model_max_length,
+        )
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(args.seed), dtype=dtype)
     if args.pretrain_mm_mlp_adapter:
         from .checkpoints import load_projector
 
@@ -231,11 +231,15 @@ def _append_benchmark(output_dir: str, row: dict) -> None:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Vis-Zephyr TPU trainer")
+    # Fields whose default is None still need a numeric caster.
+    optional_casters = {"max_steps": int, "mm_projector_lr": float}
     for field in dataclasses.fields(TrainArguments):
         name = "--" + field.name.replace("_", "-")
-        if field.type == "bool" or isinstance(field.default, bool):
+        if isinstance(field.default, bool):
             p.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
                            default=field.default)
+        elif field.name in optional_casters:
+            p.add_argument(name, type=optional_casters[field.name], default=field.default)
         else:
             caster = str
             if isinstance(field.default, int):
