@@ -156,6 +156,35 @@ def _reference(q, k, v, kv_valid, causal, scale):
     return dot_product_attention(q, k, v, mask=mask, scale=scale)
 
 
+def _reference_chunked(q, k, v, kv_valid, causal, scale, chunk: int = 256):
+    """Same math as `_reference`, computed per q-chunk under jax.checkpoint:
+    differentiating through it keeps peak memory at one chunk's score tile
+    (≈ B·H·chunk·S f32) instead of the full [T, S] matrix — this is what the
+    flash custom_vjp backward recomputes through."""
+    B, T, Hq, D = q.shape
+    S = k.shape[1]
+    chunk = min(chunk, T)
+    if T % chunk:
+        return _reference(q, k, v, kv_valid, causal, scale)
+
+    kv_positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+
+    @jax.checkpoint
+    def chunk_fn(q_chunk, offset):
+        positions = offset + jnp.broadcast_to(jnp.arange(chunk), (B, chunk))
+        mask = attention_mask(
+            positions, kv_positions, kv_valid=kv_valid.astype(bool), causal=causal,
+            sliding_window=None,
+        )
+        return dot_product_attention(q_chunk, k, v, mask=mask, scale=scale)
+
+    n = T // chunk
+    q_chunks = jnp.moveaxis(q.reshape(B, n, chunk, Hq, D), 1, 0)
+    offsets = jnp.arange(n) * chunk
+    out = jax.lax.map(lambda args: chunk_fn(*args), (q_chunks, offsets))
+    return jnp.moveaxis(out, 0, 1).reshape(B, T, Hq, D)
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
 )
@@ -175,7 +204,9 @@ def _flash_fwd(q, k, v, kv_valid, causal, scale, block_q, block_k):
 
 def _flash_bwd(causal, scale, block_q, block_k, residuals, g):
     q, k, v, kv_valid = residuals
-    _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, kv_valid, causal, scale), q, k, v)
+    _, vjp = jax.vjp(
+        lambda q, k, v: _reference_chunked(q, k, v, kv_valid, causal, scale), q, k, v
+    )
     dq, dk, dv = vjp(g)
     return dq, dk, dv, None
 
