@@ -81,6 +81,41 @@ class TestFlashAttention:
         for a, b in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
 
+    def test_gradients_with_padding_mask(self, rng):
+        q, k, v = make_qkv(rng, B=2, T=256)
+        kv_valid = np.ones((2, 256), bool)
+        kv_valid[0, 180:] = False
+        kv_valid[1, 64:] = False
+        kvj = jnp.asarray(kv_valid)
+
+        # Zero the upstream gradient at padded q rows (training masks them).
+        gmask = jnp.asarray(kv_valid)[:, :, None, None]
+
+        def loss_flash(q, k, v):
+            return (flash_attention(q, k, v, kv_valid=kvj, block_q=128, block_k=128) * gmask).sum()
+
+        def loss_ref(q, k, v):
+            return (reference(q, k, v, kv_valid=kvj) * gmask).sum()
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+    def test_gradients_gqa(self, rng):
+        q, k, v = make_qkv(rng, B=1, T=128, Hq=8, Hkv=2)
+
+        def loss_flash(q, k, v):
+            return (flash_attention(q, k, v, block_q=128, block_k=128) ** 2).sum()
+
+        def loss_ref(q, k, v):
+            return (reference(q, k, v) ** 2).sum()
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)
+
     def test_rejects_non_tiling_lengths(self, rng):
         q, k, v = make_qkv(rng, T=100)
         with pytest.raises(ValueError):

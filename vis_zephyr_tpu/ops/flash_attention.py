@@ -40,7 +40,7 @@ NEG_INF = -0.7 * float(np.finfo(np.float32).max)
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, kv_valid_ref, o_ref,
+    q_ref, k_ref, v_ref, kv_valid_ref, o_ref, l_ref, m_ref,
     m_scratch, l_scratch, acc_scratch,
     *, scale: float, causal: bool, block_q: int, block_k: int,
 ):
@@ -99,6 +99,10 @@ def _fwd_kernel(
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        # Softmax residuals for the backward kernels ([B, H, 1, T] layout —
+        # the middle singleton keeps blocks tile-legal for any B, H).
+        l_ref[0, 0, 0] = l_scratch[...][:, 0]
+        m_ref[0, 0, 0] = m_scratch[...][:, 0]
 
 
 @functools.partial(
@@ -119,7 +123,11 @@ def _flash_forward(
             _fwd_kernel,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, T, D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, 1, T), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, 1, T), jnp.float32),
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -129,7 +137,11 @@ def _flash_forward(
                 pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki: (b, h // group, ki, 0)),
                 pl.BlockSpec((1, 1, block_k), lambda b, h, qi, ki: (b, 0, ki)),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+            out_specs=(
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, 1, block_q), lambda b, h, qi, ki: (b, h, 0, qi)),
+                pl.BlockSpec((1, 1, 1, block_q), lambda b, h, qi, ki: (b, h, 0, qi)),
+            ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),
@@ -185,12 +197,203 @@ def _reference_chunked(q, k, v, kv_valid, causal, scale, chunk: int = 256):
     return jnp.moveaxis(out, 0, 1).reshape(B, T, Hq, D)
 
 
+def _bwd_dkv_kernel(
+    q_ref, do_ref, l_ref, m_ref, di_ref, k_ref, v_ref, kv_valid_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+):
+    """dK/dV for one KV tile, accumulated over Q tiles (innermost grid dim).
+    Gradients are per Q-HEAD ([B, Hq, S, D]); GQA group-summing happens
+    outside the kernel (a cheap XLA reduce), avoiding cross-cell races."""
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(3)
+    n_q = pl.num_programs(3)
+
+    @pl.when(q_idx == 0)
+    def _reset():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    run = True
+    if causal:
+        run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+
+    @pl.when(run)
+    def _tile():
+        q = q_ref[0, 0]                       # [bq, D]
+        k = k_ref[0, 0]                       # [bk, D]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        m = m_ref[0, 0, 0][:, None]           # [bq, 1]
+        l = l_ref[0, 0, 0][:, None]
+        di = di_ref[0, 0, 0][:, None]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        valid = kv_valid_ref[0, 0] > 0
+        mask = jnp.broadcast_to(valid.reshape(1, block_k), s.shape)
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_idx * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
+            mask &= cols <= rows
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        p = jnp.where(mask, jnp.exp(s - m), 0.0) * l_inv      # normalized probs
+
+        dv_acc[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di) * scale
+        dk_acc[...] += jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(q_idx == n_q - 1)
+    def _store():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, do_ref, l_ref, m_ref, di_ref, k_ref, v_ref, kv_valid_ref,
+    dq_ref, dq_acc,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+):
+    """dQ for one Q tile, accumulated over KV tiles (innermost grid dim)."""
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _reset():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    run = True
+    if causal:
+        run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+
+    @pl.when(run)
+    def _tile():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        m = m_ref[0, 0, 0][:, None]
+        l = l_ref[0, 0, 0][:, None]
+        di = di_ref[0, 0, 0][:, None]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        valid = kv_valid_ref[0, 0] > 0
+        mask = jnp.broadcast_to(valid.reshape(1, block_k), s.shape)
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_idx * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
+            mask &= cols <= rows
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        p = jnp.where(mask, jnp.exp(s - m), 0.0) * l_inv
+
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di) * scale
+        dq_acc[...] += jax.lax.dot(
+            ds, k.astype(jnp.float32), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k", "interpret")
+)
+def _flash_backward(q, k, v, kv_valid, o, l, m, do, causal, scale, block_q, block_k,
+                    interpret):
+    """[B, H, T, D]-layout backward. Returns (dq, dk_per_qhead, dv_per_qhead)."""
+    B, Hq, T, D = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)[:, :, None, :]
+
+    def in_specs(qi, ki):
+        # qi/ki pick which grid dims index the Q and KV tiles (the two
+        # backward kernels transpose the reduction order).
+        return [
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, qi(i, j), 0)),   # q
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, qi(i, j), 0)),   # do
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, qi(i, j))),   # l
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, qi(i, j))),   # m
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, qi(i, j))),   # di
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, ki(i, j), 0)),  # k
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, ki(i, j), 0)),  # v
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, ki(i, j))),          # kv_valid
+        ]
+
+    args = (q, do, l, m, di, k, v, kv_valid)
+
+    # dKV: grid (B, Hq, kv, q) — q innermost (reduction).
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
+                          block_q=block_q, block_k=block_k),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, S, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, S, D), q.dtype),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(B, Hq, pl.cdiv(S, block_k), pl.cdiv(T, block_q)),
+            in_specs=in_specs(qi=lambda i, j: j, ki=lambda i, j: i),
+            out_specs=(
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, i, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((block_k, D), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+    # dQ: grid (B, Hq, q, kv) — kv innermost (reduction).
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
+                          block_q=block_q, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, T, D), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(B, Hq, pl.cdiv(T, block_q), pl.cdiv(S, block_k)),
+            in_specs=in_specs(qi=lambda i, j: i, ki=lambda i, j: j),
+            out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
 )
 def _flash(q, k, v, kv_valid, causal, scale, block_q, block_k):
     interpret = jax.default_backend() == "cpu"
-    out = _flash_forward(
+    out, _, _ = _flash_forward(
         jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
         kv_valid.astype(jnp.int32)[:, None, :], causal, scale, block_q, block_k,
         interpret,
@@ -199,16 +402,36 @@ def _flash(q, k, v, kv_valid, causal, scale, block_q, block_k):
 
 
 def _flash_fwd(q, k, v, kv_valid, causal, scale, block_q, block_k):
-    return _flash(q, k, v, kv_valid, causal, scale, block_q, block_k), (q, k, v, kv_valid)
+    interpret = jax.default_backend() == "cpu"
+    o, l, m = _flash_forward(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        kv_valid.astype(jnp.int32)[:, None, :], causal, scale, block_q, block_k,
+        interpret,
+    )
+    return jnp.swapaxes(o, 1, 2), (q, k, v, kv_valid, o, l, m)
 
 
 def _flash_bwd(causal, scale, block_q, block_k, residuals, g):
-    q, k, v, kv_valid = residuals
-    _, vjp = jax.vjp(
-        lambda q, k, v: _reference_chunked(q, k, v, kv_valid, causal, scale), q, k, v
+    q, k, v, kv_valid, o, l, m = residuals
+    interpret = jax.default_backend() == "cpu"
+    Hq = q.shape[2]
+    Hkv = k.shape[2]
+    dq, dk_q, dv_q = _flash_backward(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        kv_valid.astype(jnp.int32)[:, None, :], o, l, m,
+        jnp.swapaxes(g, 1, 2), causal, scale, block_q, block_k, interpret,
     )
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    # GQA: sum the per-q-head dK/dV over each group.
+    B, _, S, D = dk_q.shape
+    group = Hq // Hkv
+    dk = dk_q.reshape(B, Hkv, group, S, D).sum(axis=2)
+    dv = dv_q.reshape(B, Hkv, group, S, D).sum(axis=2)
+    return (
+        jnp.swapaxes(dq, 1, 2).astype(q.dtype),
+        jnp.swapaxes(dk, 1, 2).astype(k.dtype),
+        jnp.swapaxes(dv, 1, 2).astype(v.dtype),
+        None,
+    )
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
