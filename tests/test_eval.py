@@ -72,6 +72,53 @@ def test_eval_vqa_end_to_end(tmp_path, mock_tokenizer):
     assert "Answer with the option's letter" in rec["prompt"]
 
 
+def test_eval_mmbench_end_to_end(tmp_path, mock_tokenizer, rng):
+    import base64
+    import csv
+    import io
+
+    import jax
+    from PIL import Image
+
+    from vis_zephyr_tpu.config import tiny_config
+    from vis_zephyr_tpu.eval.eval_mmbench import build_parser, eval_model
+    from vis_zephyr_tpu.models.vis_zephyr import init_vis_zephyr
+
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, (70, 100, 3), np.uint8).astype(np.uint8)).save(
+        buf, format="PNG"
+    )
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    tsv = tmp_path / "mmbench.tsv"
+    with open(tsv, "w", newline="") as f:
+        w = csv.DictWriter(
+            f, fieldnames=["index", "question", "hint", "A", "B", "C", "D", "answer", "image"],
+            delimiter="\t",
+        )
+        w.writeheader()
+        w.writerow({"index": 0, "question": "What color?", "hint": "Look closely",
+                    "A": "red", "B": "blue", "C": "green", "D": "grey",
+                    "answer": "B", "image": b64})
+        w.writerow({"index": 1, "question": "How many?", "hint": "",
+                    "A": "one", "B": "two", "C": "three", "D": "four",
+                    "answer": "A", "image": b64})
+
+    cfg = tiny_config(vocab_size=50000)
+    params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+    answers = tmp_path / "mmbench_answers.jsonl"
+    args = build_parser().parse_args(
+        ["--question-file", str(tsv), "--answers-file", str(answers),
+         "--batch-size", "2", "--max-new-tokens", "4"]
+    )
+    correct, with_gold, total = eval_model(args, params=params, cfg=cfg, tokenizer=mock_tokenizer)
+    assert total == 2 and with_gold == 2
+    lines = [json.loads(l) for l in answers.read_text().splitlines()]
+    assert len(lines) == 2
+    assert all(r["extracted_answer"] in "ABCD" for r in lines)
+    assert "Look closely" in lines[0]["prompt"]
+
+
 def test_mmbench_prompt_assembly():
     from vis_zephyr_tpu.eval.eval_mmbench import build_prompt
 
