@@ -83,7 +83,7 @@ def _random_quantized_mistral(dec, key):
 def bench_decode(cfg: VisZephyrConfig, steps: int = 64, warmup: int = 8) -> dict:
     """Decode tokens/sec on the full 7B decoder (int8 weights, inference-
     fused qkv/gate_up layout): single-stream latency AND continuous-batching
-    aggregate throughput (B=8 slots sharing one step — the production
+    aggregate throughput (B=16 slots sharing one step — the production
     serving configuration, serve/batching.py)."""
     from vis_zephyr_tpu.models.mistral import fuse_decoder_layers
 
@@ -110,7 +110,7 @@ def bench_decode(cfg: VisZephyrConfig, steps: int = 64, warmup: int = 8) -> dict
     # warmup call uses the SAME static step count so the timed calls hit a
     # fully compiled program.
     reps = 3
-    for tag, B in (("single", 1), ("batch8", 8)):
+    for tag, B in (("single", 1), ("batch16", 16)):
         cache = init_cache(dec, B, 2048, dtype=jnp.bfloat16)
         cache["length"] = jnp.full((B,), 512, jnp.int32)  # post-prefill state
         token = jnp.zeros((B,), jnp.int32)
@@ -225,13 +225,13 @@ def main():
     try:
         d = bench_decode(cfg)
         extras.update(d)
-        value = d["decode_tokens_per_sec_batch8"]
+        value = d["decode_tokens_per_sec_batch16"]
     except Exception as e:  # noqa: BLE001
         extras["decode_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if value is not None:
         result = {
-            "metric": "zephyr7b_decode_tokens_per_sec_per_chip_batch8",
+            "metric": "zephyr7b_decode_tokens_per_sec_per_chip_batch16",
             "value": round(value, 2),
             "unit": "tokens/s",
             "vs_baseline": round(value / A100_REFERENCE_DECODE_TOKS, 3),

@@ -61,6 +61,38 @@ class TestChatEngine:
         assert "<image>" not in conv.messages[2][1]
 
 
+class TestBatchedEngine:
+    def test_concurrent_sessions_share_decode(self, mock_tokenizer_module, image):
+        import threading
+
+        cfg = tiny_config(vocab_size=50000)
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        engine = ChatEngine(
+            params, cfg, mock_tokenizer_module, max_new_tokens=4,
+            continuous_batching=True, max_slots=4, cache_len=256,
+        )
+        serial = ChatEngine(params, cfg, mock_tokenizer_module, max_new_tokens=4)
+
+        results = {}
+
+        def worker(sid, question):
+            results[sid] = engine.chat_text(sid, question, pil_image=image)
+
+        threads = [
+            threading.Thread(target=worker, args=(f"c{i}", f"question number w{i}"))
+            for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert set(results) == {"c0", "c1", "c2"}
+        # Batched replies must match the serial engine exactly (greedy).
+        for i in range(3):
+            expect = serial.chat_text(f"s{i}", f"question number w{i}", pil_image=image)
+            assert results[f"c{i}"] == expect, (i, results[f"c{i}"], expect)
+
+
 class TestHttpServer:
     def test_chat_endpoint_streams(self, engine, image):
         server = serve(engine, host="127.0.0.1", port=0)

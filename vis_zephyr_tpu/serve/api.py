@@ -148,6 +148,8 @@ def main(args=None):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--load-8bit", action="store_true")
+    p.add_argument("--continuous-batching", action="store_true")
+    p.add_argument("--max-slots", type=int, default=8)
     a = p.parse_args(args)
 
     tokenizer, params, cfg, _ = load_pretrained_model(
@@ -155,7 +157,9 @@ def main(args=None):
         load_8bit=a.load_8bit, dtype=jnp.bfloat16,
     )
     engine = ChatEngine(
-        params, cfg, tokenizer, temperature=a.temperature, max_new_tokens=a.max_new_tokens
+        params, cfg, tokenizer, temperature=a.temperature,
+        max_new_tokens=a.max_new_tokens,
+        continuous_batching=a.continuous_batching, max_slots=a.max_slots,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

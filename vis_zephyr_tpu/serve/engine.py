@@ -37,6 +37,9 @@ class ChatEngine:
         conv_mode: str = "zephyr_v1",
         temperature: float = 0.0,
         max_new_tokens: int = 512,
+        continuous_batching: bool = False,
+        max_slots: int = 8,
+        cache_len: int = 2048,
     ):
         self.params = params
         self.cfg = cfg
@@ -49,6 +52,38 @@ class ChatEngine:
         )
         self.sessions: Dict[str, Dict] = {}
         self._lock = threading.Lock()
+
+        # Optional continuous batching: concurrent requests share decode
+        # steps instead of serializing on the lock.
+        self.batcher = None
+        self._pump = None
+        if continuous_batching:
+            from .batching import ContinuousBatcher
+
+            self.batcher = ContinuousBatcher(
+                params, cfg, max_slots=max_slots, cache_len=cache_len,
+                sampling=self.sampling,
+            )
+
+    def _ensure_pump(self) -> None:
+        """Background thread advancing the batcher while work exists."""
+        if self._pump is not None and self._pump.is_alive():
+            return
+
+        def pump():
+            import time
+
+            idle = 0
+            while idle < 2000:  # exit after ~2s of no work
+                if self.batcher.has_work:
+                    idle = 0
+                    self.batcher.step()
+                else:
+                    idle += 1
+                    time.sleep(0.001)
+
+        self._pump = threading.Thread(target=pump, daemon=True)
+        self._pump.start()
 
     # -- session management -------------------------------------------------
 
@@ -108,7 +143,17 @@ class ChatEngine:
 
         produced: list[int] = []
         emitted_text = ""
-        with self._lock:
+        if self.batcher is not None:
+            images = sess["images"]
+            handle = self.batcher.submit(
+                np.asarray(input_ids[0]),
+                None if images is None else np.asarray(images[0]),
+                None if images is None else np.asarray(sess["patch_valid"][0]),
+            )
+            self._ensure_pump()
+            stream = self.batcher.stream(handle)
+        else:
+            self._lock.acquire()
             stream = generate_stream(
                 self.params,
                 input_ids,
@@ -117,6 +162,7 @@ class ChatEngine:
                 self.cfg,
                 self.sampling,
             )
+        try:
             for tok in stream:
                 produced.append(tok)
                 text = self.tokenizer.decode(produced, skip_special_tokens=True)
@@ -125,6 +171,9 @@ class ChatEngine:
                 if delta:
                     emitted_text = text
                     yield delta
+        finally:
+            if self.batcher is None:
+                self._lock.release()
 
         conv.messages[-1][1] = emitted_text
 
