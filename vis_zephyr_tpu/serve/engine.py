@@ -57,6 +57,7 @@ class ChatEngine:
         # steps instead of serializing on the lock.
         self.batcher = None
         self._pump = None
+        self._pump_lock = threading.Lock()
         if continuous_batching:
             from .batching import ContinuousBatcher
 
@@ -66,24 +67,28 @@ class ChatEngine:
             )
 
     def _ensure_pump(self) -> None:
-        """Background thread advancing the batcher while work exists."""
-        if self._pump is not None and self._pump.is_alive():
-            return
+        """Background thread advancing the batcher while work exists.
+        Exactly ONE pump may run: the batcher donates its cache buffers to
+        the jitted step, so concurrent step() calls would re-use freed
+        device buffers."""
+        with self._pump_lock:
+            if self._pump is not None and self._pump.is_alive():
+                return
 
-        def pump():
-            import time
+            def pump():
+                import time
 
-            idle = 0
-            while idle < 2000:  # exit after ~2s of no work
-                if self.batcher.has_work:
-                    idle = 0
-                    self.batcher.step()
-                else:
-                    idle += 1
-                    time.sleep(0.001)
+                idle = 0
+                while idle < 2000:  # exit after ~2s of no work
+                    if self.batcher.has_work:
+                        idle = 0
+                        self.batcher.step()
+                    else:
+                        idle += 1
+                        time.sleep(0.001)
 
-        self._pump = threading.Thread(target=pump, daemon=True)
-        self._pump.start()
+            self._pump = threading.Thread(target=pump, daemon=True)
+            self._pump.start()
 
     # -- session management -------------------------------------------------
 
