@@ -16,7 +16,6 @@ Three conversation builders:
 from __future__ import annotations
 
 import json
-import os
 import random
 from typing import Dict, List, Optional, Sequence, Tuple
 

@@ -23,9 +23,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..config import VisZephyrConfig
-from ..constants import IMAGE_TOKEN_INDEX
 from ..conversation import templates
-from ..data import anyres
 from ..data.image_pipeline import anyres_preprocess_host
 from ..data.tokenization import tokenize_with_images
 from ..data.vip import visual_prompt_process

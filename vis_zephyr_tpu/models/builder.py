@@ -19,7 +19,6 @@ subsumed by `data.image_pipeline` (CLIP constants live there).
 from __future__ import annotations
 
 import glob
-import json
 import os
 from typing import Dict, Optional, Tuple
 

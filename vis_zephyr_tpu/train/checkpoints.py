@@ -20,7 +20,6 @@ import re
 from typing import Dict, Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

@@ -12,7 +12,6 @@ Reference equivalents: the HF Trainer loop + DeepSpeed step driven from
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax
