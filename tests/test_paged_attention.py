@@ -1,0 +1,56 @@
+"""Paged-attention decode kernel vs a dense-gather oracle (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vis_zephyr_tpu.ops.paged_attention import paged_attention, paged_attention_reference
+
+
+def make_case(rng, B=3, Hq=8, Hkv=2, D=64, page_size=16, pages_per_seq=4, num_pages=32):
+    lengths = np.asarray([rng.integers(1, pages_per_seq * page_size + 1) for _ in range(B)])
+    # Unique random page assignment per sequence slot.
+    table = rng.permutation(num_pages)[: B * pages_per_seq].reshape(B, pages_per_seq)
+    q = rng.standard_normal((B, Hq, D)).astype(np.float32)
+    k_pages = rng.standard_normal((num_pages, page_size, Hkv, D)).astype(np.float32)
+    v_pages = rng.standard_normal((num_pages, page_size, Hkv, D)).astype(np.float32)
+    return (
+        jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+        jnp.asarray(table, jnp.int32), jnp.asarray(lengths, jnp.int32),
+    )
+
+
+class TestPagedAttention:
+    def test_matches_dense_oracle(self, rng):
+        q, kp, vp, table, lengths = make_case(rng)
+        got = paged_attention(q, kp, vp, table, lengths)
+        ref = paged_attention_reference(q, kp, vp, table, lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_short_sequences_skip_pages(self, rng):
+        # length=1: only the first slot of the first page attends.
+        q, kp, vp, table, _ = make_case(rng, B=2)
+        lengths = jnp.asarray([1, 5], jnp.int32)
+        got = paged_attention(q, kp, vp, table, lengths)
+        ref = paged_attention_reference(q, kp, vp, table, lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_page_table_indirection_matters(self, rng):
+        """Shuffling the page table must change outputs accordingly."""
+        q, kp, vp, table, lengths = make_case(rng, B=1, pages_per_seq=3)
+        got = paged_attention(q, kp, vp, table, lengths)
+        shuffled = table[:, ::-1]
+        got2 = paged_attention(q, kp, vp, shuffled, lengths)
+        ref2 = paged_attention_reference(q, kp, vp, shuffled, lengths)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), rtol=2e-5, atol=2e-5)
+        assert not np.allclose(np.asarray(got), np.asarray(got2))
+
+    def test_mqa_and_gqa_groupings(self, rng):
+        for Hq, Hkv in ((4, 4), (8, 1)):
+            q, kp, vp, table, lengths = make_case(rng, Hq=Hq, Hkv=Hkv)
+            got = paged_attention(q, kp, vp, table, lengths)
+            ref = paged_attention_reference(q, kp, vp, table, lengths)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+            )

@@ -1,0 +1,161 @@
+"""Pallas TPU paged-attention decode kernel.
+
+Single-query attention over a KV cache stored as fixed-size pages in
+global pools, addressed through per-sequence page tables — the memory
+model that lifts the dense-cache slot ceiling in the continuous batcher
+(dense [slots, max_len] caches OOM a v5e chip at ~32 slots × 2048; paged
+pools allocate only what sequences actually use).
+
+Layout:
+  k_pages / v_pages: [num_pages, page_size, Hkv, D]   (global pools)
+  page_table:        [B, pages_per_seq] int32         (pool indices)
+  lengths:           [B] int32                        (tokens per sequence)
+  q:                 [B, Hq, D] (one decode step)     → out [B, Hq, D]
+
+The kernel runs one (batch row, kv head) pair per grid cell and walks that
+sequence's pages sequentially with online softmax; the page table rides the
+scalar-prefetch channel so each page's DMA address is known before the body
+runs (the standard TPU paged-attention structure). Pages past `lengths[b]`
+are skipped entirely.
+
+GQA: the q heads of a group ([G, D] per kv head) are processed together —
+scores are [G, page_size] tiles on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import attention_mask, dot_product_attention
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _kernel(
+    # scalar prefetch
+    page_table_ref, lengths_ref,
+    # blocks
+    q_ref, k_page_ref, v_page_ref,
+    o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, page_size: int, scale: float,
+):
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+
+    @pl.when(p == 0)
+    def _reset():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    length = lengths_ref[b]
+
+    @pl.when(p * page_size < length)
+    def _page():
+        q = q_ref[0, 0]                                   # [G, D]
+        k = k_page_ref[0, :, 0, :]                        # [page_size, D]
+        v = v_page_ref[0, :, 0, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                          # [G, page_size]
+
+        slot = p * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = slot < length
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev, l_prev = m_scratch[...], l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_next)
+        pexp = jnp.where(mask, jnp.exp(s - m_next[:, :1]), 0.0)
+        l_scratch[...] = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+        acc_scratch[...] *= alpha[:, :1]
+        acc_scratch[...] += jax.lax.dot(
+            pexp.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(p == n_pages - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_attention(
+    q: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,
+    lengths: jnp.ndarray,
+    scale=None,
+    interpret=None,
+) -> jnp.ndarray:
+    """q [B, Hq, D] against paged KV. Returns [B, Hq, D]."""
+    B, Hq, D = q.shape
+    _, page_size, Hkv, _ = k_pages.shape
+    pages_per_seq = page_table.shape[1]
+    group = Hq // Hkv
+    scale = D ** -0.5 if scale is None else scale
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    # [B, Hkv, G, D] grouped query layout.
+    qg = q.reshape(B, Hkv, group, D)
+
+    grid = (B, Hkv, pages_per_seq)
+    out = pl.pallas_call(
+        functools.partial(_kernel, page_size=page_size, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, group, D), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # page_table, lengths
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, group, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
+                # One KV page per step, addressed through the page table.
+                pl.BlockSpec(
+                    (1, page_size, 1, D),
+                    lambda b, h, p, pt, ln: (pt[b, p], 0, h, 0),
+                ),
+                pl.BlockSpec(
+                    (1, page_size, 1, D),
+                    lambda b, h, p, pt, ln: (pt[b, p], 0, h, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec((1, 1, group, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((group, 128), jnp.float32),
+                pltpu.VMEM((group, 128), jnp.float32),
+                pltpu.VMEM((group, D), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(page_table, lengths, qg, k_pages, v_pages)
+    return out.reshape(B, Hq, D)
+
+
+def paged_attention_reference(q, k_pages, v_pages, page_table, lengths):
+    """XLA oracle: gather pages into dense KV, run masked attention."""
+    B, Hq, D = q.shape
+    _, page_size, Hkv, _ = k_pages.shape
+    pages_per_seq = page_table.shape[1]
+    S = pages_per_seq * page_size
+
+    k = k_pages[page_table].reshape(B, S, Hkv, D)
+    v = v_pages[page_table].reshape(B, S, Hkv, D)
+    q_pos = (lengths - 1)[:, None]
+    kv_pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    mask = attention_mask(q_pos, kv_pos, kv_valid=kv_pos < lengths[:, None], causal=True)
+    out = dot_product_attention(q[:, None], k, v, mask=mask)
+    return out[:, 0]
