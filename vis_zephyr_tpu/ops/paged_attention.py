@@ -7,7 +7,8 @@ model that lifts the dense-cache slot ceiling in the continuous batcher
 pools allocate only what sequences actually use).
 
 Layout:
-  k_pages / v_pages: [num_pages, page_size, Hkv, D]   (global pools)
+  k_pages / v_pages: [num_pages, Hkv, page_size, D]   (global pools; head
+                     before page_size keeps pallas blocks tile-legal)
   page_table:        [B, pages_per_seq] int32         (pool indices)
   lengths:           [B] int32                        (tokens per sequence)
   q:                 [B, Hq, D] (one decode step)     → out [B, Hq, D]
@@ -60,8 +61,8 @@ def _kernel(
     @pl.when(p * page_size < length)
     def _page():
         q = q_ref[0, 0]                                   # [G, D]
-        k = k_page_ref[0, :, 0, :]                        # [page_size, D]
-        v = v_page_ref[0, :, 0, :]
+        k = k_page_ref[0, 0]                              # [page_size, D]
+        v = v_page_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                          # [G, page_size]
@@ -101,7 +102,7 @@ def paged_attention(
 ) -> jnp.ndarray:
     """q [B, Hq, D] against paged KV. Returns [B, Hq, D]."""
     B, Hq, D = q.shape
-    _, page_size, Hkv, _ = k_pages.shape
+    _, Hkv, page_size, _ = k_pages.shape
     pages_per_seq = page_table.shape[1]
     group = Hq // Hkv
     scale = D ** -0.5 if scale is None else scale
@@ -122,12 +123,12 @@ def paged_attention(
                 pl.BlockSpec((1, 1, group, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
                 # One KV page per step, addressed through the page table.
                 pl.BlockSpec(
-                    (1, page_size, 1, D),
-                    lambda b, h, p, pt, ln: (pt[b, p], 0, h, 0),
+                    (1, 1, page_size, D),
+                    lambda b, h, p, pt, ln: (pt[b, p], h, 0, 0),
                 ),
                 pl.BlockSpec(
-                    (1, page_size, 1, D),
-                    lambda b, h, p, pt, ln: (pt[b, p], 0, h, 0),
+                    (1, 1, page_size, D),
+                    lambda b, h, p, pt, ln: (pt[b, p], h, 0, 0),
                 ),
             ],
             out_specs=pl.BlockSpec((1, 1, group, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
@@ -148,12 +149,13 @@ def paged_attention(
 def paged_attention_reference(q, k_pages, v_pages, page_table, lengths):
     """XLA oracle: gather pages into dense KV, run masked attention."""
     B, Hq, D = q.shape
-    _, page_size, Hkv, _ = k_pages.shape
+    _, Hkv, page_size, _ = k_pages.shape
     pages_per_seq = page_table.shape[1]
     S = pages_per_seq * page_size
 
-    k = k_pages[page_table].reshape(B, S, Hkv, D)
-    v = v_pages[page_table].reshape(B, S, Hkv, D)
+    # [B, pages, Hkv, page_size, D] → [B, S, Hkv, D]
+    k = jnp.moveaxis(k_pages[page_table], 2, 3).reshape(B, S, Hkv, D)
+    v = jnp.moveaxis(v_pages[page_table], 2, 3).reshape(B, S, Hkv, D)
     q_pos = (lengths - 1)[:, None]
     kv_pos = jnp.broadcast_to(jnp.arange(S), (B, S))
     mask = attention_mask(q_pos, kv_pos, kv_valid=kv_pos < lengths[:, None], causal=True)
