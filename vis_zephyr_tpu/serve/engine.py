@@ -45,10 +45,13 @@ class ChatEngine:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.conv_mode = conv_mode
+        # Prefer the tokenizer's EOS id (custom tokenizers may disagree with
+        # the model config; for Zephyr both are 2).
+        eos = getattr(tokenizer, "eos_token_id", None)
         self.sampling = SamplingConfig(
             max_new_tokens=max_new_tokens,
             temperature=temperature,
-            eos_token_id=cfg.decoder.eos_token_id,
+            eos_token_id=cfg.decoder.eos_token_id if eos is None else int(eos),
         )
         self.sessions: Dict[str, Dict] = {}
         self._lock = threading.Lock()
