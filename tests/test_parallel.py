@@ -67,6 +67,28 @@ class TestShardingSpecs:
         mesh = create_mesh(data=2, fsdp=4, model=1)
         assert batch_spec(mesh) == P(("data", "fsdp"))
 
+    def test_projector_and_vision_rules(self, setup):
+        cfg, params = setup
+        mesh = create_mesh(data=1, fsdp=2, model=4)
+        specs = param_specs(params, mesh)
+        assert specs["projector"]["blocks"]["cross_attn"]["k"]["kernel"] == P(None, "fsdp", "model")
+        assert specs["projector"]["blocks"]["fc2"]["kernel"] == P(None, "model", "fsdp")
+        assert specs["projector"]["queries"] == P(None, None)
+        assert specs["vision"]["layers"]["fc1"]["kernel"] == P(None, "fsdp", "model")
+        # Norm scales replicate.
+        assert specs["decoder"]["layers"]["input_ln"]["scale"] == P(None, None)
+
+    def test_quantized_fused_kernels_get_specs(self, setup):
+        from vis_zephyr_tpu.models.mistral import fuse_decoder_layers
+        from vis_zephyr_tpu.ops.quant import quantize_decoder_layers
+
+        cfg, params = setup
+        mesh = create_mesh(data=1, fsdp=2, model=4)
+        qp = {"decoder": fuse_decoder_layers(quantize_decoder_layers(params["decoder"]))}
+        specs = param_specs(qp, mesh)
+        assert specs["decoder"]["layers"]["attn"]["qkv"]["kernel_q"] == P(None, "fsdp", "model")
+        assert specs["decoder"]["layers"]["mlp"]["gate_up"]["kernel_q"] == P(None, "fsdp", "model")
+
 
 @requires_8
 class TestDistributedTrainStep:
