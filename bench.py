@@ -23,6 +23,9 @@ import time
 os.environ.setdefault("JAX_PLATFORMS", "")  # let the axon TPU plugin win
 
 import jax
+
+if os.environ.get("VZT_BENCH_PLATFORM"):  # harness smoke tests (e.g. "cpu")
+    jax.config.update("jax_platforms", os.environ["VZT_BENCH_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,7 +83,8 @@ def _random_quantized_mistral(dec, key):
     }
 
 
-def bench_decode(cfg: VisZephyrConfig, steps: int = 64, warmup: int = 8) -> dict:
+def bench_decode(cfg: VisZephyrConfig, steps: int = 64, warmup: int = 8,
+                 batch_slots: int = 16) -> dict:
     """Decode tokens/sec on the full 7B decoder (int8 weights, inference-
     fused qkv/gate_up layout): single-stream latency AND continuous-batching
     aggregate throughput (B=16 slots sharing one step — the production
@@ -110,7 +114,7 @@ def bench_decode(cfg: VisZephyrConfig, steps: int = 64, warmup: int = 8) -> dict
     # warmup call uses the SAME static step count so the timed calls hit a
     # fully compiled program.
     reps = 3
-    for tag, B in (("single", 1), ("batch16", 16)):
+    for tag, B in (("single", 1), (f"batch{batch_slots}", batch_slots)):
         cache = init_cache(dec, B, 2048, dtype=jnp.bfloat16)
         cache["length"] = jnp.full((B,), 512, jnp.int32)  # post-prefill state
         token = jnp.zeros((B,), jnp.int32)
@@ -160,9 +164,10 @@ def bench_vision(cfg: VisZephyrConfig, iters: int = 16, warmup: int = 3, batch_i
     vparams = init_clip_vit(cfg.vision, key, dtype=jnp.bfloat16)
     pparams = init_qformer(cfg.projector, jax.random.fold_in(key, 1), dtype=jnp.bfloat16)
 
-    P = 4  # 1 global + 3 tiles (1008×336-class pinpoint)
+    P = 4  # 1 global + 3 tiles (1008×336-class pinpoint, scaled to cfg size)
+    S = cfg.vision.image_size
     raw = jnp.asarray(
-        np.random.default_rng(0).integers(0, 256, (batch_images, 1008, 336, 3), np.uint8)
+        np.random.default_rng(0).integers(0, 256, (batch_images, 3 * S, S, 3), np.uint8)
     )
     cond_len = 64
     cond = jax.random.normal(
@@ -174,8 +179,8 @@ def bench_vision(cfg: VisZephyrConfig, iters: int = 16, warmup: int = 3, batch_i
     def encode(vparams, pparams, raw, cond):
         def prep(img):
             px, valid = anyres_preprocess(
-                img, target_size=cfg.vision.image_size, best_fit=(336, 1008),
-                patch_size=336, max_patches=P,
+                img, target_size=S, best_fit=(S, 3 * S),
+                patch_size=S, max_patches=P,
             )
             return px, valid
 
@@ -202,36 +207,97 @@ def bench_vision(cfg: VisZephyrConfig, iters: int = 16, warmup: int = 3, batch_i
     }
 
 
+def _bench_config() -> VisZephyrConfig:
+    if os.environ.get("VZT_BENCH_PRESET") == "tiny":  # harness smoke tests
+        from vis_zephyr_tpu.config import tiny_config
+
+        return tiny_config()
+    return VisZephyrConfig()
+
+
+def run_phase(phase: str, decode_slots: int = 16) -> None:
+    """Run one bench phase and print its results dict as the last stdout
+    line (consumed by the parent orchestrator)."""
+    cfg = _bench_config()
+    if phase == "vision":
+        out = bench_vision(cfg)
+    elif phase == "prefill":
+        out = bench_prefill(cfg)
+    elif phase == "decode":
+        out = bench_decode(cfg, batch_slots=decode_slots)
+        out["decode_slots"] = decode_slots
+    else:
+        raise ValueError(f"unknown phase {phase!r}")
+    print(json.dumps(out))
+
+
+# Phase plan: (phase, kwargs-attempts). Each attempt runs in its OWN
+# subprocess — a fresh backend per phase guarantees HBM from a previous
+# phase (or a transiently busy chip) can't poison the next one, and a
+# crashed phase can't take the harness down. On failure we back off and
+# retry; decode additionally falls back to fewer slots, keeping a real
+# headline number even under memory pressure (round-1 lesson: a transient
+# RESOURCE_EXHAUSTED zeroed the whole round).
+_RETRY_BACKOFF_S = (45, 90)
+
+
+def _run_phase_subprocess(phase: str, slots: int | None = None) -> dict | None:
+    import subprocess
+    import sys
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--phase", phase]
+    if slots is not None:
+        cmd += ["--decode-slots", str(slots)]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return {"_error": f"{phase}: timeout"}
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or "")[-400:]
+        return {"_error": f"{phase}: rc={proc.returncode}: {tail}"}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return {"_error": f"{phase}: no JSON in output"}
+
+
+def _phase_with_retries(phase: str, attempts: list) -> dict:
+    """attempts: list of slots values (None for non-decode phases)."""
+    last_err = None
+    for i, slots in enumerate(attempts):
+        if i > 0:
+            time.sleep(_RETRY_BACKOFF_S[min(i - 1, len(_RETRY_BACKOFF_S) - 1)])
+        out = _run_phase_subprocess(phase, slots)
+        if out is not None and "_error" not in out:
+            return out
+        last_err = (out or {}).get("_error", f"{phase}: unknown failure")
+    return {f"{phase}_error": str(last_err)[:300]}
+
+
 def main():
-    cfg = VisZephyrConfig()
-    extras = {}
-    extras["device"] = str(jax.devices()[0])
+    extras = {"device": str(jax.devices()[0])}
 
-    try:
-        extras.update(bench_vision(cfg))
-    except Exception as e:  # noqa: BLE001 — report partial results
-        extras["vision_error"] = f"{type(e).__name__}: {e}"[:200]
+    extras.update(_phase_with_retries("vision", [None, None]))
+    extras.update(_phase_with_retries("prefill", [None, None]))
+    if "anyres_encode_ms_per_image" in extras and "prefill_640_ms" in extras:
+        extras["ttft_ms_estimate"] = round(
+            extras["anyres_encode_ms_per_image"] + extras["prefill_640_ms"], 1
+        )
+    # decode: retry at 16 slots, then degrade to 8 rather than report zero.
+    extras.update(_phase_with_retries("decode", [16, 16, 8]))
 
-    try:
-        extras.update(bench_prefill(cfg))
-        if "anyres_encode_ms_per_image" in extras:
-            extras["ttft_ms_estimate"] = round(
-                extras["anyres_encode_ms_per_image"] + extras["prefill_640_ms"], 1
-            )
-    except Exception as e:  # noqa: BLE001
-        extras["prefill_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    value = None
-    try:
-        d = bench_decode(cfg)
-        extras.update(d)
-        value = d["decode_tokens_per_sec_batch16"]
-    except Exception as e:  # noqa: BLE001
-        extras["decode_error"] = f"{type(e).__name__}: {e}"[:200]
-
+    slots = extras.get("decode_slots")
+    value = extras.get(f"decode_tokens_per_sec_batch{slots}") if slots else None
     if value is not None:
         result = {
-            "metric": "zephyr7b_decode_tokens_per_sec_per_chip_batch16",
+            "metric": f"zephyr7b_decode_tokens_per_sec_per_chip_batch{slots}",
             "value": round(value, 2),
             "unit": "tokens/s",
             "vs_baseline": round(value / A100_REFERENCE_DECODE_TOKS, 3),
@@ -249,4 +315,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["vision", "prefill", "decode"])
+    ap.add_argument("--decode-slots", type=int, default=16)
+    cli = ap.parse_args()
+    if cli.phase:
+        run_phase(cli.phase, decode_slots=cli.decode_slots)
+    else:
+        main()

@@ -20,3 +20,15 @@ SURVEY.md for the inventory; reference citations in docstrings are
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# First-class platform selection for every CLI surface (train/serve/eval/
+# bench): VZT_PLATFORM=cpu|tpu|... wins over any sitecustomize that
+# force-registers a backend via jax.config AFTER env vars are read (the
+# jax.config.update below outranks both the env var and the hook as long as
+# it runs before backend instantiation — package import time qualifies).
+if _os.environ.get("VZT_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["VZT_PLATFORM"])

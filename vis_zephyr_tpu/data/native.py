@@ -27,6 +27,17 @@ _lib = None
 _build_attempted = False
 
 
+def _stale() -> bool:
+    """True when the library is missing or older than its source (a stale
+    binary must never silently shadow edits to vzt_image.cpp)."""
+    src = os.path.join(_NATIVE_DIR, "vzt_image.cpp")
+    if not os.path.exists(_LIB_PATH):
+        return True
+    if not os.path.exists(src):
+        return False
+    return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+
+
 def _try_build() -> None:
     global _build_attempted
     if _build_attempted:
@@ -49,7 +60,7 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if _stale():
         _try_build()
     if not os.path.exists(_LIB_PATH):
         return None

@@ -13,11 +13,11 @@ Features for this model family:
   array with its own BlockSpec,
 - fully-masked query rows produce zeros (not NaN).
 
-`flash_attention` is differentiable: forward runs the kernel; backward
-recomputes attention with the XLA reference op (exact same math) and
-differentiates through it — no residual-stats kernels yet, so backward
-memory matches plain XLA attention. Hot-path training still gains the
-forward-kernel speed; dedicated dKV/dQ kernels are a later optimization.
+`flash_attention` is differentiable end-to-end in Pallas: the forward
+kernel saves the per-row logsumexp residuals (l/m), and dedicated dKV and
+dQ backward kernels (`_bwd_dkv_kernel` / `_bwd_dq_kernel`) recompute tile
+scores from those residuals — the [T, S] matrix never materializes in
+either direction, so backward memory is O(T) like the forward.
 
 On non-TPU backends the kernel runs in interpret mode (tests) or callers
 use `ops.attention.dot_product_attention`.

@@ -185,6 +185,11 @@ class ContinuousBatcher:
                 self._finish(slot)
             else:
                 req.out.put(tok)
+                # max_new_tokens == 1: the first (prefill-sampled) token
+                # exhausts the budget — finish now, or the next step would
+                # decode and emit a second token before the budget check.
+                if self.budget[slot] <= 0:
+                    self._finish(slot)
 
     def _finish(self, slot: int) -> None:
         req = self.slot_req[slot]

@@ -82,13 +82,24 @@ class ChatEngine:
                 import time
 
                 idle = 0
-                while idle < 2000:  # exit after ~2s of no work
+                while True:
                     if self.batcher.has_work:
                         idle = 0
                         self.batcher.step()
-                    else:
-                        idle += 1
-                        time.sleep(0.001)
+                        continue
+                    idle += 1
+                    time.sleep(0.001)
+                    if idle >= 2000:  # ~2s of no work → try to exit
+                        # Exit decision must be made under _pump_lock: a
+                        # request submitted after our last has_work check
+                        # would otherwise see a live pump in _ensure_pump
+                        # and then be orphaned when this thread dies.
+                        with self._pump_lock:
+                            if self.batcher.has_work:
+                                idle = 0
+                                continue
+                            self._pump = None
+                            return
 
             self._pump = threading.Thread(target=pump, daemon=True)
             self._pump.start()
@@ -96,14 +107,20 @@ class ChatEngine:
     # -- session management -------------------------------------------------
 
     def get_session(self, session_id: str) -> Dict:
-        if session_id not in self.sessions:
-            self.sessions[session_id] = {
-                "conversation": templates[self.conv_mode].copy(),
-                "images": None,
-                "patch_valid": None,
-                "image_size": None,
-            }
-        return self.sessions[session_id]
+        with self._lock:
+            if session_id not in self.sessions:
+                self.sessions[session_id] = {
+                    "conversation": templates[self.conv_mode].copy(),
+                    "images": None,
+                    "patch_valid": None,
+                    "image_size": None,
+                    # Serializes same-session requests: concurrent /chat
+                    # calls for one session_id would interleave
+                    # append_message and corrupt the prompt history.
+                    # Different sessions still overlap in the batcher.
+                    "lock": threading.Lock(),
+                }
+            return self.sessions[session_id]
 
     def reset_session(self, session_id: str) -> None:
         self.sessions.pop(session_id, None)
@@ -136,6 +153,13 @@ class ChatEngine:
     def chat(self, session_id: str, question: str, pil_image=None) -> Iterator[str]:
         """Append the user turn, stream back the assistant reply text."""
         sess = self.get_session(session_id)
+        sess["lock"].acquire()
+        try:
+            yield from self._chat_locked(sess, session_id, question, pil_image)
+        finally:
+            sess["lock"].release()
+
+    def _chat_locked(self, sess, session_id: str, question: str, pil_image) -> Iterator[str]:
         conv = sess["conversation"]
 
         if pil_image is not None and sess["images"] is None:

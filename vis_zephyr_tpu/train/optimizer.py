@@ -140,5 +140,19 @@ def build_optimizer(params, opt_cfg: OptimizerConfig, stage: str = "1") -> optax
     }
     tx = optax.multi_transform(transforms, label_fn)
     if opt_cfg.max_grad_norm:
-        tx = optax.chain(optax.clip_by_global_norm(opt_cfg.max_grad_norm), tx)
+        # Zero frozen-group grads BEFORE the global-norm clip so the clip
+        # norm covers only trainable params (the reference clips only
+        # requires_grad params); otherwise stage-1's full-decoder gradient
+        # would inflate the norm and silently over-clip the projector.
+        def _zero_frozen(updates, params=None):
+            del params
+            return jax.tree_util.tree_map(
+                lambda m, g: g if m else jax.numpy.zeros_like(g), mask, updates
+            )
+
+        tx = optax.chain(
+            optax.stateless(_zero_frozen),
+            optax.clip_by_global_norm(opt_cfg.max_grad_norm),
+            tx,
+        )
     return tx

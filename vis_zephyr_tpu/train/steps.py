@@ -54,14 +54,29 @@ def loss_fn(params, batch: Dict, cfg: VisZephyrConfig, remat: bool = True):
     return loss, {"loss": loss, "tokens": n_tokens}
 
 
-def make_train_step(cfg: VisZephyrConfig, tx: optax.GradientTransformation, remat: bool = True):
+def make_train_step(cfg: VisZephyrConfig, tx: optax.GradientTransformation, remat: bool = True,
+                    trainable=None):
     """Returns `train_step(state, batch) -> (state, metrics)` where
-    state = {"params", "opt_state", "step"}."""
+    state = {"params", "opt_state", "step"}.
+
+    `trainable` (optional boolean pytree, from `optimizer.trainable_mask`)
+    stops gradients through frozen subtrees at the source: XLA dead-code-
+    eliminates their backward pass (stage 1 no longer materializes full
+    decoder grads), and grad_norm / global-norm clipping then cover only
+    params that actually train — matching the reference, which clips only
+    requires_grad params (HF Trainer semantics)."""
 
     def train_step(state, batch):
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, batch, cfg, remat=remat), has_aux=True
-        )(state["params"])
+        def masked_loss(p):
+            if trainable is not None:
+                p = jax.tree_util.tree_map(
+                    lambda m, x: x if m else jax.lax.stop_gradient(x), trainable, p
+                )
+            return loss_fn(p, batch, cfg, remat=remat)
+
+        (loss, metrics), grads = jax.value_and_grad(masked_loss, has_aux=True)(
+            state["params"]
+        )
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
         new_state = {"params": params, "opt_state": opt_state, "step": state["step"] + 1}

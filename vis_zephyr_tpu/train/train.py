@@ -38,7 +38,7 @@ from ..parallel.mesh import create_mesh
 from ..parallel.sharding import shard_batch, shard_params
 from .checkpoints import latest_checkpoint, load_checkpoint, save_checkpoint
 from .lora import LoraConfig, add_lora
-from .optimizer import OptimizerConfig, build_optimizer
+from .optimizer import OptimizerConfig, build_optimizer, trainable_mask
 from .steps import init_train_state, make_train_step
 
 
@@ -140,7 +140,8 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
         max_grad_norm=args.max_grad_norm,
     )
     tx = build_optimizer(params, opt_cfg, stage=args.stage)
-    train_step = jax.jit(make_train_step(cfg, tx, remat=args.remat))
+    trainable = trainable_mask(params, args.stage)
+    train_step = jax.jit(make_train_step(cfg, tx, remat=args.remat, trainable=trainable))
 
     with jax.set_mesh(mesh):
         params = shard_params(params, mesh)
