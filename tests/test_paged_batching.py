@@ -1,0 +1,149 @@
+"""Paged-KV continuous batching tests (tiny model, CPU interpret kernel).
+
+The invariant throughout: paged decoding is bit-identical to the dense-cache
+path, which is itself parity-tested against solo `generate`.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vis_zephyr_tpu.config import tiny_config
+from vis_zephyr_tpu.constants import IMAGE_TOKEN_INDEX
+from vis_zephyr_tpu.models.vis_zephyr import init_vis_zephyr
+from vis_zephyr_tpu.serve.paged import PageAllocator, PagedBatcher
+from vis_zephyr_tpu.serve.generate import SamplingConfig, generate
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def make_request(cfg, rng, T, with_image=True, P=3):
+    H = cfg.vision.image_size
+    ids = rng.integers(5, cfg.decoder.vocab_size, (T,))
+    images = patch_valid = None
+    if with_image:
+        ids[1] = IMAGE_TOKEN_INDEX
+        images = rng.standard_normal((P, H, H, 3)).astype(np.float32)
+        patch_valid = np.ones((P,), bool)
+    return ids, images, patch_valid
+
+
+class TestPageAllocator:
+    def test_reserves_trash_page(self):
+        a = PageAllocator(4)
+        got = a.alloc(3)
+        assert sorted(got) == [1, 2, 3]  # page 0 never handed out
+        assert a.alloc(1) is None
+        a.release(got)
+        assert a.available == 3
+
+
+class TestPagedBatcher:
+    def test_matches_standalone_generate(self, setup, rng):
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=6, temperature=0.0, eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=4, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=32,
+        )
+        requests = [make_request(cfg, rng, T, with_image=True) for T in (5, 8, 6)]
+        handles = [batcher.submit(ids, im, pv) for ids, im, pv in requests]
+        batcher.run_until_drained()
+
+        for (ids, im, pv), handle in zip(requests, handles):
+            got = list(batcher.stream(handle))
+            solo = generate(
+                params, jnp.asarray(ids[None]), jnp.asarray(im[None]),
+                jnp.asarray(pv[None]), cfg, sampling, cache_len=64,
+            )[0]
+            np.testing.assert_array_equal(got, solo)
+
+    def test_page_reuse_across_requests(self, setup, rng):
+        """More requests than the pool can hold at once: freed pages are
+        re-allocated to later requests and outputs stay exact."""
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=4, temperature=0.0, eos_token_id=-1)
+        # Pool fits ~2 requests at a time (each needs 1-2 pages of 16).
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=32, page_size=16,
+            sampling=sampling, num_pages=5,
+        )
+        requests = [make_request(cfg, rng, 4 + i, with_image=False) for i in range(5)]
+        handles = [batcher.submit(ids, im, pv) for ids, im, pv in requests]
+        batcher.run_until_drained()
+        for (ids, im, pv), h in zip(requests, handles):
+            got = list(batcher.stream(h))
+            solo = generate(
+                params, jnp.asarray(ids[None]), None, None, cfg, sampling, cache_len=32
+            )[0]
+            np.testing.assert_array_equal(got, solo)
+        assert not batcher.active.any()
+        assert batcher.allocator.available == 4  # everything released
+
+    def test_pool_exhaustion_requeues(self, setup, rng):
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=17, temperature=0.0, eos_token_id=-1)
+        # Each request needs ceil((len+17)/16) = 2+ pages; pool has 2 usable.
+        batcher = PagedBatcher(
+            params, cfg, max_slots=4, cache_len=48, page_size=16,
+            sampling=sampling, num_pages=3,
+        )
+        h1 = batcher.submit(*make_request(cfg, rng, 5, with_image=False))
+        h2 = batcher.submit(*make_request(cfg, rng, 6, with_image=False))
+        batcher.step()
+        # Only one fits; the other is requeued, not dropped.
+        assert batcher.active.sum() == 1
+        assert len(batcher._requeued) == 1
+        batcher.run_until_drained()
+        assert len(list(batcher.stream(h1))) == 17
+        assert len(list(batcher.stream(h2))) == 17
+
+    def test_single_token_budget(self, setup, rng):
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=1, temperature=0.0, eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=32, page_size=16,
+            sampling=sampling, num_pages=8,
+        )
+        h = batcher.submit(*make_request(cfg, rng, 5, with_image=False))
+        batcher.run_until_drained()
+        assert len(list(batcher.stream(h))) == 1
+        assert batcher.allocator.available == 7
+
+    def test_too_long_request_rejected(self, setup, rng):
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=200, temperature=0.0, eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=32, page_size=16,
+            sampling=sampling, num_pages=8,
+        )
+        h = batcher.submit(*make_request(cfg, rng, 10, with_image=False))
+        batcher.run_until_drained()
+        assert list(batcher.stream(h)) == []
+
+    def test_interleaved_submission(self, setup, rng):
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=5, temperature=0.0, eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=4, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=32,
+        )
+        r1 = make_request(cfg, rng, 5, with_image=False)
+        r2 = make_request(cfg, rng, 7, with_image=False)
+        h1 = batcher.submit(*r1)
+        batcher.step()
+        batcher.step()  # r1 mid-decode when r2 arrives
+        h2 = batcher.submit(*r2)
+        batcher.run_until_drained()
+        for r, h in ((r1, h1), (r2, h2)):
+            ids, im, pv = r
+            solo = generate(
+                params, jnp.asarray(ids[None]), None, None, cfg, sampling, cache_len=64
+            )[0]
+            np.testing.assert_array_equal(list(batcher.stream(h)), solo)

@@ -150,6 +150,10 @@ def main(args=None):
     p.add_argument("--load-8bit", action="store_true")
     p.add_argument("--continuous-batching", action="store_true")
     p.add_argument("--max-slots", type=int, default=8)
+    p.add_argument("--kv-cache", choices=["dense", "paged"], default="dense",
+                   help="paged: shared page pools (higher slot counts per chip)")
+    p.add_argument("--num-pages", type=int, default=None,
+                   help="paged pool size (default: half the dense footprint)")
     a = p.parse_args(args)
 
     tokenizer, params, cfg, _ = load_pretrained_model(
@@ -160,6 +164,7 @@ def main(args=None):
         params, cfg, tokenizer, temperature=a.temperature,
         max_new_tokens=a.max_new_tokens,
         continuous_batching=a.continuous_batching, max_slots=a.max_slots,
+        kv_cache=a.kv_cache, num_pages=a.num_pages,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

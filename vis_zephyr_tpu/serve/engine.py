@@ -40,6 +40,8 @@ class ChatEngine:
         continuous_batching: bool = False,
         max_slots: int = 8,
         cache_len: int = 2048,
+        kv_cache: str = "dense",  # "dense" | "paged"
+        num_pages: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -62,12 +64,20 @@ class ChatEngine:
         self._pump = None
         self._pump_lock = threading.Lock()
         if continuous_batching:
-            from .batching import ContinuousBatcher
+            if kv_cache == "paged":
+                from .paged import PagedBatcher
 
-            self.batcher = ContinuousBatcher(
-                params, cfg, max_slots=max_slots, cache_len=cache_len,
-                sampling=self.sampling,
-            )
+                self.batcher = PagedBatcher(
+                    params, cfg, max_slots=max_slots, cache_len=cache_len,
+                    sampling=self.sampling, num_pages=num_pages,
+                )
+            else:
+                from .batching import ContinuousBatcher
+
+                self.batcher = ContinuousBatcher(
+                    params, cfg, max_slots=max_slots, cache_len=cache_len,
+                    sampling=self.sampling,
+                )
 
     def _ensure_pump(self) -> None:
         """Background thread advancing the batcher while work exists.

@@ -1,0 +1,311 @@
+"""Paged-KV continuous batching: the page-pool memory model behind
+high-slot-count serving.
+
+Dense per-slot caches ([L, slots, cache_len, Hkv, D]) pay for `cache_len`
+tokens per slot whether used or not — on a 16 GB v5e chip the 7B cache OOMs
+near 32 slots × 2048. This engine stores K/V as fixed-size pages in global
+pools and addresses them through per-sequence page tables, so a request
+only occupies `ceil((prompt + budget) / page_size)` pages.
+
+Net-new capability vs the reference (its server generates one request at a
+time with a full dense cache, `vis_zephyr/serve/api.py:39-189`).
+
+Layout (TPU-first):
+- pools are scan-stacked with the layers: `[L, num_pages, Hkv, page_size,
+  D]`. The decode step scans layers carrying the pools; the per-layer
+  kernel call views the pool as `[L*num_pages, Hkv, page_size, D]` (a free
+  reshape) and offsets the page table by `layer * num_pages` — the
+  TPU-verified `ops.paged_attention` kernel is reused unchanged, and no
+  per-layer pool slice is ever materialized.
+- pool page 0 (of every layer) is a reserved trash page: inactive slots
+  write their dummy token there, and unused page-table entries point at it
+  so the kernel's block DMAs dedup (consecutive grid steps with identical
+  indices skip the fetch).
+- page allocation is host-side (a free list): a request's full span
+  (prompt pages + generation budget) is claimed at admit and released at
+  finish. No per-step allocation, no fragmentation handling needed.
+
+Limitations: the paged kernel has no sliding-window mask, so `cache_len`
+must not exceed `decoder.sliding_window` (true for Zephyr: 4096-window vs
+2048 cache).
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from collections import deque
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VisZephyrConfig
+from ..models.mistral import _mlp, _project_qkv, embed, rms_norm, rope_cos_sin
+from ..ops.paged_attention import paged_attention
+from ..ops.quant_matmul import qdot
+from .batching import ContinuousBatcher, _Request
+from .generate import SamplingConfig, _sample
+
+
+class PageAllocator:
+    """Free-list over pool pages. Page 0 is reserved (trash)."""
+
+    def __init__(self, num_pages: int):
+        self.num_pages = num_pages
+        self._free: List[int] = list(range(num_pages - 1, 0, -1))
+
+    @property
+    def available(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        if len(self._free) < n:
+            return None
+        return [self._free.pop() for _ in range(n)]
+
+    def release(self, pages: List[int]) -> None:
+        self._free.extend(pages)
+
+
+@functools.partial(jax.jit, static_argnames=("slot",), donate_argnums=(0, 1, 2, 3))
+def _admit_paged(kp, vp, page_table, lengths, k, v, length, row, *, slot: int):
+    """Write a prefilled sequence's K/V into its allocated pages and install
+    its page-table row. k/v: [L, T, Hkv, D] with T a page-size multiple
+    (prefill pads to 128 on TPU; padded host-side otherwise)."""
+    L, T, Hkv, D = k.shape
+    ps = kp.shape[3]
+    n = T // ps
+    # [L, n, ps, Hkv, D] → [n, L, Hkv, ps, D] page blocks.
+    kb = jnp.moveaxis(k.reshape(L, n, ps, Hkv, D), (1, 3), (0, 2)).astype(kp.dtype)
+    vb = jnp.moveaxis(v.reshape(L, n, ps, Hkv, D), (1, 3), (0, 2)).astype(vp.dtype)
+    pages = row[:n]
+    kp = kp.at[:, pages].set(jnp.moveaxis(kb, 0, 1))
+    vp = vp.at[:, pages].set(jnp.moveaxis(vb, 0, 1))
+    page_table = page_table.at[slot].set(row)
+    lengths = lengths.at[slot].set(length.astype(jnp.int32))
+    return kp, vp, page_table, lengths
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _clear_row(page_table, slot):
+    return page_table.at[slot].set(jnp.zeros((page_table.shape[1],), page_table.dtype))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "sampling"), donate_argnums=(1, 2, 4)
+)
+def _paged_step(params, kp, vp, page_table, lengths, token, active, key,
+                cfg: VisZephyrConfig, sampling: SamplingConfig):
+    """One decode step over all slots against the paged pools."""
+    dec = cfg.decoder
+    L, P = kp.shape[0], kp.shape[1]
+    ps = kp.shape[3]
+    B = token.shape[0]
+
+    lengths_eff = jnp.where(active, lengths, 0)
+    positions = lengths_eff[:, None]  # the new token's position
+    cos, sin = rope_cos_sin(positions, dec.head_dim, dec.rope_theta)
+    h = embed(params["decoder"], token[:, None])
+
+    # Where the new token's K/V lands: inactive slots write the trash page.
+    row_idx = jnp.minimum(lengths_eff // ps, page_table.shape[1] - 1)
+    cur_page = jnp.take_along_axis(page_table, row_idx[:, None], axis=1)[:, 0]
+    cur_page = jnp.where(active, cur_page, 0)
+    offset = lengths_eff % ps
+
+    kp_flat_shape = (L * P,) + kp.shape[2:]
+    kernel_lengths = jnp.where(active, lengths_eff + 1, 0)
+
+    def body(carry, xs):
+        h, kp, vp = carry
+        layer_params, i = xs
+        hn = rms_norm(h, layer_params["input_ln"]["scale"], dec.rms_norm_eps)
+        q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin)
+        kp = kp.at[i, cur_page, :, offset, :].set(k[:, 0].astype(kp.dtype))
+        vp = vp.at[i, cur_page, :, offset, :].set(v[:, 0].astype(vp.dtype))
+        # Flat view + layer-offset table: the kernel reads pages straight
+        # from the stacked pool (reshape is a bitcast, never a copy).
+        attn = paged_attention(
+            q[:, 0],
+            kp.reshape(kp_flat_shape),
+            vp.reshape(kp_flat_shape),
+            page_table + i * P,
+            kernel_lengths,
+        )
+        attn = attn.reshape(B, 1, -1)
+        h = h + qdot(attn, layer_params["attn"]["out"])
+        hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], dec.rms_norm_eps)
+        h = h + _mlp(hn, layer_params["mlp"])
+        return (h, kp, vp), None
+
+    dparams = params["decoder"]
+    (h, kp, vp), _ = jax.lax.scan(
+        body, (h, kp, vp), (dparams["layers"], jnp.arange(dec.num_layers))
+    )
+    h = rms_norm(h, dparams["final_ln"]["scale"], dec.rms_norm_eps)
+    logits = jnp.einsum(
+        "btd,dv->btv", h[:, -1:], dparams["lm_head"]["kernel"]
+    ).astype(jnp.float32)
+    next_token = _sample(logits[:, 0], key, sampling)
+    next_token = jnp.where(active, next_token, dec.pad_token_id)
+    new_lengths = jnp.where(active, lengths + 1, lengths)
+    return next_token, kp, vp, new_lengths
+
+
+class PagedBatcher(ContinuousBatcher):
+    """Continuous batcher on paged KV pools (drop-in for ContinuousBatcher).
+
+    `cache_len` bounds a single sequence's span (pages_per_seq); `num_pages`
+    sizes the shared pool — unlike the dense batcher, total memory scales
+    with tokens in flight, not slots × cache_len.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: VisZephyrConfig,
+        max_slots: int = 32,
+        cache_len: int = 2048,
+        sampling: SamplingConfig = SamplingConfig(),
+        seed: int = 0,
+        page_size: int = 128,
+        num_pages: Optional[int] = None,
+    ):
+        if cache_len % page_size:
+            raise ValueError("cache_len must be a multiple of page_size")
+        sw = cfg.decoder.sliding_window
+        if sw is not None and cache_len > sw:
+            raise ValueError(
+                f"paged kernel has no sliding-window mask: cache_len={cache_len} "
+                f"exceeds decoder.sliding_window={sw}"
+            )
+        self.params = params
+        self.cfg = cfg
+        self.max_slots = max_slots
+        self.cache_len = cache_len
+        self.sampling = sampling
+        self.page_size = page_size
+        self.pages_per_seq = cache_len // page_size
+        if num_pages is None:
+            # Default: half the dense-cache footprint, ≥ 2 full sequences.
+            num_pages = 1 + max(2 * self.pages_per_seq,
+                                max_slots * self.pages_per_seq // 2)
+        self.allocator = PageAllocator(num_pages)
+
+        dec = cfg.decoder
+        dtype = params["decoder"]["embed_tokens"].dtype
+        pool_shape = (dec.num_layers, num_pages, dec.num_kv_heads, page_size, dec.head_dim)
+        self.kp = jnp.zeros(pool_shape, dtype)
+        self.vp = jnp.zeros(pool_shape, dtype)
+        self.page_table = jnp.zeros((max_slots, self.pages_per_seq), jnp.int32)
+        self.lengths = jnp.zeros((max_slots,), jnp.int32)
+        self.token = jnp.full((max_slots,), dec.pad_token_id, jnp.int32)
+        self.active = np.zeros(max_slots, bool)
+        self.budget = np.zeros(max_slots, np.int64)
+        self.slot_req: List[Optional[_Request]] = [None] * max_slots
+        self.slot_pages: List[List[int]] = [[] for _ in range(max_slots)]
+        self.pending = queue.Queue()
+        self._requeued: deque = deque()  # head-of-queue retries (no pages free)
+        self.rng = jax.random.PRNGKey(seed)
+        self._next_id = 0
+        self._lock = threading.Lock()
+
+    @property
+    def has_work(self) -> bool:
+        return self.active.any() or not self.pending.empty() or bool(self._requeued)
+
+    def _next_request(self) -> Optional[_Request]:
+        if self._requeued:
+            return self._requeued.popleft()
+        try:
+            return self.pending.get_nowait()
+        except queue.Empty:
+            return None
+
+    def _admit_pending(self) -> None:
+        from .batching import _prefill_kv
+
+        for slot in range(self.max_slots):
+            if self.active[slot]:
+                continue
+            req = self._next_request()
+            if req is None:
+                return
+            ids = jnp.asarray(req.input_ids[None])
+            images = None if req.images is None else jnp.asarray(req.images[None])
+            pv = None if req.patch_valid is None else jnp.asarray(req.patch_valid[None])
+            last_logits, k, v, length = _prefill_kv(self.params, ids, images, pv, self.cfg)
+            n_len = int(length)
+            if n_len + req.max_new_tokens > self.cache_len:
+                req.out.put(None)  # exceeds a sequence's page span; reject
+                continue
+
+            ps = self.page_size
+            T = k.shape[1]
+            if T % ps:  # CPU prefill doesn't pad; round up to a page
+                pad = ps - T % ps
+                k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                T += pad
+            n_pages = max(T // ps, -(-(n_len + req.max_new_tokens) // ps))
+            pages = self.allocator.alloc(n_pages)
+            if pages is None:
+                # Pool exhausted: retry once active requests release pages.
+                self._requeued.appendleft(req)
+                return
+            row = np.zeros((self.pages_per_seq,), np.int32)
+            row[:n_pages] = pages
+            self.kp, self.vp, self.page_table, self.lengths = _admit_paged(
+                self.kp, self.vp, self.page_table, self.lengths,
+                k, v, length, jnp.asarray(row), slot=slot,
+            )
+            self.rng, sub = jax.random.split(self.rng)
+            first = _sample(last_logits[None], sub, self.sampling)
+            tok = int(first[0])
+            self.slot_req[slot] = req
+            self.slot_pages[slot] = pages
+            self.active[slot] = True
+            self.budget[slot] = req.max_new_tokens - 1
+            self.token = self.token.at[slot].set(tok)
+            if tok == self.sampling.eos_token_id:
+                self._finish(slot)
+            else:
+                req.out.put(tok)
+                if self.budget[slot] <= 0:
+                    self._finish(slot)
+
+    def _finish(self, slot: int) -> None:
+        if self.slot_pages[slot]:
+            self.allocator.release(self.slot_pages[slot])
+            self.slot_pages[slot] = []
+            self.page_table = _clear_row(self.page_table, jnp.int32(slot))
+        super()._finish(slot)
+
+    def step(self) -> int:
+        self._admit_pending()
+        if not self.active.any():
+            return 0
+        self.rng, sub = jax.random.split(self.rng)
+        self.token, self.kp, self.vp, self.lengths = _paged_step(
+            self.params, self.kp, self.vp, self.page_table, self.lengths,
+            self.token, jnp.asarray(self.active), sub, self.cfg, self.sampling,
+        )
+        tokens = np.asarray(jax.device_get(self.token))
+        stepped = 0
+        for slot in range(self.max_slots):
+            if not self.active[slot]:
+                continue
+            stepped += 1
+            tok = int(tokens[slot])
+            if tok == self.sampling.eos_token_id:
+                self._finish(slot)
+                continue
+            self.slot_req[slot].out.put(tok)
+            self.budget[slot] -= 1
+            if self.budget[slot] <= 0:
+                self._finish(slot)
+        return stepped
