@@ -134,6 +134,7 @@ def vis_zephyr_forward(
     remat: bool = False,
     return_kv: bool = False,
     pad_to_multiple: Optional[int] = None,
+    use_flash: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Full multimodal forward (prefill or training step).
 
@@ -171,6 +172,7 @@ def vis_zephyr_forward(
         cache=cache,
         remat=remat,
         return_kv=return_kv,
+        use_flash=use_flash,
     )
     aux = {k: v for k, v in prepared.items() if k != "embeds"}
     if extra is not None:

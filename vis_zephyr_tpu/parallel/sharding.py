@@ -115,6 +115,28 @@ def shard_params(params, mesh: Mesh):
     )
 
 
+def _axis_fits(mesh: Mesh, axis: str, dim: int) -> bool:
+    return mesh.shape[axis] > 1 and dim % mesh.shape[axis] == 0
+
+
+def shard_kv_cache(cache: Dict, mesh: Mesh) -> Dict:
+    """Place a dense decode cache {"k","v" [L,B,S,Hkv,D], "length"} on the
+    mesh: KV heads ride the model (TP) axis — attention is head-local, so
+    the cache never moves over ICI. Degrades to replication when Hkv
+    doesn't divide the axis (tiny configs)."""
+    Hkv = cache["k"].shape[3]
+    kv = P(None, None, None, "model" if _axis_fits(mesh, "model", Hkv) else None, None)
+    return {
+        "k": jax.device_put(cache["k"], NamedSharding(mesh, kv)),
+        "v": jax.device_put(cache["v"], NamedSharding(mesh, kv)),
+        "length": jax.device_put(cache["length"], NamedSharding(mesh, P())),
+    }
+
+
+def replicated(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
 def batch_spec(mesh: Mesh) -> P:
     """Batch dimension spans both data-parallel axes."""
     axes = tuple(a for a in ("data", "fsdp") if mesh.shape[a] > 1)

@@ -154,17 +154,25 @@ def main(args=None):
                    help="paged: shared page pools (higher slot counts per chip)")
     p.add_argument("--num-pages", type=int, default=None,
                    help="paged pool size (default: half the dense footprint)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree: shard the model over this "
+                        "many chips (model-axis inference mesh)")
     a = p.parse_args(args)
 
     tokenizer, params, cfg, _ = load_pretrained_model(
         a.model_path, model_base=a.model_base, vision_tower_path=a.vision_tower,
         load_8bit=a.load_8bit, dtype=jnp.bfloat16,
     )
+    mesh = None
+    if a.tp > 1:
+        from ..parallel.mesh import create_mesh
+
+        mesh = create_mesh(model=a.tp)
     engine = ChatEngine(
         params, cfg, tokenizer, temperature=a.temperature,
         max_new_tokens=a.max_new_tokens,
         continuous_batching=a.continuous_batching, max_slots=a.max_slots,
-        kv_cache=a.kv_cache, num_pages=a.num_pages,
+        kv_cache=a.kv_cache, num_pages=a.num_pages, mesh=mesh,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

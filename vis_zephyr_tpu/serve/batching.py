@@ -39,13 +39,14 @@ from ..models.vis_zephyr import vis_zephyr_forward
 from .generate import SamplingConfig, _sample
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _prefill_kv(params, input_ids, images, patch_valid, cfg: VisZephyrConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"))
+def _prefill_kv(params, input_ids, images, patch_valid, cfg: VisZephyrConfig,
+                use_flash: Optional[bool] = None):
     """Single-request prefill → (last_logits [1,V], k/v [L,T,Hkv,D], length)."""
     pad_mult = 128 if jax.default_backend() != "cpu" else None
     logits, aux = vis_zephyr_forward(
         params, input_ids, images, patch_valid, cfg,
-        return_kv=True, pad_to_multiple=pad_mult,
+        return_kv=True, pad_to_multiple=pad_mult, use_flash=use_flash,
     )
     k, v = aux["kv"]
     length = aux["lengths"][0]
@@ -103,15 +104,30 @@ class ContinuousBatcher:
         cache_len: int = 2048,
         sampling: SamplingConfig = SamplingConfig(),
         seed: int = 0,
+        mesh=None,
     ):
+        """`mesh`: optional inference mesh (see `parallel.mesh.inference_mesh`).
+        Params are TP-sharded over its model axis and the KV cache over the
+        head dim; every jitted step then partitions via SPMD propagation —
+        no explicit collectives here. Pallas flash prefill is disabled under
+        a mesh (a custom kernel can't be auto-partitioned; XLA attention
+        shards cleanly head-parallel)."""
+        if mesh is not None:
+            from ..parallel.sharding import shard_kv_cache, shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self.cfg = cfg
+        self.mesh = mesh
+        self.use_flash = False if mesh is not None else None
         self.max_slots = max_slots
         self.cache_len = cache_len
         self.sampling = sampling
 
         dtype = params["decoder"]["embed_tokens"].dtype
         self.cache = init_cache(cfg.decoder, max_slots, cache_len, dtype=dtype)
+        if mesh is not None:
+            self.cache = shard_kv_cache(self.cache, mesh)
         self.token = jnp.full((max_slots,), cfg.decoder.pad_token_id, jnp.int32)
         self.active = np.zeros(max_slots, bool)
         self.budget = np.zeros(max_slots, np.int64)
@@ -169,7 +185,9 @@ class ContinuousBatcher:
             ids = jnp.asarray(req.input_ids[None])
             images = None if req.images is None else jnp.asarray(req.images[None])
             pv = None if req.patch_valid is None else jnp.asarray(req.patch_valid[None])
-            last_logits, k, v, length = _prefill_kv(self.params, ids, images, pv, self.cfg)
+            last_logits, k, v, length = _prefill_kv(
+                self.params, ids, images, pv, self.cfg, use_flash=self.use_flash
+            )
             if int(length) + req.max_new_tokens > self.cache_len:
                 req.out.put(None)  # too long; reject
                 continue

@@ -42,7 +42,20 @@ class ChatEngine:
         cache_len: int = 2048,
         kv_cache: str = "dense",  # "dense" | "paged"
         num_pages: Optional[int] = None,
+        mesh=None,
     ):
+        """`mesh`: optional inference mesh (model-axis TP). Params are
+        sharded once here; jitted prefill/decode partition via SPMD
+        propagation. Replaces the reference's `device_map="auto"` multi-GPU
+        spread (`vis_zephyr/model/builder.py:22`) with ICI tensor
+        parallelism."""
+        self.mesh = mesh
+        self._use_flash = None
+        if mesh is not None:
+            from ..parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
+            self._use_flash = False  # Pallas prefill not auto-partitionable
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -69,14 +82,14 @@ class ChatEngine:
 
                 self.batcher = PagedBatcher(
                     params, cfg, max_slots=max_slots, cache_len=cache_len,
-                    sampling=self.sampling, num_pages=num_pages,
+                    sampling=self.sampling, num_pages=num_pages, mesh=mesh,
                 )
             else:
                 from .batching import ContinuousBatcher
 
                 self.batcher = ContinuousBatcher(
                     params, cfg, max_slots=max_slots, cache_len=cache_len,
-                    sampling=self.sampling,
+                    sampling=self.sampling, mesh=mesh,
                 )
 
     def _ensure_pump(self) -> None:
@@ -203,6 +216,7 @@ class ChatEngine:
                 sess["patch_valid"],
                 self.cfg,
                 self.sampling,
+                use_flash=self._use_flash,
             )
         try:
             for tok in stream:

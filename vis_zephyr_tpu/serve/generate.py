@@ -60,7 +60,7 @@ def _sample(logits: jnp.ndarray, key, sampling: SamplingConfig) -> jnp.ndarray:
     return jax.random.categorical(key, logits, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cache_len"))
+@functools.partial(jax.jit, static_argnames=("cfg", "cache_len", "use_flash"))
 def prefill(
     params,
     input_ids: jnp.ndarray,
@@ -69,6 +69,7 @@ def prefill(
     cfg: VisZephyrConfig,
     cache_len: int,
     text_valid: Optional[jnp.ndarray] = None,
+    use_flash: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, Dict, jnp.ndarray]:
     """Run the multimodal prefill and return greedy-ready last-token logits.
 
@@ -83,6 +84,7 @@ def prefill(
     logits, aux = vis_zephyr_forward(
         params, input_ids, images, patch_valid, cfg,
         text_valid=text_valid, return_kv=True, pad_to_multiple=pad_mult,
+        use_flash=use_flash,
     )
     lengths = aux["lengths"]
     k, v = aux["kv"]  # [L, B, T, Hkv, D]
@@ -149,6 +151,7 @@ def generate(
     text_valid: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
     cache_len: Optional[int] = None,
+    use_flash: Optional[bool] = None,
 ) -> np.ndarray:
     """Batch generation, fully compiled. Returns [B, max_new_tokens] token
     ids (EOS-padded after stop)."""
@@ -159,7 +162,8 @@ def generate(
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
     last_logits, cache, _ = prefill(
-        params, input_ids, images, patch_valid, cfg, cache_len, text_valid=text_valid
+        params, input_ids, images, patch_valid, cfg, cache_len,
+        text_valid=text_valid, use_flash=use_flash,
     )
     rng, sub = jax.random.split(rng)
     first = _sample(last_logits, sub, sampling)
@@ -177,6 +181,7 @@ def generate_stream(
     text_valid: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
     cache_len: Optional[int] = None,
+    use_flash: Optional[bool] = None,
 ) -> Iterator[int]:
     """Single-sequence streaming generation: yields token ids until EOS or
     the budget is exhausted. Host drives one jitted step per token."""
@@ -188,7 +193,8 @@ def generate_stream(
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
     last_logits, cache, _ = prefill(
-        params, input_ids, images, patch_valid, cfg, cache_len, text_valid=text_valid
+        params, input_ids, images, patch_valid, cfg, cache_len,
+        text_valid=text_valid, use_flash=use_flash,
     )
     token = None
     for _ in range(sampling.max_new_tokens):

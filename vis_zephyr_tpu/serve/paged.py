@@ -174,7 +174,15 @@ class PagedBatcher(ContinuousBatcher):
         seed: int = 0,
         page_size: int = 128,
         num_pages: Optional[int] = None,
+        mesh=None,
     ):
+        if mesh is not None:
+            raise NotImplementedError(
+                "paged KV under a device mesh needs the kernel wrapped in "
+                "shard_map (head-sharded pools); use the dense batcher for "
+                "multi-chip serving for now"
+            )
+        self.use_flash = None
         if cache_len % page_size:
             raise ValueError("cache_len must be a multiple of page_size")
         sw = cfg.decoder.sliding_window
@@ -238,7 +246,9 @@ class PagedBatcher(ContinuousBatcher):
             ids = jnp.asarray(req.input_ids[None])
             images = None if req.images is None else jnp.asarray(req.images[None])
             pv = None if req.patch_valid is None else jnp.asarray(req.patch_valid[None])
-            last_logits, k, v, length = _prefill_kv(self.params, ids, images, pv, self.cfg)
+            last_logits, k, v, length = _prefill_kv(
+                self.params, ids, images, pv, self.cfg, use_flash=self.use_flash
+            )
             n_len = int(length)
             if n_len + req.max_new_tokens > self.cache_len:
                 req.out.put(None)  # exceeds a sequence's page span; reject
