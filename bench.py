@@ -158,7 +158,9 @@ def bench_decode_paged(cfg: VisZephyrConfig, steps: int = 64, slots: int = 32,
     sampling = SamplingConfig(temperature=0.0, eos_token_id=-1)
     key = jax.random.PRNGKey(1)
 
-    @functools.partial(jax.jit, static_argnames=("n",))
+    # Donate the pools: without it the un-aliased output copy doubles the
+    # pool footprint and OOMs next to the 7 GB int8 params.
+    @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2, 3, 4))
     def run(params, kp, vp, lengths, token, n):
         def step(carry, _):
             kp, vp, lengths, token = carry

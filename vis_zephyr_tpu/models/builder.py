@@ -50,6 +50,119 @@ def _load_hf_state_dict(model_dir: str) -> Dict:
     return sd
 
 
+def _has_lora(params: Dict) -> bool:
+    return any(
+        str(getattr(p[-1], "key", "")) == "lora_a"
+        for p, _ in jax.tree_util.tree_leaves_with_path(params)
+    )
+
+
+def _load_native(model_path: str, dtype) -> Dict:
+    """Restore a native orbax dir as saved (no target tree): handles plain
+    inference params, full train states ({"params", "opt_state", "step"}),
+    and stage-2 LoRA states — adapters are merged into the base kernels for
+    serving (reference merge_and_unload, `model/builder.py:90-95`)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(os.path.abspath(os.path.join(model_path, "state")))
+    params = raw.get("params", raw) if isinstance(raw, dict) else raw
+    if _has_lora(params):
+        from ..train.lora import merge_lora
+
+        params = merge_lora(params)
+    # Cast float leaves to the serving dtype; quantized int8 kernels and
+    # integer buffers keep their dtypes.
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else jnp.asarray(x),
+        params,
+    )
+
+
+def _load_lora_artifact(
+    model_path: str, model_base: str, vision_tower_path: Optional[str],
+    cfg: VisZephyrConfig, dtype,
+) -> Dict:
+    """Reference stage-2 artifact: HF base + peft adapter dir +
+    `non_lora_trainables.bin` (`vis_zephyr/model/builder.py:53-95`): load
+    the base decoder, overlay non-LoRA trainables (projector, possibly
+    embeddings), attach + merge the adapters."""
+    import json as _json
+
+    from ..train.lora import attach_lora, merge_lora
+    from .hf_convert import convert_lora_adapters
+
+    params = {"decoder": convert_mistral(_load_hf_state_dict(model_base), cfg.decoder, dtype)}
+    if vision_tower_path:
+        params["vision"] = convert_clip_vision(
+            _load_hf_state_dict(vision_tower_path), cfg.vision, dtype
+        )
+
+    nlt_path = os.path.join(model_path, "non_lora_trainables.bin")
+    if os.path.exists(nlt_path):
+        nlt = load_torch_bin(nlt_path)
+        # Key cleanup as in the reference (DeepSpeed/FSDP prefixes).
+        nlt = {(k[len("base_model."):] if k.startswith("base_model.") else k): v
+               for k, v in nlt.items()}
+        if any(k.startswith("model.model.") for k in nlt):
+            nlt = {(k[len("model."):] if k.startswith("model.model.") else k): v
+                   for k, v in nlt.items()}
+        if any("mm_projector." in k for k in nlt):
+            params["projector"] = convert_qformer(nlt, cfg.projector, dtype)
+        emb = next((k for k in nlt if k.endswith("embed_tokens.weight")), None)
+        if emb is not None:  # resized-embedding finetunes
+            params["decoder"]["embed_tokens"] = jnp.asarray(nlt[emb], dtype)
+        head = next((k for k in nlt if k.endswith("lm_head.weight")), None)
+        if head is not None:
+            params["decoder"]["lm_head"] = {"kernel": jnp.asarray(nlt[head].T, dtype)}
+
+    # Adapter hyperparams from adapter_config.json (peft layout).
+    r, alpha = 128, 256.0
+    acfg_path = os.path.join(model_path, "adapter_config.json")
+    if os.path.exists(acfg_path):
+        with open(acfg_path) as f:
+            acfg = _json.load(f)
+        r = int(acfg.get("r", r))
+        alpha = float(acfg.get("lora_alpha", alpha))
+
+    afile = next(
+        (p for p in (os.path.join(model_path, "adapter_model.safetensors"),
+                     os.path.join(model_path, "adapter_model.bin"))
+         if os.path.exists(p)),
+        None,
+    )
+    if afile is None:
+        raise FileNotFoundError(f"no adapter_model.(safetensors|bin) under {model_path}")
+    if afile.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        with safe_open(afile, framework="np") as f:
+            asd = {k: f.get_tensor(k) for k in f.keys()}
+    else:
+        asd = load_torch_bin(afile)
+    adapters = convert_lora_adapters(asd, cfg.decoder, r=r, alpha=alpha, dtype=dtype)
+    return merge_lora(attach_lora(params, adapters))
+
+
+def _convert_consolidated(sd: Dict, cfg: VisZephyrConfig, dtype) -> Dict:
+    """One HF-style dir carrying the full VisZephyr model (reference
+    `builder.py:123-129`): decoder (+ projector + vision tower when saved)."""
+    params = {"decoder": convert_mistral(
+        {k: v for k, v in sd.items() if "mm_projector." not in k and "vision_tower." not in k},
+        cfg.decoder, dtype,
+    )}
+    if any("mm_projector." in k for k in sd):
+        params["projector"] = convert_qformer(sd, cfg.projector, dtype)
+    tower = {
+        k.rsplit("vision_tower.", 1)[1]: v for k, v in sd.items() if "vision_tower." in k
+    }
+    if tower:
+        params["vision"] = convert_clip_vision(tower, cfg.vision, dtype)
+    return params
+
+
 def load_pretrained_model(
     model_path: str,
     model_base: Optional[str] = None,
@@ -73,8 +186,25 @@ def load_pretrained_model(
         try:
             cfg = VisZephyrConfig.from_json(raw)
         except TypeError:
-            # An HF-style config (reference checkpoint dir): keep defaults,
-            # they encode the same released architecture.
+            # An HF-style config (reference checkpoint dir): keep defaults —
+            # they encode the same released architecture — but say so, and
+            # refuse configs that plainly describe a different model.
+            import json as _json
+            import warnings
+
+            hf = _json.loads(raw)
+            declared_layers = hf.get("num_hidden_layers")
+            if declared_layers is not None and declared_layers != cfg.decoder.num_layers:
+                raise ValueError(
+                    f"{cfg_file} is an HF config for a {declared_layers}-layer "
+                    f"model; the built-in defaults describe "
+                    f"{cfg.decoder.num_layers} layers — pass a VisZephyrConfig "
+                    f"config.json instead"
+                )
+            warnings.warn(
+                f"{cfg_file} is not a VisZephyrConfig; using built-in "
+                "Zephyr-7B defaults (architecture fields matched)"
+            )
             cfg = VisZephyrConfig()
 
     tokenizer = None
@@ -87,11 +217,11 @@ def load_pretrained_model(
         tokenizer = None
 
     native = os.path.join(model_path, "state")
+    adapter_files = glob.glob(os.path.join(model_path, "adapter_model.*"))
     if os.path.isdir(native):
-        from ..train.checkpoints import load_checkpoint
-
-        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0), dtype=dtype)
-        params = load_checkpoint(model_path, {"params": params})["params"]
+        params = _load_native(model_path, dtype)
+    elif adapter_files and model_base:
+        params = _load_lora_artifact(model_path, model_base, vision_tower_path, cfg, dtype)
     else:
         params = {}
         if model_base:
@@ -104,9 +234,16 @@ def load_pretrained_model(
         if os.path.exists(proj_bin):
             params["projector"] = convert_qformer(load_torch_bin(proj_bin), cfg.projector, dtype)
         if not params:
-            raise FileNotFoundError(
-                f"{model_path}: neither a native checkpoint nor HF weights found"
-            )
+            # Consolidated single-dir checkpoint: full VisZephyr weights in
+            # one HF-style dir, no model_base (reference `builder.py:123-129`).
+            try:
+                sd = _load_hf_state_dict(model_path)
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"{model_path}: neither a native checkpoint, a LoRA "
+                    f"artifact (+model_base), nor HF weights found"
+                ) from None
+            params = _convert_consolidated(sd, cfg, dtype)
 
     if load_8bit:
         from ..ops.quant import quantize_decoder_layers, quantize_qformer

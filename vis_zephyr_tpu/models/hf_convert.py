@@ -216,6 +216,64 @@ def convert_mistral(state_dict: Mapping, cfg: DecoderConfig, dtype=jnp.float32) 
     }
 
 
+# peft module name → our param path under "decoder/layers".
+_PEFT_MODULE_MAP = {
+    "self_attn.q_proj": "attn/q",
+    "self_attn.k_proj": "attn/k",
+    "self_attn.v_proj": "attn/v",
+    "self_attn.o_proj": "attn/out",
+    "mlp.gate_proj": "mlp/gate",
+    "mlp.up_proj": "mlp/up",
+    "mlp.down_proj": "mlp/down",
+}
+
+
+def convert_lora_adapters(
+    state_dict: Mapping, cfg: DecoderConfig, r: int, alpha: float, dtype=jnp.float32
+) -> Dict[str, Dict]:
+    """peft `adapter_model.bin` → `train.lora.attach_lora` adapter dict.
+
+    peft keys look like
+    `base_model.model.model.layers.{i}.self_attn.q_proj.lora_A.weight`
+    with A [r, in] / B [out, r] (torch layout); ours are stacked
+    `lora_a [L, in, r]` / `lora_b [L, r, out]` + per-layer `lora_scale`
+    (reference load path: `vis_zephyr/model/builder.py:88-95` PeftModel +
+    merge_and_unload).
+    """
+    # Normalize keys down to "layers.{i}.{module}.lora_{A,B}.weight".
+    sd = {}
+    for k, v in state_dict.items():
+        idx = k.find("layers.")
+        if idx >= 0 and ".lora_" in k:
+            sd[k[idx:]] = _np(v)
+
+    adapters: Dict[str, Dict] = {}
+    for module, path in _PEFT_MODULE_MAP.items():
+        a_per_layer, b_per_layer = [], []
+        for i in range(cfg.num_layers):
+            ka = f"layers.{i}.{module}.lora_A.weight"
+            kb = f"layers.{i}.{module}.lora_B.weight"
+            if ka not in sd:
+                break
+            a_per_layer.append(sd[ka].T)  # [in, r]
+            b_per_layer.append(sd[kb].T)  # [r, out]
+        if not a_per_layer:
+            continue
+        if len(a_per_layer) != cfg.num_layers:
+            raise ValueError(
+                f"adapter for {module} covers {len(a_per_layer)} of "
+                f"{cfg.num_layers} layers"
+            )
+        adapters[f"decoder/layers/{path}"] = {
+            "lora_a": jnp.asarray(np.stack(a_per_layer), dtype),
+            "lora_b": jnp.asarray(np.stack(b_per_layer), dtype),
+            "lora_scale": jnp.full((cfg.num_layers,), alpha / r, dtype),
+        }
+    if not adapters:
+        raise ValueError("no LoRA adapter weights recognized in state dict")
+    return adapters
+
+
 def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
     """Load a torch-saved state dict (e.g. mm_projector.bin) as numpy."""
     import torch
