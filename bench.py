@@ -146,7 +146,7 @@ def bench_decode_paged(cfg: VisZephyrConfig, steps: int = 64, slots: int = 32,
     pages_per_req = -(-(prompt_len + steps * 4) // ps)  # slack for the scan
     num_pages = 1 + slots * pages_per_req
     L, Hkv, D = dec.num_layers, dec.num_kv_heads, dec.head_dim
-    kp = jnp.zeros((L, num_pages, Hkv, ps, D), jnp.bfloat16)
+    kp = jnp.zeros((Hkv, L * num_pages, ps, D), jnp.bfloat16)
     vp = jnp.zeros_like(kp)
     table = np.zeros((slots, pps), np.int32)
     for b in range(slots):

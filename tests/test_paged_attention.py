@@ -13,8 +13,9 @@ def make_case(rng, B=3, Hq=8, Hkv=2, D=64, page_size=16, pages_per_seq=4, num_pa
     # Unique random page assignment per sequence slot.
     table = rng.permutation(num_pages)[: B * pages_per_seq].reshape(B, pages_per_seq)
     q = rng.standard_normal((B, Hq, D)).astype(np.float32)
-    k_pages = rng.standard_normal((num_pages, Hkv, page_size, D)).astype(np.float32)
-    v_pages = rng.standard_normal((num_pages, Hkv, page_size, D)).astype(np.float32)
+    # Head-major pool layout [Hkv, num_pages, page_size, D].
+    k_pages = rng.standard_normal((Hkv, num_pages, page_size, D)).astype(np.float32)
+    v_pages = rng.standard_normal((Hkv, num_pages, page_size, D)).astype(np.float32)
     return (
         jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
         jnp.asarray(table, jnp.int32), jnp.asarray(lengths, jnp.int32),

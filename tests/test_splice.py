@@ -9,16 +9,22 @@ from vis_zephyr_tpu.ops.splice import compact_text_ids, splice_image_tokens
 
 
 def oracle_splice(input_ids, text_embeds, image_embeds, n_img, text_valid, labels):
-    """Reference-style python loop."""
+    """Reference-style python loop (multi-sentinel, vis_zephyr_arch.py:242-305:
+    the k-th sentinel consumes the k-th image's feature block)."""
+    n_img = np.atleast_2d(np.asarray(n_img).T).T if np.asarray(n_img).ndim == 1 else n_img
     out_embeds, out_labels, out_lens = [], [], []
     for b in range(input_ids.shape[0]):
         embeds, labs = [], []
+        base, k = 0, 0
         for t in range(input_ids.shape[1]):
             if not text_valid[b, t]:
                 continue
             if input_ids[b, t] == IMAGE_TOKEN_INDEX:
-                embeds.extend(image_embeds[b, : n_img[b]])
-                labs.extend([IGNORE_INDEX] * n_img[b])
+                n = n_img[b, k]
+                embeds.extend(image_embeds[b, base : base + n])
+                labs.extend([IGNORE_INDEX] * n)
+                base += n
+                k += 1
             else:
                 embeds.append(text_embeds[b, t])
                 labs.append(labels[b, t])
@@ -59,6 +65,36 @@ class TestSplice:
             np.testing.assert_array_equal(np.asarray(out["positions"][b, :L]), np.arange(L))
             # Padded embeds are zero.
             np.testing.assert_array_equal(np.asarray(out["embeds"][b, L:]), 0.0)
+
+    def test_multi_image_matches_oracle(self, rng):
+        """Two/three sentinels per sample, each consuming its own block
+        (reference multi-image loop)."""
+        B, T, D = 3, 9, 4
+        ids = rng.integers(5, 50, (B, T))
+        # Sample 0: 2 images; sample 1: 3 images; sample 2: 1 image.
+        ids[0, 1] = ids[0, 5] = IMAGE_TOKEN_INDEX
+        ids[1, 0] = ids[1, 3] = ids[1, 7] = IMAGE_TOKEN_INDEX
+        ids[2, 4] = IMAGE_TOKEN_INDEX
+        text_valid = np.ones((B, T), bool)
+        text_valid[0, -1:] = False
+        n_img = np.array([[3, 4, 0], [2, 2, 3], [5, 0, 0]])
+        N = int(n_img.sum(axis=1).max()) + 2  # some padding rows
+        te = rng.standard_normal((B, T, D)).astype(np.float32)
+        ie = rng.standard_normal((B, N, D)).astype(np.float32)
+        labels = rng.integers(5, 50, (B, T))
+
+        out = splice_image_tokens(
+            jnp.asarray(ids), jnp.asarray(te), jnp.asarray(ie),
+            jnp.asarray(n_img), jnp.asarray(text_valid), jnp.asarray(labels),
+        )
+        o_embeds, o_labels, o_lens = oracle_splice(ids, te, ie, n_img, text_valid, labels)
+        for b in range(B):
+            L = o_lens[b]
+            assert int(out["lengths"][b]) == L
+            np.testing.assert_allclose(
+                np.asarray(out["embeds"][b, :L]), o_embeds[b], rtol=1e-6
+            )
+            np.testing.assert_array_equal(np.asarray(out["labels"][b, :L]), o_labels[b])
 
     def test_truncation(self, rng):
         ids, valid, n_img, te, ie, labels = self._make(rng)

@@ -110,3 +110,95 @@ class TestVisZephyrForward:
         np.testing.assert_allclose(
             np.asarray(logits[0, :L0]), np.asarray(logits_ref[0, :L0]), rtol=2e-5, atol=2e-5
         )
+
+
+class TestInitializeVisionTokenizer:
+    def test_adds_tokens_and_mean_inits(self, mock_tokenizer):
+        import jax
+
+        from vis_zephyr_tpu.config import tiny_config
+        from vis_zephyr_tpu.constants import (
+            DEFAULT_IM_END_TOKEN,
+            DEFAULT_IM_START_TOKEN,
+            DEFAULT_IMAGE_PATCH_TOKEN,
+        )
+        from vis_zephyr_tpu.models.vis_zephyr import (
+            init_vis_zephyr,
+            initialize_vision_tokenizer,
+        )
+
+        class Tok:
+            """HF-ish add_tokens/len surface over the mock tokenizer."""
+
+            def __init__(self, base_vocab):
+                self.vocab = dict(base_vocab)
+
+            def add_tokens(self, tokens, special_tokens=True):
+                added = 0
+                for t in tokens:
+                    if t not in self.vocab:
+                        self.vocab[t] = len(self.vocab)
+                        added += 1
+                return added
+
+            def __len__(self):
+                return len(self.vocab)
+
+        cfg = tiny_config()
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        V = cfg.decoder.vocab_size
+        tok = Tok({f"w{i}": i for i in range(V)})
+
+        new_params, n_new = initialize_vision_tokenizer(
+            params, tok, mm_use_im_patch_token=True, mm_use_im_start_end=True
+        )
+        assert n_new == 3
+        assert DEFAULT_IMAGE_PATCH_TOKEN in tok.vocab
+        assert DEFAULT_IM_START_TOKEN in tok.vocab and DEFAULT_IM_END_TOKEN in tok.vocab
+
+        embed = np.asarray(new_params["decoder"]["embed_tokens"])
+        head = np.asarray(new_params["decoder"]["lm_head"]["kernel"])
+        assert embed.shape[0] == V + 3 and head.shape[1] == V + 3
+        old_mean = np.asarray(params["decoder"]["embed_tokens"]).mean(axis=0)
+        for r in range(1, 4):
+            np.testing.assert_allclose(embed[-r], old_mean, rtol=1e-5, atol=1e-6)
+
+        # Idempotent: tables already cover the tokenizer → no-op.
+        again, n2 = initialize_vision_tokenizer(
+            new_params, tok, mm_use_im_patch_token=True, mm_use_im_start_end=True
+        )
+        assert n2 == 0
+        assert np.asarray(again["decoder"]["embed_tokens"]).shape[0] == V + 3
+
+    def test_pretrained_embed_override(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vis_zephyr_tpu.config import tiny_config
+        from vis_zephyr_tpu.models.vis_zephyr import (
+            init_vis_zephyr,
+            initialize_vision_tokenizer,
+        )
+
+        class Tok:
+            def __init__(self, n):
+                self.n = n
+
+            def add_tokens(self, tokens, special_tokens=True):
+                self.n += len(tokens)
+                return len(tokens)
+
+            def __len__(self):
+                return self.n
+
+        cfg = tiny_config()
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        pre = jnp.ones((2, cfg.decoder.hidden_size)) * 7.0
+        new_params, n_new = initialize_vision_tokenizer(
+            params, Tok(cfg.decoder.vocab_size), mm_use_im_start_end=True,
+            pretrained_embed_tokens=pre,
+        )
+        assert n_new == 2
+        np.testing.assert_allclose(
+            np.asarray(new_params["decoder"]["embed_tokens"][-2:]), 7.0
+        )

@@ -245,6 +245,18 @@ def load_pretrained_model(
                 ) from None
             params = _convert_consolidated(sd, cfg, dtype)
 
+    # Checkpoints trained with image placeholder tokens need the tokenizer
+    # and embedding tables aligned at load (reference `builder.py:140-153`).
+    # No-op when the saved tables were already resized.
+    if tokenizer is not None and (cfg.mm_use_im_start_end or cfg.mm_use_im_patch_token):
+        from .vis_zephyr import initialize_vision_tokenizer
+
+        params, _ = initialize_vision_tokenizer(
+            params, tokenizer,
+            mm_use_im_patch_token=cfg.mm_use_im_patch_token,
+            mm_use_im_start_end=cfg.mm_use_im_start_end,
+        )
+
     if load_8bit:
         from ..ops.quant import quantize_decoder_layers, quantize_qformer
 

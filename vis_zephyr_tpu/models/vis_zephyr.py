@@ -34,6 +34,78 @@ from .mistral import embed, init_mistral, mistral_forward
 from .qformer import init_qformer, qformer_forward
 
 
+def initialize_vision_tokenizer(
+    params: Dict,
+    tokenizer,
+    mm_use_im_patch_token: bool = False,
+    mm_use_im_start_end: bool = False,
+    pretrained_embed_tokens=None,
+) -> Tuple[Dict, int]:
+    """Add the image placeholder special tokens and resize the embedding
+    tables (functional: returns new params; the tokenizer gains the tokens
+    in place). Reference: `vis_zephyr_arch.py:338-393`.
+
+    - `<im_patch>` under `mm_use_im_patch_token`; `<im_start>`/`<im_end>`
+      under `mm_use_im_start_end`.
+    - New input/output embedding rows are mean-initialized from the existing
+      rows (the reference's explicit mean-init for start/end; we apply the
+      same to the patch token rather than torch's random resize).
+    - `pretrained_embed_tokens`: optional [V, D] or [2, D] array from a
+      stage-1 projector artifact that carried tuned embeddings — overrides
+      the new input rows (reference `pretrain_mm_mlp_adapter` branch).
+
+    Returns (params, num_new_tokens). No-op when the tables already cover
+    the tokenizer (e.g. loading a checkpoint that was saved resized).
+    """
+    from ..constants import (
+        DEFAULT_IM_END_TOKEN,
+        DEFAULT_IM_START_TOKEN,
+        DEFAULT_IMAGE_PATCH_TOKEN,
+    )
+
+    new_tokens = []
+    if mm_use_im_patch_token:
+        new_tokens.append(DEFAULT_IMAGE_PATCH_TOKEN)
+    if mm_use_im_start_end:
+        new_tokens += [DEFAULT_IM_START_TOKEN, DEFAULT_IM_END_TOKEN]
+    if not new_tokens:
+        return params, 0
+    tokenizer.add_tokens(new_tokens, special_tokens=True)
+    target_vocab = len(tokenizer)
+
+    dec = dict(params["decoder"])
+    embed = dec["embed_tokens"]
+    V, D = embed.shape
+    n_new = target_vocab - V
+    if n_new <= 0:
+        return params, 0  # tables already resized (saved checkpoint)
+
+    def mean_extend(table, axis):
+        mean = table.mean(axis=axis, keepdims=True).astype(table.dtype)
+        reps = [1, 1]
+        reps[axis] = n_new
+        return jnp.concatenate([table, jnp.tile(mean, reps)], axis=axis)
+
+    new_embed = mean_extend(embed, axis=0)
+    if pretrained_embed_tokens is not None:
+        pre = jnp.asarray(pretrained_embed_tokens, embed.dtype)
+        if pre.shape[0] == target_vocab:
+            new_embed = new_embed.at[-n_new:].set(pre[-n_new:])
+        elif pre.shape[0] == n_new:
+            new_embed = new_embed.at[-n_new:].set(pre)
+        else:
+            raise ValueError(
+                f"pretrained embed_tokens shape {pre.shape} matches neither "
+                f"the resized vocab {target_vocab} nor the {n_new} new rows"
+            )
+    dec["embed_tokens"] = new_embed
+    dec["lm_head"] = {
+        **dec["lm_head"],
+        "kernel": mean_extend(dec["lm_head"]["kernel"], axis=1),
+    }
+    return {**params, "decoder": dec}, n_new
+
+
 def init_vis_zephyr(cfg: VisZephyrConfig, key, dtype=jnp.float32) -> Dict:
     kv, kp, kd = jax.random.split(key, 3)
     return {

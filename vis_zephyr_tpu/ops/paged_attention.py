@@ -6,12 +6,18 @@ model that lifts the dense-cache slot ceiling in the continuous batcher
 (dense [slots, max_len] caches OOM a v5e chip at ~32 slots × 2048; paged
 pools allocate only what sequences actually use).
 
-Layout:
-  k_pages / v_pages: [num_pages, Hkv, page_size, D]   (global pools; head
-                     before page_size keeps pallas blocks tile-legal)
+Layout (head-major, matching the tuned library kernel
+`jax.experimental.pallas.ops.tpu.paged_attention`):
+  k_pages / v_pages: [Hkv, num_pages, page_size, D]   (global pools; a kv
+                     head's pages are contiguous — the DMA-friendly order)
   page_table:        [B, pages_per_seq] int32         (pool indices)
   lengths:           [B] int32                        (tokens per sequence)
   q:                 [B, Hq, D] (one decode step)     → out [B, Hq, D]
+
+On TPU, `paged_attention` dispatches to the library kernel (multiple pages
+per compute block, megacore-aware — far lower per-block overhead); this
+module's own Pallas kernel is the interpret-mode (CPU test) fallback and
+the layout-defining specification.
 
 The kernel runs one (batch row, kv head) pair per grid cell and walks that
 sequence's pages sequentially with online softmax; the page table rides the
@@ -100,14 +106,29 @@ def paged_attention(
     scale=None,
     interpret=None,
 ) -> jnp.ndarray:
-    """q [B, Hq, D] against paged KV. Returns [B, Hq, D]."""
+    """q [B, Hq, D] against paged KV ([Hkv, num_pages, page_size, D]).
+    Returns [B, Hq, D]."""
     B, Hq, D = q.shape
-    _, Hkv, page_size, _ = k_pages.shape
+    Hkv, _, page_size, _ = k_pages.shape
     pages_per_seq = page_table.shape[1]
     group = Hq // Hkv
     scale = D ** -0.5 if scale is None else scale
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+
+    if not interpret and scale == D ** -0.5:
+        # Tuned library kernel: processes several pages per flash block and
+        # can split work across megacore — ~an order of magnitude less
+        # per-block overhead than the one-page-per-cell spec kernel below.
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            paged_attention as _lib_paged_attention,
+        )
+
+        block = next(b for b in (8, 4, 2, 1) if pages_per_seq % b == 0)
+        return _lib_paged_attention(
+            q, k_pages, v_pages, lengths, page_table,
+            pages_per_compute_block=block,
+        )
 
     # [B, Hkv, G, D] grouped query layout.
     qg = q.reshape(B, Hkv, group, D)
@@ -124,11 +145,11 @@ def paged_attention(
                 # One KV page per step, addressed through the page table.
                 pl.BlockSpec(
                     (1, 1, page_size, D),
-                    lambda b, h, p, pt, ln: (pt[b, p], h, 0, 0),
+                    lambda b, h, p, pt, ln: (h, pt[b, p], 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, page_size, D),
-                    lambda b, h, p, pt, ln: (pt[b, p], h, 0, 0),
+                    lambda b, h, p, pt, ln: (h, pt[b, p], 0, 0),
                 ),
             ],
             out_specs=pl.BlockSpec((1, 1, group, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
@@ -149,13 +170,13 @@ def paged_attention(
 def paged_attention_reference(q, k_pages, v_pages, page_table, lengths):
     """XLA oracle: gather pages into dense KV, run masked attention."""
     B, Hq, D = q.shape
-    _, Hkv, page_size, _ = k_pages.shape
+    Hkv, _, page_size, _ = k_pages.shape
     pages_per_seq = page_table.shape[1]
     S = pages_per_seq * page_size
 
-    # [B, pages, Hkv, page_size, D] → [B, S, Hkv, D]
-    k = jnp.moveaxis(k_pages[page_table], 2, 3).reshape(B, S, Hkv, D)
-    v = jnp.moveaxis(v_pages[page_table], 2, 3).reshape(B, S, Hkv, D)
+    # [Hkv, B, pages, page_size, D] → [B, S, Hkv, D]
+    k = jnp.moveaxis(k_pages[:, page_table], 0, 3).reshape(B, S, Hkv, D)
+    v = jnp.moveaxis(v_pages[:, page_table], 0, 3).reshape(B, S, Hkv, D)
     q_pos = (lengths - 1)[:, None]
     kv_pos = jnp.broadcast_to(jnp.arange(S), (B, S))
     mask = attention_mask(q_pos, kv_pos, kv_valid=kv_pos < lengths[:, None], causal=True)

@@ -13,10 +13,13 @@ cumsums give each input token its output start offset, and each output slot
 finds its source input token with a batched binary search — two gathers, no
 loops, no host sync.
 
-Supports one image (with up to P patches × Q query tokens) per sample,
-matching the reference data model (one anyres image per conversation).
-Samples without a sentinel pass through unchanged (text-only samples in a
-multimodal batch, `vis_zephyr_arch.py:244-258`).
+Supports K sentinels per sample (the reference's multi-image loop,
+`vis_zephyr_arch.py:242-305`): the k-th sentinel of a row expands into the
+k-th image's token block. The shipped datasets use one anyres image per
+conversation (K=1, the fast path); pass 2-D `num_image_tokens [B, K]` with
+`image_embeds` holding the images' blocks concatenated along the token axis
+for multi-image samples. Samples without a sentinel pass through unchanged
+(text-only samples in a multimodal batch, `vis_zephyr_arch.py:244-258`).
 """
 
 from __future__ import annotations
@@ -46,10 +49,13 @@ def splice_image_tokens(
         right-padded.
       text_embeds: [B, T, D] embeddings of input_ids (sentinel/pad rows are
         ignored).
-      image_embeds: [B, N, D] projected image tokens for the sample's image
-        (N = max_patches * num_queries; trailing rows may be padding).
-      num_image_tokens: [B] int — how many of the N rows are real
-        (= valid_patches * num_queries).
+      image_embeds: [B, N, D] projected image tokens (N = total rows across
+        the sample's images, blocks concatenated in sentinel order; trailing
+        rows may be padding).
+      num_image_tokens: [B] int — rows of image_embeds that are real
+        (= valid_patches * num_queries) — or [B, K] for K images per
+        sample: entry k sizes the k-th sentinel's block, blocks laid out
+        back-to-back in image_embeds.
       text_valid: [B, T] bool mask of real text tokens (None = all real).
       labels: optional [B, T]; image spans and padding become IGNORE_INDEX.
       max_length: optional truncation of the output length (reference
@@ -75,9 +81,21 @@ def splice_image_tokens(
         text_valid = jnp.ones((B, T), dtype=bool)
     text_valid = text_valid.astype(bool)
 
-    is_sentinel = input_ids == IMAGE_TOKEN_INDEX
+    if num_image_tokens.ndim == 1:
+        num_image_tokens = num_image_tokens[:, None]  # [B, K=1]
+    K = num_image_tokens.shape[1]
+
+    is_sentinel = (input_ids == IMAGE_TOKEN_INDEX) & text_valid
+    # Ordinal of each sentinel within its row (0-based); the k-th sentinel
+    # consumes the k-th image's block (reference multi-image loop order).
+    sent_ord = jnp.clip(jnp.cumsum(is_sentinel, axis=1) - 1, 0, K - 1)
+    batch_full = jnp.arange(B)[:, None]
+    counts_at = num_image_tokens[batch_full, sent_ord]  # [B, T]
+    # Exclusive cumsum of per-image counts: block k's base row in image_embeds.
+    img_base = jnp.cumsum(num_image_tokens, axis=1) - num_image_tokens  # [B, K]
+
     # Expansion size per input position.
-    sizes = jnp.where(is_sentinel, num_image_tokens[:, None], 1)
+    sizes = jnp.where(is_sentinel, counts_at, 1)
     sizes = jnp.where(text_valid, sizes, 0)
     starts = jnp.cumsum(sizes, axis=1) - sizes  # exclusive cumsum [B, T]
     lengths = jnp.sum(sizes, axis=1).astype(jnp.int32)
@@ -93,7 +111,9 @@ def splice_image_tokens(
     offset = out_idx[None, :] - starts[batch, src]  # position within the block
     valid = out_idx[None, :] < lengths[:, None]
 
-    img_rows = image_embeds[batch, jnp.clip(offset, 0, N - 1)]
+    # Row in image_embeds: the source sentinel's block base + in-block offset.
+    img_row_idx = img_base[batch, sent_ord[batch, src]] + offset
+    img_rows = image_embeds[batch, jnp.clip(img_row_idx, 0, N - 1)]
     txt_rows = text_embeds[batch, src]
     embeds = jnp.where((src_is_img & valid)[..., None], img_rows, txt_rows)
     embeds = jnp.where(valid[..., None], embeds, jnp.zeros((), embeds.dtype))

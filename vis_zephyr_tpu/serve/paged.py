@@ -11,12 +11,12 @@ Net-new capability vs the reference (its server generates one request at a
 time with a full dense cache, `vis_zephyr/serve/api.py:39-189`).
 
 Layout (TPU-first):
-- pools are scan-stacked with the layers: `[L, num_pages, Hkv, page_size,
-  D]`. The decode step scans layers carrying the pools; the per-layer
-  kernel call views the pool as `[L*num_pages, Hkv, page_size, D]` (a free
-  reshape) and offsets the page table by `layer * num_pages` — the
-  TPU-verified `ops.paged_attention` kernel is reused unchanged, and no
-  per-layer pool slice is ever materialized.
+- pools are head-major and layer-flat: `[Hkv, L*num_pages, page_size, D]`
+  (the tuned TPU kernel's native layout — a kv head's pages are
+  contiguous). Layer `l`'s pages occupy pool slots `[l*num_pages,
+  (l+1)*num_pages)`; the decode step scans layers carrying the pools and
+  offsets the page table by `l * num_pages` — no per-layer pool slice is
+  ever materialized.
 - pool page 0 (of every layer) is a reserved trash page: inactive slots
   write their dummy token there, and unused page-table entries point at it
   so the kernel's block DMAs dedup (consecutive grid steps with identical
@@ -75,16 +75,19 @@ class PageAllocator:
 def _admit_paged(kp, vp, page_table, lengths, k, v, length, row, *, slot: int):
     """Write a prefilled sequence's K/V into its allocated pages and install
     its page-table row. k/v: [L, T, Hkv, D] with T a page-size multiple
-    (prefill pads to 128 on TPU; padded host-side otherwise)."""
+    (prefill pads to 128 on TPU; padded host-side otherwise).
+    Pools are [Hkv, L*P, ps, D]; viewed as [Hkv, L, P, ps, D] the same
+    logical page id is written in every layer's segment."""
     L, T, Hkv, D = k.shape
-    ps = kp.shape[3]
+    ps = kp.shape[2]
+    P = kp.shape[1] // L
     n = T // ps
-    # [L, n, ps, Hkv, D] → [n, L, Hkv, ps, D] page blocks.
-    kb = jnp.moveaxis(k.reshape(L, n, ps, Hkv, D), (1, 3), (0, 2)).astype(kp.dtype)
-    vb = jnp.moveaxis(v.reshape(L, n, ps, Hkv, D), (1, 3), (0, 2)).astype(vp.dtype)
+    # [L, T, Hkv, D] → [Hkv, L, n, ps, D] page blocks.
+    kb = k.reshape(L, n, ps, Hkv, D).transpose(3, 0, 1, 2, 4).astype(kp.dtype)
+    vb = v.reshape(L, n, ps, Hkv, D).transpose(3, 0, 1, 2, 4).astype(vp.dtype)
     pages = row[:n]
-    kp = kp.at[:, pages].set(jnp.moveaxis(kb, 0, 1))
-    vp = vp.at[:, pages].set(jnp.moveaxis(vb, 0, 1))
+    kp = kp.reshape(Hkv, L, P, ps, D).at[:, :, pages].set(kb).reshape(Hkv, L * P, ps, D)
+    vp = vp.reshape(Hkv, L, P, ps, D).at[:, :, pages].set(vb).reshape(Hkv, L * P, ps, D)
     page_table = page_table.at[slot].set(row)
     lengths = lengths.at[slot].set(length.astype(jnp.int32))
     return kp, vp, page_table, lengths
@@ -102,8 +105,9 @@ def _paged_step(params, kp, vp, page_table, lengths, token, active, key,
                 cfg: VisZephyrConfig, sampling: SamplingConfig):
     """One decode step over all slots against the paged pools."""
     dec = cfg.decoder
-    L, P = kp.shape[0], kp.shape[1]
-    ps = kp.shape[3]
+    L = dec.num_layers
+    P = kp.shape[1] // L  # logical pages per layer segment
+    ps = kp.shape[2]
     B = token.shape[0]
 
     lengths_eff = jnp.where(active, lengths, 0)
@@ -117,7 +121,6 @@ def _paged_step(params, kp, vp, page_table, lengths, token, active, key,
     cur_page = jnp.where(active, cur_page, 0)
     offset = lengths_eff % ps
 
-    kp_flat_shape = (L * P,) + kp.shape[2:]
     kernel_lengths = jnp.where(active, lengths_eff + 1, 0)
 
     def body(carry, xs):
@@ -125,17 +128,12 @@ def _paged_step(params, kp, vp, page_table, lengths, token, active, key,
         layer_params, i = xs
         hn = rms_norm(h, layer_params["input_ln"]["scale"], dec.rms_norm_eps)
         q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin)
-        kp = kp.at[i, cur_page, :, offset, :].set(k[:, 0].astype(kp.dtype))
-        vp = vp.at[i, cur_page, :, offset, :].set(v[:, 0].astype(vp.dtype))
-        # Flat view + layer-offset table: the kernel reads pages straight
-        # from the stacked pool (reshape is a bitcast, never a copy).
-        attn = paged_attention(
-            q[:, 0],
-            kp.reshape(kp_flat_shape),
-            vp.reshape(kp_flat_shape),
-            page_table + i * P,
-            kernel_lengths,
-        )
+        page = i * P + cur_page
+        kp = kp.at[:, page, offset].set(k[:, 0].swapaxes(0, 1).astype(kp.dtype))
+        vp = vp.at[:, page, offset].set(v[:, 0].swapaxes(0, 1).astype(vp.dtype))
+        # Layer-offset table: the kernel reads pages straight from this
+        # layer's segment of the flat pool.
+        attn = paged_attention(q[:, 0], kp, vp, page_table + i * P, kernel_lengths)
         attn = attn.reshape(B, 1, -1)
         h = h + qdot(attn, layer_params["attn"]["out"])
         hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], dec.rms_norm_eps)
@@ -206,7 +204,7 @@ class PagedBatcher(ContinuousBatcher):
 
         dec = cfg.decoder
         dtype = params["decoder"]["embed_tokens"].dtype
-        pool_shape = (dec.num_layers, num_pages, dec.num_kv_heads, page_size, dec.head_dim)
+        pool_shape = (dec.num_kv_heads, dec.num_layers * num_pages, page_size, dec.head_dim)
         self.kp = jnp.zeros(pool_shape, dtype)
         self.vp = jnp.zeros(pool_shape, dtype)
         self.page_table = jnp.zeros((max_slots, self.pages_per_seq), jnp.int32)

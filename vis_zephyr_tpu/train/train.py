@@ -55,6 +55,8 @@ class TrainArguments:
     image_folder: str = ""
     image_aspect_ratio: str = "anyres"
     mm_grid_pinpoints: str = "[[336, 672], [672, 336], [336, 1008], [1008, 336]]"
+    mm_use_im_start_end: bool = False
+    mm_use_im_patch_token: bool = False
     model_max_length: int = 2048
     group_by_modality_length: bool = True
     # Optimization
@@ -98,6 +100,19 @@ def build_components(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrCon
         from .checkpoints import load_projector
 
         params["projector"] = load_projector(args.pretrain_mm_mlp_adapter, params["projector"])
+    if args.mm_use_im_start_end or args.mm_use_im_patch_token:
+        from ..models.vis_zephyr import initialize_vision_tokenizer
+
+        params, _ = initialize_vision_tokenizer(
+            params, tokenizer,
+            mm_use_im_patch_token=args.mm_use_im_patch_token,
+            mm_use_im_start_end=args.mm_use_im_start_end,
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            mm_use_im_start_end=args.mm_use_im_start_end,
+            mm_use_im_patch_token=args.mm_use_im_patch_token,
+        )
     if args.stage == "2":
         params = add_lora(
             params, LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
