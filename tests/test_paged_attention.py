@@ -55,3 +55,31 @@ class TestPagedAttention:
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
             )
+
+
+class TestSelfTerm:
+    def test_new_token_operands_match_oracle(self, rng):
+        """The current token's K/V as kernel operands == appending it to the
+        cache (exact online-softmax epilogue)."""
+        for Hq, Hkv in ((8, 2), (4, 4), (8, 1)):
+            q, kp, vp, table, lengths = make_case(rng, Hq=Hq, Hkv=Hkv)
+            B, _, D = q.shape
+            k_new = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+            v_new = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+            got = paged_attention(q, kp, vp, table, lengths, k_new=k_new, v_new=v_new)
+            ref = paged_attention_reference(q, kp, vp, table, lengths, k_new, v_new)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+            )
+
+    def test_zero_length_row_attends_self_only(self, rng):
+        q, kp, vp, table, _ = make_case(rng, B=2)
+        B, Hq, D = q.shape
+        Hkv = kp.shape[0]
+        lengths = jnp.asarray([0, 3], jnp.int32)
+        k_new = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+        got = paged_attention(q, kp, vp, table, lengths, k_new=k_new, v_new=v_new)
+        # Row 0 has no cache: softmax over {self} → exactly v_new per group.
+        expect0 = np.repeat(np.asarray(v_new[0]), Hq // Hkv, axis=0)
+        np.testing.assert_allclose(np.asarray(got[0]), expect0, rtol=2e-5, atol=2e-5)

@@ -52,7 +52,7 @@ def test_stage1_train_run_and_resume(tmp_path, fixture_data, mock_tokenizer):
         mm_grid_pinpoints=cfg.mm_grid_pinpoints,
         model_max_length=128,
         per_device_batch_size=1,
-        num_epochs=1,
+        num_epochs=2,
         max_steps=2,
         learning_rate=1e-3,
         mm_projector_lr=1e-2,
@@ -65,16 +65,40 @@ def test_stage1_train_run_and_resume(tmp_path, fixture_data, mock_tokenizer):
         remat=True,
         resume=False,
     )
-    state = train(args, mock_tokenizer, cfg=cfg)
-    assert int(jax.device_get(state["step"])) == 2
+    from vis_zephyr_tpu.data import prefetch as prefetch_mod
 
-    last = latest_checkpoint(args.output_dir)
-    assert last is not None
+    consumed: list = []
+    real_loader = prefetch_mod.PrefetchLoader
 
-    # Resume continues from the saved full-state checkpoint.
-    args2 = TrainArguments(**{**args.__dict__, "max_steps": 3, "resume": True})
-    state2 = train(args2, mock_tokenizer, cfg=cfg)
-    assert int(jax.device_get(state2["step"])) == 3
+    class RecordingLoader(real_loader):
+        def __init__(self, dataset, collator, batch_indices, **kw):
+            consumed.extend(batch_indices)
+            super().__init__(dataset, collator, batch_indices, **kw)
+
+    prefetch_mod.PrefetchLoader = RecordingLoader
+    try:
+        state = train(args, mock_tokenizer, cfg=cfg)
+        assert int(jax.device_get(state["step"])) == 2
+
+        last = latest_checkpoint(args.output_dir)
+        assert last is not None
+
+        first_run_batches = list(consumed)
+        consumed.clear()
+
+        # Resume continues from the saved full-state checkpoint AND
+        # fast-forwards the sampler: the next batch equals what an
+        # uninterrupted run would have consumed next (no data replay).
+        args2 = TrainArguments(**{**args.__dict__, "max_steps": 3, "resume": True})
+        state2 = train(args2, mock_tokenizer, cfg=cfg)
+        assert int(jax.device_get(state2["step"])) == 3
+        assert consumed, "resumed run consumed no batches"
+        assert consumed[0] == first_run_batches[2], (
+            f"resume replayed data: got {consumed[0]}, "
+            f"expected step-3 batch {first_run_batches[2]}"
+        )
+    finally:
+        prefetch_mod.PrefetchLoader = real_loader
 
     # benchmark.csv written.
     bench = (tmp_path / "run" / "benchmark.csv").read_text()

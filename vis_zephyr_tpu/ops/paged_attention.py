@@ -14,10 +14,13 @@ Layout (head-major, matching the tuned library kernel
   lengths:           [B] int32                        (tokens per sequence)
   q:                 [B, Hq, D] (one decode step)     → out [B, Hq, D]
 
-On TPU, `paged_attention` dispatches to the library kernel (multiple pages
-per compute block, megacore-aware — far lower per-block overhead); this
-module's own Pallas kernel is the interpret-mode (CPU test) fallback and
-the layout-defining specification.
+The current decode token's K/V ride as SEPARATE operands (`k_new`/`v_new`
+[B, Hkv, D]) folded into the online softmax as a final self-term, so the
+pools are strictly read-only inside the decode step. This matters: an
+in-place pool scatter aliasing a Pallas (custom-call) consumer defeats
+XLA's in-place buffer analysis and inserts a full pool copy per layer —
+measured 333 ms/step vs 18 ms without the conflict on v5e. The caller
+scatters all layers' K/V into the pools once, after the layer scan.
 
 The kernel runs one (batch row, kv head) pair per grid cell and walks that
 sequence's pages sequentially with online softmax; the page table rides the
@@ -27,11 +30,15 @@ are skipped entirely.
 
 GQA: the q heads of a group ([G, D] per kv head) are processed together —
 scores are [G, page_size] tiles on the MXU.
+
+When `k_new` is None the call dispatches to the tuned library kernel on
+TPU (multi-page compute blocks, megacore-aware).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,10 +54,10 @@ def _kernel(
     # scalar prefetch
     page_table_ref, lengths_ref,
     # blocks
-    q_ref, k_page_ref, v_page_ref,
+    q_ref, k_page_ref, v_page_ref, k_new_ref, v_new_ref,
     o_ref,
     m_scratch, l_scratch, acc_scratch,
-    *, page_size: int, scale: float,
+    *, page_size: int, scale: float, has_new: bool,
 ):
     b = pl.program_id(0)
     p = pl.program_id(2)
@@ -91,23 +98,47 @@ def _kernel(
 
     @pl.when(p == n_pages - 1)
     def _store():
-        l = l_scratch[...][:, :1]
+        m_prev, l_prev, acc = m_scratch[...], l_scratch[...], acc_scratch[...]
+        if has_new:
+            # Fold the current token's K/V in as the final online-softmax
+            # term: attention covers cache slots [0, length) plus itself.
+            q = q_ref[0, 0].astype(jnp.float32)            # [G, D]
+            kn = k_new_ref[0].astype(jnp.float32)          # [1, D]
+            vn = v_new_ref[0].astype(jnp.float32)          # [1, D]
+            s_self = jax.lax.dot_general(
+                q, kn, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                      # [G, 1]
+            m_next = jnp.maximum(m_prev, jnp.broadcast_to(s_self, m_prev.shape))
+            alpha = jnp.exp(m_prev - m_next)
+            p_self = jnp.exp(s_self - m_next[:, :1])       # [G, 1]
+            l_prev = alpha * l_prev + p_self
+            acc = acc * alpha[:, :1] + p_self * vn
+        l = l_prev[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "use_lib"))
 def paged_attention(
     q: jnp.ndarray,
     k_pages: jnp.ndarray,
     v_pages: jnp.ndarray,
     page_table: jnp.ndarray,
     lengths: jnp.ndarray,
+    k_new: Optional[jnp.ndarray] = None,
+    v_new: Optional[jnp.ndarray] = None,
     scale=None,
     interpret=None,
+    use_lib=None,
 ) -> jnp.ndarray:
     """q [B, Hq, D] against paged KV ([Hkv, num_pages, page_size, D]).
-    Returns [B, Hq, D]."""
+
+    `lengths` counts tokens already IN the pools. With `k_new`/`v_new`
+    [B, Hkv, D] given, the current token participates in attention as a
+    final self-term (exact online softmax) without being written to the
+    pools first — see module docstring for why. Returns [B, Hq, D].
+    """
     B, Hq, D = q.shape
     Hkv, _, page_size, _ = k_pages.shape
     pages_per_seq = page_table.shape[1]
@@ -115,11 +146,10 @@ def paged_attention(
     scale = D ** -0.5 if scale is None else scale
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if use_lib is None:
+        use_lib = not interpret and k_new is None and scale == D ** -0.5
 
-    if not interpret and scale == D ** -0.5:
-        # Tuned library kernel: processes several pages per flash block and
-        # can split work across megacore — ~an order of magnitude less
-        # per-block overhead than the one-page-per-cell spec kernel below.
+    if use_lib:
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention as _lib_paged_attention,
         )
@@ -132,10 +162,16 @@ def paged_attention(
 
     # [B, Hkv, G, D] grouped query layout.
     qg = q.reshape(B, Hkv, group, D)
+    has_new = k_new is not None
+    if not has_new:  # dummy operands keep one kernel signature
+        k_new = jnp.zeros((B, Hkv, D), k_pages.dtype)
+        v_new = jnp.zeros((B, Hkv, D), v_pages.dtype)
 
     grid = (B, Hkv, pages_per_seq)
     out = pl.pallas_call(
-        functools.partial(_kernel, page_size=page_size, scale=scale),
+        functools.partial(
+            _kernel, page_size=page_size, scale=scale, has_new=has_new
+        ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, group, D), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # page_table, lengths
@@ -151,6 +187,8 @@ def paged_attention(
                     (1, 1, page_size, D),
                     lambda b, h, p, pt, ln: (h, pt[b, p], 0, 0),
                 ),
+                pl.BlockSpec((1, 1, D), lambda b, h, p, pt, ln: (b, h, 0)),
+                pl.BlockSpec((1, 1, D), lambda b, h, p, pt, ln: (b, h, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, group, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
             scratch_shapes=[
@@ -163,12 +201,14 @@ def paged_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_table, lengths, qg, k_pages, v_pages)
+    )(page_table, lengths, qg, k_pages, v_pages, k_new, v_new)
     return out.reshape(B, Hq, D)
 
 
-def paged_attention_reference(q, k_pages, v_pages, page_table, lengths):
-    """XLA oracle: gather pages into dense KV, run masked attention."""
+def paged_attention_reference(q, k_pages, v_pages, page_table, lengths,
+                              k_new=None, v_new=None):
+    """XLA oracle: gather pages into dense KV (appending the current token's
+    K/V when given), run masked attention."""
     B, Hq, D = q.shape
     Hkv, _, page_size, _ = k_pages.shape
     pages_per_seq = page_table.shape[1]
@@ -177,8 +217,16 @@ def paged_attention_reference(q, k_pages, v_pages, page_table, lengths):
     # [Hkv, B, pages, page_size, D] → [B, S, Hkv, D]
     k = jnp.moveaxis(k_pages[:, page_table], 0, 3).reshape(B, S, Hkv, D)
     v = jnp.moveaxis(v_pages[:, page_table], 0, 3).reshape(B, S, Hkv, D)
-    q_pos = (lengths - 1)[:, None]
+    kv_valid = jnp.arange(S)[None, :] < lengths[:, None]
+    if k_new is not None:
+        k = jnp.concatenate([k, k_new[:, None].astype(k.dtype)], axis=1)
+        v = jnp.concatenate([v, v_new[:, None].astype(v.dtype)], axis=1)
+        kv_valid = jnp.concatenate(
+            [kv_valid, jnp.ones((B, 1), bool)], axis=1
+        )
+        S += 1
+    q_pos = jnp.full((B, 1), S)  # after every valid slot → causal no-op
     kv_pos = jnp.broadcast_to(jnp.arange(S), (B, S))
-    mask = attention_mask(q_pos, kv_pos, kv_valid=kv_pos < lengths[:, None], causal=True)
+    mask = attention_mask(q_pos, kv_pos, kv_valid=kv_valid, causal=True)
     out = dot_product_attention(q[:, None], k, v, mask=mask)
     return out[:, 0]

@@ -87,6 +87,17 @@ class ChatHandler(BaseHTTPRequestHandler):
         except (BrokenPipeError, ConnectionResetError):
             pass
 
+    def do_GET(self):
+        """GET /metrics → serving TTFT/TPOT summary; GET /health → ok."""
+        path = self.path.rstrip("/")
+        if path == "/health":
+            self._json(200, {"status": "ok"})
+        elif path == "/metrics":
+            m = getattr(self.engine, "metrics", None)
+            self._json(200, m.summary() if m is not None else {})
+        else:
+            self.send_error(404)
+
     def do_OPTIONS(self):
         self.send_response(204)
         self.send_header("Access-Control-Allow-Origin", "*")
@@ -157,6 +168,9 @@ def main(args=None):
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree: shard the model over this "
                         "many chips (model-axis inference mesh)")
+    p.add_argument("--metrics-path", default=None,
+                   help="JSONL file for per-request TTFT/TPOT rows; "
+                        "aggregate histograms at GET /metrics")
     a = p.parse_args(args)
 
     tokenizer, params, cfg, _ = load_pretrained_model(
@@ -168,11 +182,17 @@ def main(args=None):
         from ..parallel.mesh import create_mesh
 
         mesh = create_mesh(model=a.tp)
+    from ..utils.metrics import MetricsLogger, ServingMetrics
+
+    metrics = ServingMetrics(
+        MetricsLogger(a.metrics_path, echo=False) if a.metrics_path else None
+    )
     engine = ChatEngine(
         params, cfg, tokenizer, temperature=a.temperature,
         max_new_tokens=a.max_new_tokens,
         continuous_batching=a.continuous_batching, max_slots=a.max_slots,
         kv_cache=a.kv_cache, num_pages=a.num_pages, mesh=mesh,
+        metrics=metrics,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

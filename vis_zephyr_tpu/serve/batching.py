@@ -26,6 +26,7 @@ import dataclasses
 import functools
 import queue
 import threading
+import time
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -91,6 +92,10 @@ class _Request:
     out: "queue.Queue[Optional[int]]" = dataclasses.field(
         default_factory=queue.Queue
     )
+    # Serving observability (ServingMetrics): wall-clock trace.
+    submitted_at: float = 0.0
+    first_token_at: Optional[float] = None
+    n_tokens: int = 0
 
 
 class ContinuousBatcher:
@@ -105,13 +110,17 @@ class ContinuousBatcher:
         sampling: SamplingConfig = SamplingConfig(),
         seed: int = 0,
         mesh=None,
+        metrics=None,
     ):
         """`mesh`: optional inference mesh (see `parallel.mesh.inference_mesh`).
         Params are TP-sharded over its model axis and the KV cache over the
         head dim; every jitted step then partitions via SPMD propagation —
         no explicit collectives here. Pallas flash prefill is disabled under
         a mesh (a custom kernel can't be auto-partitioned; XLA attention
-        shards cleanly head-parallel)."""
+        shards cleanly head-parallel).
+        `metrics`: optional `utils.metrics.ServingMetrics` — per-request
+        TTFT/TPOT recorded at finish."""
+        self.metrics = metrics
         if mesh is not None:
             from ..parallel.sharding import shard_kv_cache, shard_params
 
@@ -158,6 +167,7 @@ class ContinuousBatcher:
             patch_valid if patch_valid is None else np.asarray(patch_valid),
             max_new_tokens or self.sampling.max_new_tokens,
         )
+        req.submitted_at = time.perf_counter()
         self.pending.put(req)
         return req
 
@@ -202,17 +212,31 @@ class ContinuousBatcher:
             if tok == self.sampling.eos_token_id:
                 self._finish(slot)
             else:
-                req.out.put(tok)
+                self._emit(req, tok)
                 # max_new_tokens == 1: the first (prefill-sampled) token
                 # exhausts the budget — finish now, or the next step would
                 # decode and emit a second token before the budget check.
                 if self.budget[slot] <= 0:
                     self._finish(slot)
 
+    def _emit(self, req: _Request, tok: int) -> None:
+        if req.first_token_at is None:
+            req.first_token_at = time.perf_counter()
+        req.n_tokens += 1
+        req.out.put(tok)
+
     def _finish(self, slot: int) -> None:
         req = self.slot_req[slot]
         if req is not None:
             req.out.put(None)
+            if self.metrics is not None and req.first_token_at is not None:
+                now = time.perf_counter()
+                ttft = (req.first_token_at - req.submitted_at) * 1e3
+                tpot = (
+                    (now - req.first_token_at) / (req.n_tokens - 1) * 1e3
+                    if req.n_tokens > 1 else 0.0
+                )
+                self.metrics.record_request(req.request_id, ttft, tpot, req.n_tokens)
         self.slot_req[slot] = None
         self.active[slot] = False
 
@@ -237,7 +261,7 @@ class ContinuousBatcher:
             if tok == self.sampling.eos_token_id:
                 self._finish(slot)
                 continue
-            self.slot_req[slot].out.put(tok)
+            self._emit(self.slot_req[slot], tok)
             self.budget[slot] -= 1
             if self.budget[slot] <= 0:
                 self._finish(slot)

@@ -43,6 +43,7 @@ class ChatEngine:
         kv_cache: str = "dense",  # "dense" | "paged"
         num_pages: Optional[int] = None,
         mesh=None,
+        metrics=None,
     ):
         """`mesh`: optional inference mesh (model-axis TP). Params are
         sharded once here; jitted prefill/decode partition via SPMD
@@ -50,6 +51,7 @@ class ChatEngine:
         spread (`vis_zephyr/model/builder.py:22`) with ICI tensor
         parallelism."""
         self.mesh = mesh
+        self.metrics = metrics
         self._use_flash = None
         if mesh is not None:
             from ..parallel.sharding import shard_params
@@ -83,13 +85,14 @@ class ChatEngine:
                 self.batcher = PagedBatcher(
                     params, cfg, max_slots=max_slots, cache_len=cache_len,
                     sampling=self.sampling, num_pages=num_pages, mesh=mesh,
+                    metrics=metrics,
                 )
             else:
                 from .batching import ContinuousBatcher
 
                 self.batcher = ContinuousBatcher(
                     params, cfg, max_slots=max_slots, cache_len=cache_len,
-                    sampling=self.sampling, mesh=mesh,
+                    sampling=self.sampling, mesh=mesh, metrics=metrics,
                 )
 
     def _ensure_pump(self) -> None:

@@ -182,8 +182,14 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
         seen_samples = 0
         step = start_step
         losses = []
-        from ..data.prefetch import PrefetchLoader
+        from ..data import prefetch as _prefetch
 
+        # Data-order resume: the sampler is deterministic in (seed, epoch),
+        # so skipping the batches an uninterrupted run would already have
+        # consumed reproduces its exact data order (HF Trainer skip
+        # semantics, reference `train/train.py:870-893`). No extra state
+        # beyond the restored step counter is needed.
+        to_skip = start_step
         for epoch in range(args.num_epochs):
             sampler.set_epoch(epoch)
             order = list(iter(sampler))
@@ -191,7 +197,13 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                 order[s : s + global_batch]
                 for s in range(0, len(order) - global_batch + 1, global_batch)
             ]
-            loader = PrefetchLoader(dataset, collator, batch_indices, num_workers=4)
+            if to_skip >= len(batch_indices):
+                to_skip -= len(batch_indices)
+                continue
+            if to_skip:
+                batch_indices = batch_indices[to_skip:]
+                to_skip = 0
+            loader = _prefetch.PrefetchLoader(dataset, collator, batch_indices, num_workers=4)
             for batch in loader:
                 if step >= total_steps:
                     break
