@@ -71,3 +71,17 @@ def mock_tokenizer():
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Name any non-daemon threads still alive at teardown — a leak here
+    hangs interpreter exit (CI deadlock), so make it visible immediately."""
+    import threading
+
+    leaked = [
+        t for t in threading.enumerate()
+        if t is not threading.main_thread() and not t.daemon and t.is_alive()
+    ]
+    if leaked:
+        print(f"\n[conftest] non-daemon threads alive at exit: "
+              f"{[t.name for t in leaked]}", flush=True)

@@ -50,73 +50,79 @@ from .attention import attention_mask, dot_product_attention
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel(
-    # scalar prefetch
-    page_table_ref, lengths_ref,
-    # blocks
-    q_ref, k_page_ref, v_page_ref, k_new_ref, v_new_ref,
-    o_ref,
-    m_scratch, l_scratch, acc_scratch,
-    *, page_size: int, scale: float, has_new: bool,
-):
-    b = pl.program_id(0)
-    p = pl.program_id(2)
-    n_pages = pl.num_programs(2)
+def _make_kernel(R: int, page_size: int, scale: float, has_new: bool):
+    """Kernel over R pages per grid cell: R k-page refs then R v-page refs
+    follow q. Fewer grid cells and one [G, R*page_size] score matmul per
+    cell amortize the per-cell overhead that dominates at R=1."""
 
-    @pl.when(p == 0)
-    def _reset():
-        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
-        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
-        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+    def kernel(page_table_ref, lengths_ref, q_ref, *rest):
+        k_refs = rest[:R]
+        v_refs = rest[R : 2 * R]
+        k_new_ref, v_new_ref = rest[2 * R], rest[2 * R + 1]
+        o_ref = rest[2 * R + 2]
+        m_scratch, l_scratch, acc_scratch = rest[2 * R + 3 : 2 * R + 6]
 
-    length = lengths_ref[b]
+        b = pl.program_id(0)
+        p = pl.program_id(2)
+        n_blocks = pl.num_programs(2)
+        span = R * page_size
 
-    @pl.when(p * page_size < length)
-    def _page():
-        q = q_ref[0, 0]                                   # [G, D]
-        k = k_page_ref[0, 0]                              # [page_size, D]
-        v = v_page_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                          # [G, page_size]
+        @pl.when(p == 0)
+        def _reset():
+            m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+            l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+            acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
-        slot = p * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = slot < length
-        s = jnp.where(mask, s, NEG_INF)
+        length = lengths_ref[b]
 
-        m_prev, l_prev = m_scratch[...], l_scratch[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
-        alpha = jnp.exp(m_prev - m_next)
-        pexp = jnp.where(mask, jnp.exp(s - m_next[:, :1]), 0.0)
-        l_scratch[...] = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
-        m_scratch[...] = m_next
-        acc_scratch[...] *= alpha[:, :1]
-        acc_scratch[...] += jax.lax.dot(
-            pexp.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
+        @pl.when(p * span < length)
+        def _block():
+            q = q_ref[0, 0]                               # [G, D]
+            k = jnp.concatenate([r[0, 0] for r in k_refs], axis=0)  # [span, D]
+            v = jnp.concatenate([r[0, 0] for r in v_refs], axis=0)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale                                      # [G, span]
 
-    @pl.when(p == n_pages - 1)
-    def _store():
-        m_prev, l_prev, acc = m_scratch[...], l_scratch[...], acc_scratch[...]
-        if has_new:
-            # Fold the current token's K/V in as the final online-softmax
-            # term: attention covers cache slots [0, length) plus itself.
-            q = q_ref[0, 0].astype(jnp.float32)            # [G, D]
-            kn = k_new_ref[0].astype(jnp.float32)          # [1, D]
-            vn = v_new_ref[0].astype(jnp.float32)          # [1, D]
-            s_self = jax.lax.dot_general(
-                q, kn, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale                                      # [G, 1]
-            m_next = jnp.maximum(m_prev, jnp.broadcast_to(s_self, m_prev.shape))
+            slot = p * span + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            mask = slot < length
+            s = jnp.where(mask, s, NEG_INF)
+
+            m_prev, l_prev = m_scratch[...], l_scratch[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
             alpha = jnp.exp(m_prev - m_next)
-            p_self = jnp.exp(s_self - m_next[:, :1])       # [G, 1]
-            l_prev = alpha * l_prev + p_self
-            acc = acc * alpha[:, :1] + p_self * vn
-        l = l_prev[:, :1]
-        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
+            pexp = jnp.where(mask, jnp.exp(s - m_next[:, :1]), 0.0)
+            l_scratch[...] = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
+            m_scratch[...] = m_next
+            acc_scratch[...] *= alpha[:, :1]
+            acc_scratch[...] += jax.lax.dot(
+                pexp.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+
+        @pl.when(p == n_blocks - 1)
+        def _store():
+            m_prev, l_prev, acc = m_scratch[...], l_scratch[...], acc_scratch[...]
+            if has_new:
+                # Fold the current token's K/V in as the final online-softmax
+                # term: attention covers cache slots [0, length) plus itself.
+                q = q_ref[0, 0].astype(jnp.float32)        # [G, D]
+                kn = k_new_ref[0, 0].astype(jnp.float32)   # [1, D]
+                vn = v_new_ref[0, 0].astype(jnp.float32)   # [1, D]
+                s_self = jax.lax.dot_general(
+                    q, kn, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale                                  # [G, 1]
+                m_next = jnp.maximum(m_prev, jnp.broadcast_to(s_self, m_prev.shape))
+                alpha = jnp.exp(m_prev - m_next)
+                p_self = jnp.exp(s_self - m_next[:, :1])   # [G, 1]
+                l_prev = alpha * l_prev + p_self
+                acc = acc * alpha[:, :1] + p_self * vn
+            l = l_prev[:, :1]
+            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "use_lib"))
@@ -166,29 +172,38 @@ def paged_attention(
     if not has_new:  # dummy operands keep one kernel signature
         k_new = jnp.zeros((B, Hkv, D), k_pages.dtype)
         v_new = jnp.zeros((B, Hkv, D), v_pages.dtype)
+    # Singleton token axis: TPU lowering needs the last two block dims to be
+    # full (or 8/128-aligned); [B, Hkv, 1, D] blocks as (1, 1, 1, D).
+    k_new = k_new[:, :, None, :]
+    v_new = v_new[:, :, None, :]
 
-    grid = (B, Hkv, pages_per_seq)
+    # R pages per grid cell (clamped to the sequence span); page j of cell p
+    # reads table entry min(R*p+j, last) — overshoot rows are masked out by
+    # the slot<length test and their DMAs dedup against the clamped entry.
+    R = min(4, pages_per_seq)
+    n_blocks = -(-pages_per_seq // R)
+
+    def page_spec(j):
+        return pl.BlockSpec(
+            (1, 1, page_size, D),
+            lambda b, h, p, pt, ln, j=j: (
+                h, pt[b, jnp.minimum(R * p + j, pages_per_seq - 1)], 0, 0
+            ),
+        )
+
+    grid = (B, Hkv, n_blocks)
     out = pl.pallas_call(
-        functools.partial(
-            _kernel, page_size=page_size, scale=scale, has_new=has_new
-        ),
+        _make_kernel(R, page_size=page_size, scale=scale, has_new=has_new),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, group, D), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # page_table, lengths
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, group, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
-                # One KV page per step, addressed through the page table.
-                pl.BlockSpec(
-                    (1, 1, page_size, D),
-                    lambda b, h, p, pt, ln: (h, pt[b, p], 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, page_size, D),
-                    lambda b, h, p, pt, ln: (h, pt[b, p], 0, 0),
-                ),
-                pl.BlockSpec((1, 1, D), lambda b, h, p, pt, ln: (b, h, 0)),
-                pl.BlockSpec((1, 1, D), lambda b, h, p, pt, ln: (b, h, 0)),
+                *[page_spec(j) for j in range(R)],
+                *[page_spec(j) for j in range(R)],
+                pl.BlockSpec((1, 1, 1, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, 1, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, group, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
             scratch_shapes=[
@@ -201,7 +216,7 @@ def paged_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_table, lengths, qg, k_pages, v_pages, k_new, v_new)
+    )(page_table, lengths, qg, *([k_pages] * R), *([v_pages] * R), k_new, v_new)
     return out.reshape(B, Hq, D)
 
 

@@ -117,6 +117,10 @@ class ChatHandler(BaseHTTPRequestHandler):
 def serve(engine: ChatEngine, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPServer:
     handler = type("BoundChatHandler", (ChatHandler,), {"engine": engine})
     server = ThreadingHTTPServer((host, port), handler)
+    # Handler threads must not block interpreter exit: a client that opened
+    # a stream and never drained it would otherwise pin a non-daemon thread
+    # forever (observed as a test-suite hang at teardown).
+    server.daemon_threads = True
     return server
 
 
@@ -168,6 +172,9 @@ def main(args=None):
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree: shard the model over this "
                         "many chips (model-axis inference mesh)")
+    p.add_argument("--prefill-chunk", type=int, default=None,
+                   help="admit long prompts in chunks of N tokens, "
+                        "interleaved with decode steps (512 recommended)")
     p.add_argument("--metrics-path", default=None,
                    help="JSONL file for per-request TTFT/TPOT rows; "
                         "aggregate histograms at GET /metrics")
@@ -192,7 +199,7 @@ def main(args=None):
         max_new_tokens=a.max_new_tokens,
         continuous_batching=a.continuous_batching, max_slots=a.max_slots,
         kv_cache=a.kv_cache, num_pages=a.num_pages, mesh=mesh,
-        metrics=metrics,
+        metrics=metrics, prefill_chunk=a.prefill_chunk,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

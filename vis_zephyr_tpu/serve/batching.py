@@ -54,6 +54,49 @@ def _prefill_kv(params, input_ids, images, patch_valid, cfg: VisZephyrConfig,
     return logits[0, length - 1], k[:, 0], v[:, 0], length
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "pad_to"))
+def _splice_embeds(params, input_ids, images, patch_valid, cfg: VisZephyrConfig,
+                   pad_to: int = 128):
+    """Vision encode + Q-Former + splice WITHOUT the decoder pass — the
+    front half of prefill, used by chunked admission. Returns
+    (embeds [1, T, D], valid, positions, lengths) with T padded to
+    `pad_to` so chunks stay shape-aligned."""
+    from ..models.vis_zephyr import prepare_multimodal
+
+    if images is None:
+        B, T = input_ids.shape
+        valid = jnp.ones((B, T), dtype=bool)
+        positions = jnp.arange(T, dtype=jnp.int32)[None].repeat(B, 0)
+        prepared = {
+            "embeds": embed(params["decoder"], input_ids),
+            "valid": valid,
+            "positions": positions,
+            "lengths": jnp.full((B,), T, jnp.int32),
+        }
+        pad = (-T) % pad_to
+        if pad:
+            prepared["embeds"] = jnp.pad(prepared["embeds"], ((0, 0), (0, pad), (0, 0)))
+            prepared["valid"] = jnp.pad(prepared["valid"], ((0, 0), (0, pad)))
+            prepared["positions"] = jnp.pad(prepared["positions"], ((0, 0), (0, pad)))
+    else:
+        prepared = prepare_multimodal(
+            params, input_ids, images, patch_valid, cfg, pad_to_multiple=pad_to
+        )
+    return (prepared["embeds"], prepared["valid"], prepared["positions"],
+            prepared["lengths"])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(4,))
+def _chunk_extend(dec_params, embeds, positions, valid, cache, cfg: VisZephyrConfig):
+    """Append one prefill chunk to a B=1 scratch cache (decoder cache-
+    extension mode: the chunk attends causally over all previous chunks)."""
+    logits, cache = mistral_forward(
+        dec_params, embeds, cfg.decoder, positions,
+        attn_valid=valid, cache=cache, logits_slice="all",
+    )
+    return logits, cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "slot"), donate_argnums=(0,))
 def _admit(cache, k, v, length, cfg: VisZephyrConfig, slot: int):
     """Scatter a prefilled sequence into cache slot `slot` (in-place)."""
@@ -111,6 +154,7 @@ class ContinuousBatcher:
         seed: int = 0,
         mesh=None,
         metrics=None,
+        prefill_chunk: Optional[int] = None,
     ):
         """`mesh`: optional inference mesh (see `parallel.mesh.inference_mesh`).
         Params are TP-sharded over its model axis and the KV cache over the
@@ -119,8 +163,13 @@ class ContinuousBatcher:
         a mesh (a custom kernel can't be auto-partitioned; XLA attention
         shards cleanly head-parallel).
         `metrics`: optional `utils.metrics.ServingMetrics` — per-request
-        TTFT/TPOT recorded at finish."""
+        TTFT/TPOT recorded at finish.
+        `prefill_chunk`: admit long prompts in chunks of this many tokens,
+        interleaved with decode steps (no head-of-line blocking)."""
         self.metrics = metrics
+        self.prefill_chunk = prefill_chunk
+        self._prefilling = None
+        self._reserved_slot = None
         if mesh is not None:
             from ..parallel.sharding import shard_kv_cache, shard_params
 
@@ -180,13 +229,14 @@ class ContinuousBatcher:
 
     @property
     def has_work(self) -> bool:
-        return self.active.any() or not self.pending.empty()
+        return (self.active.any() or not self.pending.empty()
+                or self._prefilling is not None)
 
     # -- scheduler -----------------------------------------------------------
 
     def _admit_pending(self) -> None:
         for slot in range(self.max_slots):
-            if self.active[slot]:
+            if self.active[slot] or slot == self._reserved_slot:
                 continue
             try:
                 req = self.pending.get_nowait()
@@ -201,23 +251,114 @@ class ContinuousBatcher:
             if int(length) + req.max_new_tokens > self.cache_len:
                 req.out.put(None)  # too long; reject
                 continue
-            self.cache = _admit(self.cache, k, v, length, self.cfg, slot)
-            self.rng, sub = jax.random.split(self.rng)
-            first = _sample(last_logits[None], sub, self.sampling)
-            tok = int(first[0])
-            self.slot_req[slot] = req
-            self.active[slot] = True
-            self.budget[slot] = req.max_new_tokens - 1
-            self.token = self.token.at[slot].set(tok)
-            if tok == self.sampling.eos_token_id:
+            self._install(req, slot, last_logits, k, v, length)
+
+    def _install(self, req: _Request, slot: int, last_logits, k, v, length) -> bool:
+        """Put a prefilled request into `slot` and emit its first token.
+        k/v: [L, T, Hkv, D]; last_logits: [V]."""
+        self.cache = _admit(self.cache, k, v, length, self.cfg, slot)
+        self._activate(req, slot, last_logits)
+        return True
+
+    def _activate(self, req: _Request, slot: int, last_logits) -> None:
+        self.rng, sub = jax.random.split(self.rng)
+        first = _sample(last_logits[None], sub, self.sampling)
+        tok = int(first[0])
+        self.slot_req[slot] = req
+        self.active[slot] = True
+        self.budget[slot] = req.max_new_tokens - 1
+        self.token = self.token.at[slot].set(tok)
+        if tok == self.sampling.eos_token_id:
+            self._finish(slot)
+        else:
+            self._emit(req, tok)
+            # max_new_tokens == 1: the first (prefill-sampled) token
+            # exhausts the budget — finish now, or the next step would
+            # decode and emit a second token before the budget check.
+            if self.budget[slot] <= 0:
                 self._finish(slot)
-            else:
-                self._emit(req, tok)
-                # max_new_tokens == 1: the first (prefill-sampled) token
-                # exhausts the budget — finish now, or the next step would
-                # decode and emit a second token before the budget check.
-                if self.budget[slot] <= 0:
-                    self._finish(slot)
+
+    # -- chunked prefill admission --------------------------------------------
+    #
+    # With `prefill_chunk` set, a long prompt no longer stalls active
+    # streams: each scheduler step advances the in-flight prefill by ONE
+    # chunk (vision/splice ran once up front), then decodes all active
+    # slots. The chunk extends a B=1 scratch cache (causal over previous
+    # chunks); on completion the scratch K/V installs through the same
+    # `_install` path as whole-prompt admission. Net-new vs the reference
+    # (BASELINE north-star serving config).
+
+    def _next_request(self) -> Optional[_Request]:
+        try:
+            return self.pending.get_nowait()
+        except queue.Empty:
+            return None
+
+    def _pump_prefill(self) -> None:
+        st = self._prefilling
+        if st is None:
+            req = self._next_request()
+            if req is None:
+                return
+            slot = next(
+                (s for s in range(self.max_slots) if not self.active[s]), None
+            )
+            if slot is None:
+                self.pending.put(req)  # no slot; retry later
+                return
+            st = self._begin_prefill(req, slot)
+            if st is None:
+                return  # rejected
+            self._prefilling = st
+            self._reserved_slot = slot
+            return  # vision+splice was this step's admission work
+
+        C = self.prefill_chunk
+        if st["chunk"] < st["n_chunks"]:
+            c = st["chunk"]
+            sl = slice(c * C, (c + 1) * C)
+            logits, st["cache"] = _chunk_extend(
+                self.params["decoder"], st["embeds"][:, sl], st["positions"][:, sl],
+                st["valid"][:, sl], st["cache"], self.cfg,
+            )
+            if (st["length"] - 1) // C == c:  # chunk holding the last real token
+                st["last_logits"] = logits[0, (st["length"] - 1) % C]
+            st["chunk"] += 1
+        if st["chunk"] >= st["n_chunks"]:
+            k = st["cache"]["k"][:, 0]
+            v = st["cache"]["v"][:, 0]
+            if self._install(st["req"], st["slot"], st["last_logits"], k, v,
+                             jnp.int32(st["length"])):
+                self._prefilling = None
+                self._reserved_slot = None
+            # else: resources unavailable — retry install next step (the
+            # scratch cache is complete; no chunk re-runs)
+
+    def _begin_prefill(self, req: _Request, slot: int):
+        ids = jnp.asarray(req.input_ids[None])
+        images = None if req.images is None else jnp.asarray(req.images[None])
+        pv = None if req.patch_valid is None else jnp.asarray(req.patch_valid[None])
+        embeds, valid, positions, lengths = _splice_embeds(
+            self.params, ids, images, pv, self.cfg, pad_to=self.prefill_chunk
+        )
+        length = int(lengths[0])
+        if length + req.max_new_tokens > self.cache_len:
+            req.out.put(None)
+            return None
+        T = embeds.shape[1]
+        dtype = self.params["decoder"]["embed_tokens"].dtype
+        return {
+            "req": req,
+            "slot": slot,
+            "embeds": embeds,
+            "valid": valid,
+            "positions": positions,
+            "cache": init_cache(self.cfg.decoder, 1, T, dtype=dtype),
+            "chunk": 0,
+            "n_chunks": -(-length // self.prefill_chunk),
+            "length": length,
+            "last_logits": None,
+        }
 
     def _emit(self, req: _Request, tok: int) -> None:
         if req.first_token_at is None:
@@ -241,9 +382,13 @@ class ContinuousBatcher:
         self.active[slot] = False
 
     def step(self) -> int:
-        """Admit pending requests, then advance every active slot by one
-        token. Returns the number of active slots stepped."""
-        self._admit_pending()
+        """Admit pending requests (one chunk's worth under chunked prefill),
+        then advance every active slot by one token. Returns the number of
+        active slots stepped."""
+        if self.prefill_chunk:
+            self._pump_prefill()
+        else:
+            self._admit_pending()
         if not self.active.any():
             return 0
         self.rng, sub = jax.random.split(self.rng)

@@ -44,6 +44,7 @@ class ChatEngine:
         num_pages: Optional[int] = None,
         mesh=None,
         metrics=None,
+        prefill_chunk=None,
     ):
         """`mesh`: optional inference mesh (model-axis TP). Params are
         sharded once here; jitted prefill/decode partition via SPMD
@@ -85,7 +86,7 @@ class ChatEngine:
                 self.batcher = PagedBatcher(
                     params, cfg, max_slots=max_slots, cache_len=cache_len,
                     sampling=self.sampling, num_pages=num_pages, mesh=mesh,
-                    metrics=metrics,
+                    metrics=metrics, prefill_chunk=prefill_chunk,
                 )
             else:
                 from .batching import ContinuousBatcher
@@ -93,6 +94,7 @@ class ChatEngine:
                 self.batcher = ContinuousBatcher(
                     params, cfg, max_slots=max_slots, cache_len=cache_len,
                     sampling=self.sampling, mesh=mesh, metrics=metrics,
+                    prefill_chunk=prefill_chunk,
                 )
 
     def _ensure_pump(self) -> None:

@@ -181,6 +181,7 @@ class PagedBatcher(ContinuousBatcher):
         num_pages: Optional[int] = None,
         mesh=None,
         metrics=None,
+        prefill_chunk: Optional[int] = None,
     ):
         if mesh is not None:
             raise NotImplementedError(
@@ -190,6 +191,9 @@ class PagedBatcher(ContinuousBatcher):
             )
         self.use_flash = None
         self.metrics = metrics
+        self.prefill_chunk = prefill_chunk
+        self._prefilling = None
+        self._reserved_slot = None
         if cache_len % page_size:
             raise ValueError("cache_len must be a multiple of page_size")
         sw = cfg.decoder.sliding_window
@@ -231,7 +235,8 @@ class PagedBatcher(ContinuousBatcher):
 
     @property
     def has_work(self) -> bool:
-        return self.active.any() or not self.pending.empty() or bool(self._requeued)
+        return (self.active.any() or not self.pending.empty()
+                or bool(self._requeued) or self._prefilling is not None)
 
     def _next_request(self) -> Optional[_Request]:
         if self._requeued:
@@ -245,7 +250,7 @@ class PagedBatcher(ContinuousBatcher):
         from .batching import _prefill_kv
 
         for slot in range(self.max_slots):
-            if self.active[slot]:
+            if self.active[slot] or slot == self._reserved_slot:
                 continue
             req = self._next_request()
             if req is None:
@@ -256,44 +261,38 @@ class PagedBatcher(ContinuousBatcher):
             last_logits, k, v, length = _prefill_kv(
                 self.params, ids, images, pv, self.cfg, use_flash=self.use_flash
             )
-            n_len = int(length)
-            if n_len + req.max_new_tokens > self.cache_len:
+            if int(length) + req.max_new_tokens > self.cache_len:
                 req.out.put(None)  # exceeds a sequence's page span; reject
                 continue
-
-            ps = self.page_size
-            T = k.shape[1]
-            if T % ps:  # CPU prefill doesn't pad; round up to a page
-                pad = ps - T % ps
-                k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-                v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-                T += pad
-            n_pages = max(T // ps, -(-(n_len + req.max_new_tokens) // ps))
-            pages = self.allocator.alloc(n_pages)
-            if pages is None:
+            if not self._install(req, slot, last_logits, k, v, length):
                 # Pool exhausted: retry once active requests release pages.
                 self._requeued.appendleft(req)
                 return
-            row = np.zeros((self.pages_per_seq,), np.int32)
-            row[:n_pages] = pages
-            self.kp, self.vp, self.page_table, self.lengths = _admit_paged(
-                self.kp, self.vp, self.page_table, self.lengths,
-                k, v, length, jnp.asarray(row), slot=slot,
-            )
-            self.rng, sub = jax.random.split(self.rng)
-            first = _sample(last_logits[None], sub, self.sampling)
-            tok = int(first[0])
-            self.slot_req[slot] = req
-            self.slot_pages[slot] = pages
-            self.active[slot] = True
-            self.budget[slot] = req.max_new_tokens - 1
-            self.token = self.token.at[slot].set(tok)
-            if tok == self.sampling.eos_token_id:
-                self._finish(slot)
-            else:
-                self._emit(req, tok)
-                if self.budget[slot] <= 0:
-                    self._finish(slot)
+
+    def _install(self, req: _Request, slot: int, last_logits, k, v, length) -> bool:
+        """Allocate pages for the request's full span and write its K/V.
+        Returns False (caller retries) when the pool is exhausted."""
+        n_len = int(length)
+        ps = self.page_size
+        T = k.shape[1]
+        if T % ps:  # CPU prefill doesn't pad; round up to a page
+            pad = ps - T % ps
+            k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            T += pad
+        n_pages = max(T // ps, -(-(n_len + req.max_new_tokens) // ps))
+        pages = self.allocator.alloc(n_pages)
+        if pages is None:
+            return False
+        row = np.zeros((self.pages_per_seq,), np.int32)
+        row[:n_pages] = pages
+        self.kp, self.vp, self.page_table, self.lengths = _admit_paged(
+            self.kp, self.vp, self.page_table, self.lengths,
+            k, v, jnp.asarray(length, jnp.int32), jnp.asarray(row), slot=slot,
+        )
+        self.slot_pages[slot] = pages
+        self._activate(req, slot, last_logits)
+        return True
 
     def _finish(self, slot: int) -> None:
         if self.slot_pages[slot]:
@@ -303,7 +302,10 @@ class PagedBatcher(ContinuousBatcher):
         super()._finish(slot)
 
     def step(self) -> int:
-        self._admit_pending()
+        if self.prefill_chunk:
+            self._pump_prefill()
+        else:
+            self._admit_pending()
         if not self.active.any():
             return 0
         self.rng, sub = jax.random.split(self.rng)
