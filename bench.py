@@ -174,6 +174,30 @@ def bench_decode_paged(cfg: VisZephyrConfig, steps: int = 64, slots: int = 32,
         )
         return kp, vp, lengths, token
 
+    if os.environ.get("VZT_PAGED_HOST_LOOP") == "1":
+        # Production shape: one donated jit call per step (what the batcher
+        # actually runs) — the scan wrapper's carry forces an extra pool
+        # copy per step that per-call donation avoids. Dispatches pipeline
+        # asynchronously; sync once at the end.
+        tok2, kp, vp, lengths = _paged_step(
+            params, kp, vp, table, lengths, token, active, key, cfg, sampling
+        )
+        _sync(tok2)
+        t0 = time.perf_counter()
+        n = steps * 3
+        for _ in range(n):
+            tok2, kp, vp, lengths = _paged_step(
+                params, kp, vp, table, lengths, tok2, active, key, cfg, sampling
+            )
+        _sync(tok2)
+        dt = (time.perf_counter() - t0) / n
+        return {
+            f"paged_decode_tokens_per_sec_batch{slots}": slots / dt,
+            f"paged_decode_ms_per_step_batch{slots}": dt * 1e3,
+            "paged_slots": slots,
+            "paged_loop": "host",
+        }
+
     kp, vp, lengths, token = run(params, kp, vp, lengths, token, steps)
     _sync(token)
     reps = 3

@@ -182,7 +182,7 @@ def prepare_multimodal(
     num_image_tokens = patch_valid.astype(jnp.int32).sum(axis=1) * Q
 
     text_embeds = embed(params["decoder"], input_ids)
-    return splice_image_tokens(
+    prepared = splice_image_tokens(
         input_ids,
         text_embeds,
         image_embeds,
@@ -192,6 +192,12 @@ def prepare_multimodal(
         max_length=cfg.tokenizer_model_max_length,
         pad_to_multiple=pad_to_multiple,
     )
+    # Under a data-parallel mesh, pin the spliced activations back to the
+    # batch axes — the gather-built embeds otherwise trigger XLA's
+    # replicate-then-reshard fallback (see constrain_batch_sharded).
+    from ..parallel.sharding import constrain_batch_sharded
+
+    return {k: constrain_batch_sharded(v) for k, v in prepared.items()}
 
 
 def vis_zephyr_forward(

@@ -180,7 +180,7 @@ def paged_attention(
     # R pages per grid cell (clamped to the sequence span); page j of cell p
     # reads table entry min(R*p+j, last) — overshoot rows are masked out by
     # the slot<length test and their DMAs dedup against the clamped entry.
-    R = min(4, pages_per_seq)
+    R = min(8, pages_per_seq)
     n_blocks = -(-pages_per_seq // R)
 
     def page_spec(j):

@@ -137,6 +137,29 @@ def replicated(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
+def constrain_batch_sharded(x):
+    """Inside jit under a data-parallel mesh, pin dim 0 to the batch axes.
+
+    Without this, XLA may pick an incompatible sharding for a consumer of a
+    gather-heavy activation (the spliced embeddings) and fall back to
+    replicate-then-reshard — the SPMD 'involuntary full rematerialization'
+    warning. No-op when tracing with no mesh, when the mesh has no
+    batch-parallel axes (TP-only serving), or when the batch doesn't divide.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty:
+        return x
+    axes = tuple(a for a in ("data", "fsdp") if a in mesh.shape and mesh.shape[a] > 1)
+    if not axes:
+        return x
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
+    if x.ndim == 0 or x.shape[0] % n:
+        return x
+    return jax.lax.with_sharding_constraint(x, P(axes, *([None] * (x.ndim - 1))))
+
+
 def batch_spec(mesh: Mesh) -> P:
     """Batch dimension spans both data-parallel axes."""
     axes = tuple(a for a in ("data", "fsdp") if mesh.shape[a] > 1)
