@@ -103,3 +103,18 @@ def test_stage1_train_run_and_resume(tmp_path, fixture_data, mock_tokenizer):
     # benchmark.csv written.
     bench = (tmp_path / "run" / "benchmark.csv").read_text()
     assert "samples_per_s" in bench
+
+    # Experiment reporting: one JSONL row per logged step with the full
+    # metric set (reference streams these to wandb, `script/pretrain.sh:42`).
+    rows = [
+        json.loads(line)
+        for line in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert len(rows) >= 2
+    for row in rows:
+        for key in ("step", "loss", "grad_norm", "tokens", "samples_per_s",
+                    "step_time_s", "lr", "projector_lr", "epoch"):
+            assert key in row, f"missing metric {key}"
+    assert rows[0]["step"] == 1 and np.isfinite(rows[0]["loss"])
+    # Warmup schedule: projector LR group is above the base group.
+    assert rows[0]["projector_lr"] > rows[0]["lr"]

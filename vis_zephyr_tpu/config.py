@@ -98,6 +98,13 @@ class VisZephyrConfig:
     decoder: DecoderConfig = DecoderConfig()
 
     # Multimodal plumbing (names match the reference config surface).
+    # mm_projector_type: "qformer" (the reference's actual projector — its
+    # builder ignores the config string and always returns the QFormer,
+    # reference `multimodal_projector/builder.py:97-101`) or "mlp2x_gelu"
+    # (the type the reference config *claims*; here it is a live, working
+    # option — a 2-layer GELU MLP keeping all 576 patch tokens, which is
+    # what makes the spatial/unpad merge paths reachable).
+    mm_projector_type: str = "qformer"
     mm_patch_merge_type: str = "flat"
     image_aspect_ratio: str = "anyres"  # anyres | pad | resize | square
     mm_grid_pinpoints: str = "[[336, 672], [672, 336], [336, 1008], [1008, 336]]"
@@ -105,6 +112,30 @@ class VisZephyrConfig:
     mm_use_im_patch_token: bool = False
     tokenizer_model_max_length: int = 2048
     tokenizer_padding_side: str = "right"
+
+    @property
+    def tokens_per_patch(self) -> int:
+        """Projected tokens one encoder crop contributes before merging:
+        the Q-Former emits `num_queries`; the MLP keeps every patch token."""
+        if self.mm_projector_type == "mlp2x_gelu":
+            return self.vision.tokens_per_image
+        return self.projector.num_queries
+
+    def max_extra_merge_tokens(self) -> int:
+        """Static upper bound on tokens the patch merge ADDS beyond
+        `valid_patches * tokens_per_patch` — nonzero only for
+        `spatial_unpad`, whose newline column adds one token per feature
+        row (≤ max-grid-height rows over the pinpoints)."""
+        if "unpad" not in self.mm_patch_merge_type:
+            return 0
+        from .data.anyres import parse_grid_pinpoints
+
+        tps = self.vision.tokens_per_side
+        side = self.vision.image_size
+        best = 1  # single-image case appends one newline token
+        for w, h in parse_grid_pinpoints(self.mm_grid_pinpoints):
+            best = max(best, (h // side) * tps)
+        return best
 
     def replace(self, **kwargs) -> "VisZephyrConfig":
         return dataclasses.replace(self, **kwargs)

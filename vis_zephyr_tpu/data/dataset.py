@@ -50,6 +50,11 @@ class DataConfig:
     mm_grid_pinpoints: str = "[[336, 672], [672, 336], [336, 1008], [1008, 336]]"
     image_size: int = 336
     max_patches: Optional[int] = None   # default: derived from pinpoints
+    # Spatial/unpad patch-merge geometry (only consulted when the model's
+    # mm_patch_merge_type starts with "spatial"): samples then carry a
+    # per-item `merge_info` vector for `ops.patch_merge.spatial_merge`.
+    mm_patch_merge_type: str = "flat"
+    vision_patch_size: int = 14         # ViT patch → tokens_per_side = image_size//this
     visual_prompt_style: Optional[str] = None  # e.g. "vcr_qa" (eval) or None
     conv: Conversation = field(default_factory=lambda: default_conversation)
     seed: int = 0
@@ -153,6 +158,16 @@ class SupervisedDataset:
                 patch_valid = np.arange(self.max_patches) < 1
             sample["images"] = pixels
             sample["patch_valid"] = patch_valid
+            if self.cfg.mm_patch_merge_type.startswith("spatial"):
+                from ..ops.patch_merge import merge_info_host
+
+                sample["merge_info"] = merge_info_host(
+                    sample["images_size"], self.cfg.mm_grid_pinpoints,
+                    self.cfg.image_size,
+                    self.cfg.image_size // self.cfg.vision_patch_size,
+                    self.cfg.mm_patch_merge_type,
+                    n_patches=int(patch_valid.sum()),
+                )
 
             for turn in conversations:
                 turn["value"] = normalize_multimodal_text(turn["value"])
@@ -168,6 +183,10 @@ class SupervisedDataset:
             )
             sample["patch_valid"] = np.zeros((self.max_patches,), bool)
             sample["images_size"] = (self.cfg.image_size, self.cfg.image_size)
+            if self.cfg.mm_patch_merge_type.startswith("spatial"):
+                # Text-only row: no sentinel → the merge output is never
+                # spliced; an all-zero info keeps it inert.
+                sample["merge_info"] = np.zeros((5,), np.int32)
         return sample
 
 
@@ -200,6 +219,8 @@ class Collator:
             "images": np.stack([s["images"] for s in samples]),
             "patch_valid": np.stack([s["patch_valid"] for s in samples]),
         }
+        if "merge_info" in samples[0]:
+            batch["merge_info"] = np.stack([s["merge_info"] for s in samples])
         return batch
 
 

@@ -31,7 +31,7 @@ from ..ops.splice import compact_text_ids, splice_image_tokens
 from .clip_vit import clip_vit_forward, init_clip_vit, select_and_stack
 from .fusion import dense_channel_fusion
 from .mistral import embed, init_mistral, mistral_forward
-from .qformer import init_qformer, qformer_forward
+from .projector import init_projector, project_visual
 
 
 def initialize_vision_tokenizer(
@@ -110,7 +110,7 @@ def init_vis_zephyr(cfg: VisZephyrConfig, key, dtype=jnp.float32) -> Dict:
     kv, kp, kd = jax.random.split(key, 3)
     return {
         "vision": init_clip_vit(cfg.vision, kv, dtype),
-        "projector": init_qformer(cfg.projector, kp, dtype),
+        "projector": init_projector(cfg, kp, dtype),
         "decoder": init_mistral(cfg.decoder, kd, dtype),
     }
 
@@ -128,15 +128,16 @@ def encode_images(
       images: [N, H, W, 3] normalized pixels (N = B * P flattened patches).
       text_embeddings: optional [N, L, D_dec] Q-Former conditioning.
 
-    Returns [N, num_queries, D_dec]
+    Returns [N, tokens_per_patch, D_dec] — num_queries for the Q-Former,
+    all patch tokens for mlp2x_gelu
     (reference `vis_zephyr_arch.py:120-124` encode_images).
     """
     hidden = clip_vit_forward(params["vision"], images, cfg.vision)
     stacked = select_and_stack(hidden, cfg.vision)          # [S, N, T, C]
     fused = dense_channel_fusion(stacked, cfg.vision.num_fusion_groups)
     fused = jax.lax.stop_gradient(fused)                    # frozen tower
-    return qformer_forward(
-        params["projector"], fused, cfg.projector,
+    return project_visual(
+        params["projector"], fused, cfg,
         text_embeddings=text_embeddings, text_mask=text_mask,
     )
 
@@ -150,36 +151,59 @@ def prepare_multimodal(
     text_valid: Optional[jnp.ndarray] = None,
     labels: Optional[jnp.ndarray] = None,
     pad_to_multiple: Optional[int] = None,
+    merge_info: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Encode images, build Q-Former text conditioning, splice embeddings.
+    """Encode images, build Q-Former text conditioning, merge patch tokens
+    (flat or spatial/unpad), splice embeddings.
+
+    `merge_info` [B, 5] (from `ops.patch_merge.spatial_merge_info`) is
+    required when `cfg.mm_patch_merge_type` starts with "spatial" — it
+    carries the per-sample anyres grid + unpad crop geometry that only the
+    host (which saw the original image size) knows.
 
     Returns the `splice_image_tokens` dict (embeds/valid/positions/lengths
     [+labels]), ready for `mistral_forward`.
     """
     B, T = input_ids.shape
     P = images.shape[1]
-    Q = cfg.projector.num_queries
+    Q = cfg.tokens_per_patch
 
-    # Q-Former text conditioning: the prompt with the sentinel removed,
-    # embedded, repeated per patch (reference `vis_zephyr_arch.py:162-192`).
-    # Batch padding is masked out of block-0 self-attention so a sample's
-    # projection never depends on its batch neighbors (see
-    # `compact_text_ids` docstring).
-    text_ids, cond_valid = compact_text_ids(
-        input_ids, cfg.decoder.pad_token_id, text_valid=text_valid
-    )
-    cond = embed(params["decoder"], text_ids)               # [B, T-1, D]
-    cond = cond * cond_valid[..., None].astype(cond.dtype)
-    cond = jnp.repeat(cond, P, axis=0)                      # [B*P, T-1, D]
-    cond_mask = jnp.repeat(cond_valid, P, axis=0)
+    if cfg.mm_projector_type == "qformer":
+        # Q-Former text conditioning: the prompt with the sentinel removed,
+        # embedded, repeated per patch (reference `vis_zephyr_arch.py:162-192`).
+        # Batch padding is masked out of block-0 self-attention so a sample's
+        # projection never depends on its batch neighbors (see
+        # `compact_text_ids` docstring).
+        text_ids, cond_valid = compact_text_ids(
+            input_ids, cfg.decoder.pad_token_id, text_valid=text_valid
+        )
+        cond = embed(params["decoder"], text_ids)           # [B, T-1, D]
+        cond = cond * cond_valid[..., None].astype(cond.dtype)
+        cond = jnp.repeat(cond, P, axis=0)                  # [B*P, T-1, D]
+        cond_mask = jnp.repeat(cond_valid, P, axis=0)
+    else:  # per-token MLP projector: no text conditioning to compute
+        cond = cond_mask = None
 
     flat_images = images.reshape((B * P,) + images.shape[2:])
     projected = encode_images(
         params, flat_images, cfg, text_embeddings=cond, text_mask=cond_mask
     )
-    image_embeds = projected.reshape(B, P * Q, -1)          # flat patch merge
 
-    num_image_tokens = patch_valid.astype(jnp.int32).sum(axis=1) * Q
+    if cfg.mm_patch_merge_type.startswith("spatial"):
+        from ..ops.patch_merge import spatial_merge
+
+        if merge_info is None:
+            raise ValueError(
+                "mm_patch_merge_type=spatial* needs per-sample merge_info "
+                "(ops.patch_merge.spatial_merge_info)"
+            )
+        image_embeds, num_image_tokens = spatial_merge(
+            projected.reshape(B, P, Q, -1), merge_info, cfg,
+            image_newline=params["projector"].get("image_newline"),
+        )
+    else:
+        image_embeds = projected.reshape(B, P * Q, -1)      # flat patch merge
+        num_image_tokens = patch_valid.astype(jnp.int32).sum(axis=1) * Q
 
     text_embeds = embed(params["decoder"], input_ids)
     prepared = splice_image_tokens(
@@ -213,6 +237,7 @@ def vis_zephyr_forward(
     return_kv: bool = False,
     pad_to_multiple: Optional[int] = None,
     use_flash: Optional[bool] = None,
+    merge_info: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Full multimodal forward (prefill or training step).
 
@@ -239,6 +264,7 @@ def vis_zephyr_forward(
         prepared = prepare_multimodal(
             params, input_ids, images, patch_valid, cfg,
             text_valid=text_valid, labels=labels, pad_to_multiple=pad_to_multiple,
+            merge_info=merge_info,
         )
 
     logits, extra = mistral_forward(

@@ -50,6 +50,12 @@ _RULES: Tuple[Tuple[str, Tuple], ...] = (
     (r"projector/blocks/fc2/kernel$", (None, "model", "fsdp")),
     (r"projector/blocks/fc2/bias$", (None, None)),
     (r"projector/queries$", (None, None)),
+    # mlp2x_gelu projector: column-parallel in, row-parallel out.
+    (r"projector/fc1/kernel$", ("fsdp", "model")),
+    (r"projector/fc1/bias$", ("model",)),
+    (r"projector/fc2/kernel$", ("model", "fsdp")),
+    (r"projector/fc2/bias$", (None,)),
+    (r"projector/image_newline$", (None,)),
     # Vision tower (stacked [L, ...]).
     (r"vision/layers/attn/(q|k|v)/kernel$", (None, "fsdp", "model")),
     (r"vision/layers/attn/out/kernel$", (None, "model", "fsdp")),

@@ -70,6 +70,7 @@ def prefill(
     cache_len: int,
     text_valid: Optional[jnp.ndarray] = None,
     use_flash: Optional[bool] = None,
+    merge_info: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict, jnp.ndarray]:
     """Run the multimodal prefill and return greedy-ready last-token logits.
 
@@ -84,7 +85,7 @@ def prefill(
     logits, aux = vis_zephyr_forward(
         params, input_ids, images, patch_valid, cfg,
         text_valid=text_valid, return_kv=True, pad_to_multiple=pad_mult,
-        use_flash=use_flash,
+        use_flash=use_flash, merge_info=merge_info,
     )
     lengths = aux["lengths"]
     k, v = aux["kv"]  # [L, B, T, Hkv, D]
@@ -152,18 +153,20 @@ def generate(
     rng: Optional[jax.Array] = None,
     cache_len: Optional[int] = None,
     use_flash: Optional[bool] = None,
+    merge_info: Optional[jnp.ndarray] = None,
 ) -> np.ndarray:
     """Batch generation, fully compiled. Returns [B, max_new_tokens] token
     ids (EOS-padded after stop)."""
     B, T = input_ids.shape
     if cache_len is None:
-        n_img = 0 if images is None else images.shape[1] * cfg.projector.num_queries
+        n_img = (0 if images is None else
+                 images.shape[1] * cfg.tokens_per_patch + cfg.max_extra_merge_tokens())
         cache_len = pad_to_bucket(T + n_img + sampling.max_new_tokens)
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
     last_logits, cache, _ = prefill(
         params, input_ids, images, patch_valid, cfg, cache_len,
-        text_valid=text_valid, use_flash=use_flash,
+        text_valid=text_valid, use_flash=use_flash, merge_info=merge_info,
     )
     rng, sub = jax.random.split(rng)
     first = _sample(last_logits, sub, sampling)
@@ -182,19 +185,21 @@ def generate_stream(
     rng: Optional[jax.Array] = None,
     cache_len: Optional[int] = None,
     use_flash: Optional[bool] = None,
+    merge_info: Optional[jnp.ndarray] = None,
 ) -> Iterator[int]:
     """Single-sequence streaming generation: yields token ids until EOS or
     the budget is exhausted. Host drives one jitted step per token."""
     assert input_ids.shape[0] == 1, "streaming path is single-sequence"
     T = input_ids.shape[1]
     if cache_len is None:
-        n_img = 0 if images is None else images.shape[1] * cfg.projector.num_queries
+        n_img = (0 if images is None else
+                 images.shape[1] * cfg.tokens_per_patch + cfg.max_extra_merge_tokens())
         cache_len = pad_to_bucket(T + n_img + sampling.max_new_tokens)
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
     last_logits, cache, _ = prefill(
         params, input_ids, images, patch_valid, cfg, cache_len,
-        text_valid=text_valid, use_flash=use_flash,
+        text_valid=text_valid, use_flash=use_flash, merge_info=merge_info,
     )
     token = None
     for _ in range(sampling.max_new_tokens):

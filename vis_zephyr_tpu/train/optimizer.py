@@ -51,7 +51,8 @@ def no_decay(path_str: str) -> bool:
     """LayerNorm/RMSNorm scales and biases are excluded from weight decay
     (reference `vis_zephyr_trainer.py:244-270` ALL_LAYERNORM_LAYERS + bias)."""
     leaf = path_str.rsplit("/", 1)[-1]
-    return leaf in ("bias", "scale") or "queries" in path_str
+    return (leaf in ("bias", "scale") or "queries" in path_str
+            or "image_newline" in path_str)
 
 
 def trainable_mask(params, stage: str):
@@ -103,6 +104,15 @@ def _make_schedule(cfg: OptimizerConfig, lr: float) -> optax.Schedule:
         init_value=init, peak_value=lr, warmup_steps=warmup,
         decay_steps=max(cfg.total_steps, warmup + 1), end_value=0.0,
     )
+
+
+def learning_rates_at(opt_cfg: OptimizerConfig, step: int) -> dict:
+    """Schedule values at `step` for experiment logging (base + projector
+    groups), matching what the optimizer actually applies."""
+    base = float(_make_schedule(opt_cfg, opt_cfg.learning_rate)(step))
+    proj_peak = opt_cfg.projector_lr if opt_cfg.projector_lr is not None else opt_cfg.learning_rate
+    proj = float(_make_schedule(opt_cfg, proj_peak)(step))
+    return {"lr": base, "projector_lr": proj}
 
 
 def build_optimizer(params, opt_cfg: OptimizerConfig, stage: str = "1") -> optax.GradientTransformation:

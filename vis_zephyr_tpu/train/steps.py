@@ -49,6 +49,7 @@ def loss_fn(params, batch: Dict, cfg: VisZephyrConfig, remat: bool = True):
         text_valid=batch.get("text_valid"),
         labels=batch["labels"],
         remat=remat,
+        merge_info=batch.get("merge_info"),
     )
     loss, n_tokens = cross_entropy(logits, aux["labels"])
     return loss, {"loss": loss, "tokens": n_tokens}

@@ -55,6 +55,8 @@ class TrainArguments:
     image_folder: str = ""
     image_aspect_ratio: str = "anyres"
     mm_grid_pinpoints: str = "[[336, 672], [672, 336], [336, 1008], [1008, 336]]"
+    mm_projector_type: str = "qformer"    # qformer | mlp2x_gelu
+    mm_patch_merge_type: str = "flat"     # flat | spatial | spatial_unpad
     mm_use_im_start_end: bool = False
     mm_use_im_patch_token: bool = False
     model_max_length: int = 2048
@@ -80,6 +82,10 @@ class TrainArguments:
     logging_steps: int = 1
     resume: bool = True
     dtype: str = "bfloat16"
+    # Experiment reporting: every-step structured metrics, replacing the
+    # reference's wandb stream (`script/pretrain.sh:42,48` report_to wandb).
+    report_to: str = "jsonl"              # "jsonl" | "none"
+    metrics_path: str = ""                # default: <output_dir>/metrics.jsonl
 
 
 def build_components(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None):
@@ -93,6 +99,8 @@ def build_components(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrCon
         cfg = cfg or VisZephyrConfig(
             image_aspect_ratio=args.image_aspect_ratio,
             mm_grid_pinpoints=args.mm_grid_pinpoints,
+            mm_projector_type=args.mm_projector_type,
+            mm_patch_merge_type=args.mm_patch_merge_type,
             tokenizer_model_max_length=args.model_max_length,
         )
         params = init_vis_zephyr(cfg, jax.random.PRNGKey(args.seed), dtype=dtype)
@@ -125,6 +133,8 @@ def build_components(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrCon
         image_aspect_ratio=args.image_aspect_ratio,
         mm_grid_pinpoints=args.mm_grid_pinpoints,
         image_size=cfg.vision.image_size,
+        mm_patch_merge_type=cfg.mm_patch_merge_type,
+        vision_patch_size=cfg.vision.patch_size,
         seed=args.seed,
     )
     dataset = SupervisedDataset(data_cfg, tokenizer)
@@ -183,6 +193,15 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
         step = start_step
         losses = []
         from ..data import prefetch as _prefetch
+        from ..utils.metrics import MetricsLogger
+        from .optimizer import learning_rates_at
+
+        mlogger = None
+        if args.report_to == "jsonl":
+            mpath = args.metrics_path or os.path.join(args.output_dir, "metrics.jsonl")
+            mlogger = MetricsLogger(mpath, echo=False)
+        last_log_t = run_t0
+        last_log_step = start_step
 
         # Data-order resume: the sampler is deterministic in (seed, epoch),
         # so skipping the batches an uninterrupted run would already have
@@ -218,6 +237,23 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                     loss = float(jax.device_get(metrics["loss"]))
                     losses.append(loss)
                     print(f"step {step}/{total_steps} loss {loss:.4f}", flush=True)
+                    if mlogger:
+                        now = time.perf_counter()
+                        d_steps = max(1, step - last_log_step)
+                        mlogger.log(
+                            step,
+                            loss=loss,
+                            grad_norm=float(jax.device_get(metrics["grad_norm"])),
+                            tokens=int(jax.device_get(metrics["tokens"])),
+                            samples_per_s=round(
+                                d_steps * global_batch / max(now - last_log_t, 1e-9), 3
+                            ),
+                            step_time_s=round((now - last_log_t) / d_steps, 4),
+                            epoch=epoch,
+                            **{k: round(v, 8) for k, v in
+                               learning_rates_at(opt_cfg, step).items()},
+                        )
+                        last_log_t, last_log_step = now, step
                 if step % args.save_steps == 0:
                     save_checkpoint(
                         args.output_dir, state, step,
@@ -230,6 +266,9 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
         save_checkpoint(args.output_dir, state, step, projector_only=False)
         if args.stage == "1":
             save_checkpoint(args.output_dir, state, step + 1, projector_only=True)
+
+        if mlogger:
+            mlogger.close()
 
         # benchmark.csv instrumentation (reference train.py:856-927).
         wall = time.perf_counter() - run_t0
