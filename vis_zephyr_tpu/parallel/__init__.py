@@ -7,5 +7,5 @@ The reference's distributed substrate is DeepSpeed ZeRO over NCCL
 XLA emits the all-gather / reduce-scatter / psum collectives over ICI.
 """
 
-from .mesh import create_mesh, local_mesh
+from .mesh import create_mesh, create_multihost_mesh, local_mesh
 from .sharding import param_specs, shard_params, batch_spec

@@ -9,10 +9,13 @@ import jax
 from jax.sharding import Mesh
 
 # Canonical axis names:
+#   dcn   — host-level pure data parallelism (multi-slice / multi-host;
+#           only gradient all-reduce crosses this axis)
 #   data  — pure data parallelism (batch split, params replicated)
 #   fsdp  — batch split AND parameter/optimizer sharding (ZeRO-3 equivalent)
 #   model — tensor parallelism (attention heads / FFN columns over ICI)
 AXES = ("data", "fsdp", "model")
+MULTIHOST_AXES = ("dcn",) + AXES
 
 
 def create_mesh(
@@ -28,6 +31,38 @@ def create_mesh(
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
     grid = np.asarray(devices[:n]).reshape(data, fsdp, model)
     return Mesh(grid, AXES)
+
+
+def create_multihost_mesh(
+    dcn: Optional[int] = None,
+    data: int = 1,
+    fsdp: int = 0,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Hybrid DCN×ICI mesh: the outermost `dcn` axis strides across
+    processes (hosts / slices), the inner axes stay within a process's
+    devices so FSDP all-gathers and TP collectives ride ICI.
+
+    Replaces the reference's DeepSpeed-over-NCCL multi-node layout
+    (`script/zero2.json:16-22`): cross-host traffic is only the dcn-axis
+    gradient reduction, which XLA emits from the shardings.
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    dcn = dcn or max(1, jax.process_count())
+    if len(devices) % dcn:
+        raise ValueError(f"{len(devices)} devices do not divide over dcn={dcn}")
+    per_host = len(devices) // dcn
+    fsdp = fsdp or per_host // (data * model)
+    if data * fsdp * model != per_host:
+        raise ValueError(
+            f"data({data})×fsdp({fsdp})×model({model}) != devices/host ({per_host})"
+        )
+    # Order devices so consecutive blocks share a process (JAX device order
+    # is process-major already; sort defensively).
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+    grid = np.asarray(devices).reshape(dcn, data, fsdp, model)
+    return Mesh(grid, MULTIHOST_AXES)
 
 
 def local_mesh() -> Mesh:

@@ -155,7 +155,9 @@ def constrain_batch_sharded(x):
     mesh = jax.sharding.get_abstract_mesh()
     if mesh is None or mesh.empty:
         return x
-    axes = tuple(a for a in ("data", "fsdp") if a in mesh.shape and mesh.shape[a] > 1)
+    axes = tuple(
+        a for a in ("dcn", "data", "fsdp") if a in mesh.shape and mesh.shape[a] > 1
+    )
     if not axes:
         return x
     n = 1
@@ -167,8 +169,10 @@ def constrain_batch_sharded(x):
 
 
 def batch_spec(mesh: Mesh) -> P:
-    """Batch dimension spans both data-parallel axes."""
-    axes = tuple(a for a in ("data", "fsdp") if mesh.shape[a] > 1)
+    """Batch dimension spans every data-parallel axis (dcn + data + fsdp)."""
+    axes = tuple(
+        a for a in ("dcn", "data", "fsdp") if a in mesh.shape and mesh.shape[a] > 1
+    )
     return P(axes if axes else None)
 
 

@@ -145,12 +145,30 @@ def build_components(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrCon
 
 
 def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None):
+    from ..parallel import distributed
+
+    distributed.ensure_initialized()
     cfg, params, dataset, collator = build_components(args, tokenizer, cfg)
 
+    n_proc = jax.process_count()
     n_dev = len(jax.devices())
-    fsdp = args.mesh_fsdp or max(1, n_dev // (args.mesh_data * args.mesh_model))
-    mesh = create_mesh(data=args.mesh_data, fsdp=fsdp, model=args.mesh_model)
-    dp = args.mesh_data * fsdp
+    if n_proc > 1:
+        # Multi-host: outermost dcn axis (pure DP) spans processes; the
+        # requested data/fsdp/model layout applies per host.
+        from ..parallel.mesh import create_multihost_mesh
+
+        per_host = n_dev // n_proc
+        fsdp = args.mesh_fsdp or max(
+            1, per_host // (args.mesh_data * args.mesh_model)
+        )
+        mesh = create_multihost_mesh(
+            dcn=n_proc, data=args.mesh_data, fsdp=fsdp, model=args.mesh_model
+        )
+        dp = n_proc * args.mesh_data * fsdp
+    else:
+        fsdp = args.mesh_fsdp or max(1, n_dev // (args.mesh_data * args.mesh_model))
+        mesh = create_mesh(data=args.mesh_data, fsdp=fsdp, model=args.mesh_model)
+        dp = args.mesh_data * fsdp
     global_batch = args.per_device_batch_size * dp
 
     steps_per_epoch = max(1, len(dataset) // global_batch)
@@ -196,8 +214,9 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
         from ..utils.metrics import MetricsLogger
         from .optimizer import learning_rates_at
 
+        is_main = jax.process_index() == 0
         mlogger = None
-        if args.report_to == "jsonl":
+        if args.report_to == "jsonl" and is_main:
             mpath = args.metrics_path or os.path.join(args.output_dir, "metrics.jsonl")
             mlogger = MetricsLogger(mpath, echo=False)
         last_log_t = run_t0
@@ -222,13 +241,22 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
             if to_skip:
                 batch_indices = batch_indices[to_skip:]
                 to_skip = 0
+            if n_proc > 1:
+                # Elastic data loading: each host materializes only its own
+                # slice of every global batch (reference: per-rank DeepSpeed
+                # sampler shards); the jitted step still sees global arrays.
+                sl = distributed.process_batch_slice(global_batch)
+                batch_indices = [b[sl] for b in batch_indices]
             loader = _prefetch.PrefetchLoader(dataset, collator, batch_indices, num_workers=4)
             for batch in loader:
                 if step >= total_steps:
                     break
-                batch = shard_batch(
-                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh
-                )
+                if n_proc > 1:
+                    batch = distributed.make_global_batch(batch, mesh)
+                else:
+                    batch = shard_batch(
+                        {k: jnp.asarray(v) for k, v in batch.items()}, mesh
+                    )
                 state, metrics = train_step(state, batch)
                 step += 1
                 seen_samples += global_batch
@@ -236,7 +264,8 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                 if step % args.logging_steps == 0:
                     loss = float(jax.device_get(metrics["loss"]))
                     losses.append(loss)
-                    print(f"step {step}/{total_steps} loss {loss:.4f}", flush=True)
+                    if is_main:
+                        print(f"step {step}/{total_steps} loss {loss:.4f}", flush=True)
                     if mlogger:
                         now = time.perf_counter()
                         d_steps = max(1, step - last_log_step)
@@ -272,15 +301,17 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
 
         # benchmark.csv instrumentation (reference train.py:856-927).
         wall = time.perf_counter() - run_t0
-        _append_benchmark(args.output_dir, {
-            "steps": step - start_step,
-            "samples": seen_samples,
-            "wall_s": round(wall, 2),
-            "samples_per_s": round(seen_samples / max(wall, 1e-9), 3),
-            "final_loss": losses[-1] if losses else None,
-            "global_batch": global_batch,
-            "mesh": f"data={args.mesh_data},fsdp={fsdp},model={args.mesh_model}",
-        })
+        if is_main:
+            _append_benchmark(args.output_dir, {
+                "steps": step - start_step,
+                "samples": seen_samples,
+                "wall_s": round(wall, 2),
+                "samples_per_s": round(seen_samples / max(wall, 1e-9), 3),
+                "final_loss": losses[-1] if losses else None,
+                "global_batch": global_batch,
+                "mesh": f"dcn={n_proc},data={args.mesh_data},fsdp={fsdp},"
+                        f"model={args.mesh_model}",
+            })
     return state
 
 
