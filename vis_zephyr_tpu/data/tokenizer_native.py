@@ -180,7 +180,8 @@ class NativeTokenizer:
     tokenizer.json) or a prebuilt binary blob."""
 
     def __init__(self, model_dir: Optional[str] = None, blob: Optional[bytes] = None,
-                 bos_token_id: int = 1, eos_token_id: int = 2):
+                 bos_token_id: int = 1, eos_token_id: int = 2,
+                 pad_token_id: int = 2, model_max_length: int = 2048):
         lib = _load()
         if lib is None:
             raise RuntimeError("native tokenizer library unavailable (no g++?)")
@@ -195,6 +196,16 @@ class NativeTokenizer:
             raise ValueError("native tokenizer rejected the binary blob")
         self.bos_token_id = bos_token_id
         self.eos_token_id = eos_token_id
+        self.pad_token_id = pad_token_id
+        self.model_max_length = model_max_length
+
+    def __call__(self, text: str):
+        """HF-style call: the serving/tokenization layer's contract is
+        ``tokenizer(text).input_ids`` plus bos/pad ids
+        (`data/tokenization.py:1-15`)."""
+        from types import SimpleNamespace
+
+        return SimpleNamespace(input_ids=self.encode(text, add_bos=True))
 
     def __del__(self):
         h = getattr(self, "_h", None)

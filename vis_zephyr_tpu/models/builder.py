@@ -168,6 +168,7 @@ def load_pretrained_model(
     model_base: Optional[str] = None,
     vision_tower_path: Optional[str] = None,
     load_8bit: bool = False,
+    load_4bit: bool = False,
     dtype=jnp.bfloat16,
     tokenizer_path: Optional[str] = None,
 ) -> Tuple[object, Dict, VisZephyrConfig, int]:
@@ -257,11 +258,16 @@ def load_pretrained_model(
             mm_use_im_start_end=cfg.mm_use_im_start_end,
         )
 
-    if load_8bit:
+    if load_8bit or load_4bit:
+        # load_4bit → int4 weight-only with group-128 scales (the
+        # reference's bitsandbytes NF4 option, `builder.py:33-45`); the
+        # projector stays int8 (small, quality-sensitive cross-attention).
         from ..ops.quant import quantize_decoder_layers, quantize_qformer
 
         if "decoder" in params:
-            params["decoder"] = quantize_decoder_layers(params["decoder"])
+            params["decoder"] = quantize_decoder_layers(
+                params["decoder"], bits=4 if load_4bit else 8
+            )
         if "projector" in params:
             params["projector"] = quantize_qformer(params["projector"])
 

