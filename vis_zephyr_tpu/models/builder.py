@@ -210,12 +210,33 @@ def load_pretrained_model(
 
     tokenizer = None
     tok_src = tokenizer_path or model_base or model_path
-    try:
-        from transformers import AutoTokenizer
+    if os.environ.get("VZT_NATIVE_TOKENIZER") == "1" and not (
+        cfg.mm_use_im_start_end or cfg.mm_use_im_patch_token
+    ):  # image-placeholder special tokens need HF's added-token machinery
+        # Opt-in native C++ BPE tokenizer: drops transformers from the
+        # serving path (GIL-free encode under the batcher's threads).
+        try:
+            from ..data.tokenizer_native import NativeTokenizer
 
-        tokenizer = AutoTokenizer.from_pretrained(tok_src, use_fast=True)
-    except Exception:  # noqa: BLE001 — tokenizer optional for param-only use
-        tokenizer = None
+            tokenizer = NativeTokenizer(
+                model_dir=tok_src,
+                bos_token_id=cfg.decoder.bos_token_id,
+                eos_token_id=cfg.decoder.eos_token_id,
+                pad_token_id=cfg.decoder.pad_token_id,
+                model_max_length=cfg.tokenizer_model_max_length,
+            )
+        except Exception as e:  # noqa: BLE001 — fall back to HF below
+            import warnings
+
+            warnings.warn(f"native tokenizer unavailable ({e}); using HF")
+            tokenizer = None
+    if tokenizer is None:
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(tok_src, use_fast=True)
+        except Exception:  # noqa: BLE001 — tokenizer optional for param-only use
+            tokenizer = None
 
     native = os.path.join(model_path, "state")
     adapter_files = glob.glob(os.path.join(model_path, "adapter_model.*"))
