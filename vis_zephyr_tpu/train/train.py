@@ -206,6 +206,22 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
             seed=args.seed,
         )
 
+        # Preemption safety: TPU pods get evicted with SIGTERM; checkpoint
+        # at the next step boundary and exit cleanly so `--resume` continues
+        # without losing work (net-new vs the reference, whose DeepSpeed run
+        # dies where it stands).
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_sigterm(signum, frame):  # noqa: ARG001
+            preempted["flag"] = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # non-main thread (tests drive train() directly)
+            prev_handler = None
+
         run_t0 = time.perf_counter()
         seen_samples = 0
         step = start_step
@@ -249,7 +265,7 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                 batch_indices = [b[sl] for b in batch_indices]
             loader = _prefetch.PrefetchLoader(dataset, collator, batch_indices, num_workers=4)
             for batch in loader:
-                if step >= total_steps:
+                if step >= total_steps or preempted["flag"]:
                     break
                 if n_proc > 1:
                     batch = distributed.make_global_batch(batch, mesh)
@@ -289,15 +305,30 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                         projector_only=(args.stage == "1"),
                         metadata={"loss": losses[-1] if losses else None},
                     )
+                if preempted["flag"]:
+                    save_checkpoint(
+                        args.output_dir, state, step,
+                        projector_only=False,
+                        metadata={"preempted": True},
+                    )
+                    if is_main:
+                        print(f"preempted: checkpointed at step {step}", flush=True)
+                    break
+            if preempted["flag"]:
+                break
 
         # Final save: stage 1 keeps the projector artifact AND the full
-        # state; stage 2 saves adapters in the full state.
-        save_checkpoint(args.output_dir, state, step, projector_only=False)
-        if args.stage == "1":
-            save_checkpoint(args.output_dir, state, step + 1, projector_only=True)
+        # state; stage 2 saves adapters in the full state. (Preemption
+        # already checkpointed this exact step.)
+        if not preempted["flag"]:
+            save_checkpoint(args.output_dir, state, step, projector_only=False)
+            if args.stage == "1":
+                save_checkpoint(args.output_dir, state, step + 1, projector_only=True)
 
         if mlogger:
             mlogger.close()
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
 
         # benchmark.csv instrumentation (reference train.py:856-927).
         wall = time.perf_counter() - run_t0
