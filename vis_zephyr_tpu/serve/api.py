@@ -163,6 +163,7 @@ def main(args=None):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--load-8bit", action="store_true")
+    p.add_argument("--load-4bit", action="store_true")
     p.add_argument("--continuous-batching", action="store_true")
     p.add_argument("--max-slots", type=int, default=8)
     p.add_argument("--kv-cache", choices=["dense", "paged"], default="dense",
@@ -182,7 +183,7 @@ def main(args=None):
 
     tokenizer, params, cfg, _ = load_pretrained_model(
         a.model_path, model_base=a.model_base, vision_tower_path=a.vision_tower,
-        load_8bit=a.load_8bit, dtype=jnp.bfloat16,
+        load_8bit=a.load_8bit, load_4bit=a.load_4bit, dtype=jnp.bfloat16,
     )
     mesh = None
     if a.tp > 1:

@@ -37,6 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--load-8bit", action="store_true")
+    p.add_argument("--load-4bit", action="store_true")
     return p
 
 
@@ -47,6 +48,7 @@ def main(args=None):
         model_base=args.model_base,
         vision_tower_path=args.vision_tower,
         load_8bit=args.load_8bit,
+        load_4bit=args.load_4bit,
         dtype=jnp.bfloat16,
     )
     if tokenizer is None:
