@@ -109,7 +109,9 @@ def _make_kernel_int4(group: int, gb: int):
     XLA dequant fallback."""
 
     def kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref):
-        @pl.when(pl.program_id(0) == 0)
+        # Grid = (n_block parallel, k_block reduction): dim 1 is the
+        # sequential reduction this accumulator follows.
+        @pl.when(pl.program_id(1) == 0)
         def _init():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -126,7 +128,7 @@ def _make_kernel_int4(group: int, gb: int):
             total += d * scale_ref[0, i][None].astype(jnp.float32)
         acc_ref[...] += total
 
-        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
         def _finish():
             out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
@@ -159,6 +161,26 @@ def quantized_matmul_int4(
     M_pad = max(8, ((M + 7) // 8) * 8)
     if M_pad != M:
         x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
+
+    # Block the output dimension so the kernel's VMEM stack (acc + out +
+    # int8 panels + the int32 unpack temporaries, which dominate) stays
+    # under Mosaic's scoped limit at any M / N.
+    def vmem_est(bn):
+        return (M_pad * bn * 6                 # f32 acc + bf16 out
+                + 2 * (gb * group // 2) * bn   # double-buffered int8 panels
+                + group * bn * 6)              # lo/hi i32 + bf16 temporaries
+    # Mosaic needs block_n to be a multiple of 128 (lane tile) or equal to
+    # N, so walk the lane-aligned divisors of N from largest down.
+    block_n = N
+    if vmem_est(N) > 10_000_000 and N % 128 == 0:
+        candidates = [d * 128 for d in range(N // 128, 0, -1)
+                      if N % (d * 128) == 0]
+        for bn in candidates:
+            block_n = bn
+            if vmem_est(bn) <= 10_000_000:
+                break
+    grid = (N // block_n, G // gb)
+
     # Mosaic requires the last two block dims be tile-aligned or full; a
     # [G/gb, gb, N] view lets each grid step take its groups' scale rows whole.
     scale4 = scale4.reshape(G // gb, gb, N)
@@ -168,17 +190,17 @@ def quantized_matmul_int4(
         out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(G // gb,),
+            grid=grid,
             in_specs=[
-                pl.BlockSpec((M_pad, group * gb), lambda g: (0, g)),
-                pl.BlockSpec((group * gb // 2, N), lambda g: (g, 0)),
-                pl.BlockSpec((1, gb, N), lambda g: (g, 0, 0)),
+                pl.BlockSpec((M_pad, group * gb), lambda n, g: (0, g)),
+                pl.BlockSpec((group * gb // 2, block_n), lambda n, g: (g, n)),
+                pl.BlockSpec((1, gb, block_n), lambda n, g: (g, 0, n)),
             ],
-            out_specs=pl.BlockSpec((M_pad, N), lambda g: (0, 0)),
-            scratch_shapes=[pltpu.VMEM((M_pad, N), jnp.float32)],
+            out_specs=pl.BlockSpec((M_pad, block_n), lambda n, g: (0, n)),
+            scratch_shapes=[pltpu.VMEM((M_pad, block_n), jnp.float32)],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M_pad * K * N,
