@@ -87,3 +87,54 @@ class TestMeshServing:
             params, jnp.asarray(r[0][None]), None, None, cfg, sampling, cache_len=128
         )[0]
         np.testing.assert_array_equal(list(batcher.stream(h)), solo)
+
+
+class TestMeshPagedServing:
+    """Paged-KV pools under model-axis TP: kv-head-sharded pools, shard_map
+    decode kernel (`serve/paged.py::_paged_attention_tp`)."""
+
+    def test_tp_paged_matches_single_device(self, setup, rng):
+        from vis_zephyr_tpu.serve.paged import PagedBatcher
+
+        cfg, params = setup
+        mesh = create_mesh(model=2)  # tiny Hkv=2 → one kv head per shard
+        sampling = SamplingConfig(max_new_tokens=6, temperature=0.0, eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=4, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=32, mesh=mesh,
+        )
+        requests = [make_request(cfg, rng, T, with_image=True) for T in (5, 8)]
+        handles = [batcher.submit(ids, im, pv) for ids, im, pv in requests]
+        batcher.run_until_drained()
+
+        for (ids, im, pv), handle in zip(requests, handles):
+            got = list(batcher.stream(handle))
+            solo = generate(
+                params, jnp.asarray(ids[None]), jnp.asarray(im[None]),
+                jnp.asarray(pv[None]), cfg, sampling, cache_len=64,
+            )[0]
+            np.testing.assert_array_equal(got, solo)
+
+    def test_tp_paged_pools_sharded(self, setup):
+        from vis_zephyr_tpu.serve.paged import PagedBatcher
+
+        cfg, params = setup
+        mesh = create_mesh(model=2)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=64, page_size=16,
+            sampling=SamplingConfig(max_new_tokens=2), num_pages=16, mesh=mesh,
+        )
+        assert batcher.kp.sharding.spec[0] == "model", batcher.kp.sharding
+        kernel = batcher.params["decoder"]["layers"]["attn"]["q"]["kernel"]
+        assert "model" in tuple(kernel.sharding.spec)
+
+    def test_tp_paged_rejects_indivisible_heads(self, setup):
+        from vis_zephyr_tpu.serve.paged import PagedBatcher
+
+        cfg, params = setup  # tiny Hkv=2; model=8 can't shard the pools
+        mesh = create_mesh(model=8)
+        with pytest.raises(ValueError, match="kv head"):
+            PagedBatcher(
+                params, cfg, max_slots=2, cache_len=64, page_size=16,
+                sampling=SamplingConfig(max_new_tokens=2), mesh=mesh,
+            )

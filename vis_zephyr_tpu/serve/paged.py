@@ -25,6 +25,13 @@ Layout (TPU-first):
   (prompt pages + generation budget) is claimed at admit and released at
   finish. No per-step allocation, no fragmentation handling needed.
 
+Multi-chip (model-axis TP mesh): params are TP-sharded, pools are sharded
+over kv heads (`[Hkv, ...]` axis 0), and the decode kernel runs per shard
+under `shard_map` — attention needs zero collectives (each chip owns whole
+GQA groups); the row-parallel output projection carries the layer's single
+psum. Per-chip pool HBM drops by the mesh size, so the aggregate slot
+ceiling scales UP with chips (the v5e-8 north-star configuration).
+
 Limitations: the paged kernel has no sliding-window mask, so `cache_len`
 must not exceed `decoder.sliding_window` (true for Zephyr: 4096-window vs
 2048 cache).
@@ -42,6 +49,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import VisZephyrConfig
 from ..models.mistral import _mlp, _project_qkv, embed, rms_norm, rope_cos_sin
@@ -98,11 +106,40 @@ def _clear_row(page_table, slot):
     return page_table.at[slot].set(jnp.zeros((page_table.shape[1],), page_table.dtype))
 
 
+def _paged_attention_tp(mesh):
+    """paged_attention wrapped for a model-axis TP mesh: kv-head-sharded
+    pools, head-sharded queries. The kernel is a per-(batch, kv-head) grid —
+    each device runs it unchanged over its Hkv/m heads (GQA groups stay
+    intact because query heads are blocked per kv head), so TP needs zero
+    collectives inside attention; the row-parallel `attn/out` matmul after
+    it carries the layer's single psum, exactly like the dense TP path."""
+    from jax.experimental.shard_map import shard_map
+
+    def local(q, kp, vp, table, lengths, k_new, v_new):
+        return paged_attention(q, kp, vp, table, lengths,
+                               k_new=k_new, v_new=v_new)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(
+            P(None, "model", None),          # q [B, Hq, D]
+            P("model", None, None, None),    # k pools [Hkv, L*P, ps, D]
+            P("model", None, None, None),    # v pools
+            P(None, None),                   # page table (replicated)
+            P(None),                         # lengths (replicated)
+            P(None, "model", None),          # k_new [B, Hkv, D]
+            P(None, "model", None),          # v_new
+        ),
+        out_specs=P(None, "model", None),
+        check_rep=False,
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "sampling"), donate_argnums=(1, 2, 4)
+    jax.jit, static_argnames=("cfg", "sampling", "mesh"), donate_argnums=(1, 2, 4)
 )
 def _paged_step(params, kp, vp, page_table, lengths, token, active, key,
-                cfg: VisZephyrConfig, sampling: SamplingConfig):
+                cfg: VisZephyrConfig, sampling: SamplingConfig, mesh=None):
     """One decode step over all slots against the paged pools."""
     dec = cfg.decoder
     L = dec.num_layers
@@ -127,14 +164,15 @@ def _paged_step(params, kp, vp, page_table, lengths, token, active, key,
     # inside the scan would alias an in-place scatter with a Pallas
     # consumer, which forces XLA to copy the full pools every layer
     # (measured 333 ms/step vs 18 ms on v5e at 32 slots).
+    attn_fn = paged_attention if mesh is None else _paged_attention_tp(mesh)
+
     def body(h, xs):
         layer_params, i = xs
         hn = rms_norm(h, layer_params["input_ln"]["scale"], dec.rms_norm_eps)
         q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin)
         k_new, v_new = k[:, 0], v[:, 0]  # [B, Hkv, D]
-        attn = paged_attention(
-            q[:, 0], kp, vp, page_table + i * P, lengths_eff,
-            k_new=k_new, v_new=v_new,
+        attn = attn_fn(
+            q[:, 0], kp, vp, page_table + i * P, lengths_eff, k_new, v_new,
         )
         attn = attn.reshape(B, 1, -1)
         h = h + qdot(attn, layer_params["attn"]["out"])
@@ -184,12 +222,20 @@ class PagedBatcher(ContinuousBatcher):
         prefill_chunk: Optional[int] = None,
     ):
         if mesh is not None:
-            raise NotImplementedError(
-                "paged KV under a device mesh needs the kernel wrapped in "
-                "shard_map (head-sharded pools); use the dense batcher for "
-                "multi-chip serving for now"
-            )
-        self.use_flash = None
+            m = mesh.shape.get("model", 1)
+            if cfg.decoder.num_kv_heads % max(m, 1):
+                raise ValueError(
+                    f"paged TP shards the pools over kv heads: mesh model "
+                    f"axis {m} must divide num_kv_heads="
+                    f"{cfg.decoder.num_kv_heads}"
+                )
+            from ..parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
+        self.mesh = mesh
+        # Pallas prefill can't be auto-partitioned; XLA attention shards
+        # cleanly head-parallel (same rule as the dense TP batcher).
+        self.use_flash = False if mesh is not None else None
         self.metrics = metrics
         self.prefill_chunk = prefill_chunk
         self._prefilling = None
@@ -218,8 +264,16 @@ class PagedBatcher(ContinuousBatcher):
         dec = cfg.decoder
         dtype = params["decoder"]["embed_tokens"].dtype
         pool_shape = (dec.num_kv_heads, dec.num_layers * num_pages, page_size, dec.head_dim)
-        self.kp = jnp.zeros(pool_shape, dtype)
-        self.vp = jnp.zeros(pool_shape, dtype)
+        if mesh is not None:
+            # kv-head-sharded pools: each chip holds Hkv/m heads of every
+            # page, so pool HBM scales down with the mesh — the aggregate
+            # pool (slot ceiling) scales UP with chips.
+            pool_sh = NamedSharding(mesh, P("model", None, None, None))
+            self.kp = jnp.zeros(pool_shape, dtype, device=pool_sh)
+            self.vp = jnp.zeros(pool_shape, dtype, device=pool_sh)
+        else:
+            self.kp = jnp.zeros(pool_shape, dtype)
+            self.vp = jnp.zeros(pool_shape, dtype)
         self.page_table = jnp.zeros((max_slots, self.pages_per_seq), jnp.int32)
         self.lengths = jnp.zeros((max_slots,), jnp.int32)
         self.token = jnp.full((max_slots,), dec.pad_token_id, jnp.int32)
@@ -312,6 +366,7 @@ class PagedBatcher(ContinuousBatcher):
         self.token, self.kp, self.vp, self.lengths = _paged_step(
             self.params, self.kp, self.vp, self.page_table, self.lengths,
             self.token, jnp.asarray(self.active), sub, self.cfg, self.sampling,
+            mesh=self.mesh,
         )
         tokens = np.asarray(jax.device_get(self.token))
         stepped = 0
