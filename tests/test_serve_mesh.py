@@ -138,3 +138,23 @@ class TestMeshPagedServing:
                 params, cfg, max_slots=2, cache_len=64, page_size=16,
                 sampling=SamplingConfig(max_new_tokens=2), mesh=mesh,
             )
+
+    def test_tp_paged_chunked_prefill_matches(self, setup, rng):
+        """Chunked prefill admission composes with TP paged decode."""
+        from vis_zephyr_tpu.serve.paged import PagedBatcher
+
+        cfg, params = setup
+        mesh = create_mesh(model=2)
+        sampling = SamplingConfig(max_new_tokens=5, temperature=0.0, eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=32, mesh=mesh, prefill_chunk=8,
+        )
+        ids, im, pv = make_request(cfg, rng, 21, with_image=False)
+        h = batcher.submit(ids, im, pv)
+        batcher.run_until_drained()
+        solo = generate(
+            params, jnp.asarray(ids[None]), None, None, cfg, sampling,
+            cache_len=64,
+        )[0]
+        np.testing.assert_array_equal(list(batcher.stream(h)), solo)
