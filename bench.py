@@ -382,8 +382,10 @@ def main():
         )
     # decode: retry at 16 slots, then degrade to 8 rather than report zero.
     extras.update(_phase_with_retries("decode", [16, 16, 8]))
-    # paged decode at 32 slots (doesn't fit a dense cache), fallback 16.
-    extras.update(_phase_with_retries("paged", [32, 16]))
+    # paged decode at slot counts a dense cache can't hold: try 64 first
+    # (pool 6.5 GB + 7 GB int8 weights — fits when the chip is clean),
+    # degrade to 32 then 16 on RESOURCE_EXHAUSTED.
+    extras.update(_phase_with_retries("paged", [64, 32, 16]))
 
     slots = extras.get("decode_slots")
     dense = extras.get(f"decode_tokens_per_sec_batch{slots}") if slots else None
