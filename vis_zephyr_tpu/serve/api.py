@@ -179,6 +179,9 @@ def main(args=None):
     p.add_argument("--metrics-path", default=None,
                    help="JSONL file for per-request TTFT/TPOT rows; "
                         "aggregate histograms at GET /metrics")
+    p.add_argument("--lookahead", type=int, default=0,
+                   help="prompt-lookup speculative decoding span on the "
+                        "serialized path (greedy only; 0 disables)")
     a = p.parse_args(args)
 
     tokenizer, params, cfg, _ = load_pretrained_model(
@@ -200,7 +203,7 @@ def main(args=None):
         max_new_tokens=a.max_new_tokens,
         continuous_batching=a.continuous_batching, max_slots=a.max_slots,
         kv_cache=a.kv_cache, num_pages=a.num_pages, mesh=mesh,
-        metrics=metrics, prefill_chunk=a.prefill_chunk,
+        metrics=metrics, prefill_chunk=a.prefill_chunk, lookahead=a.lookahead,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--load-8bit", action="store_true")
     p.add_argument("--load-4bit", action="store_true")
+    p.add_argument("--lookahead", type=int, default=0,
+                   help="prompt-lookup speculative decoding span (greedy "
+                        "only; 0 disables)")
     return p
 
 
@@ -59,6 +62,7 @@ def main(args=None):
         conv_mode=args.conv_mode,
         temperature=args.temperature,
         max_new_tokens=args.max_new_tokens,
+        lookahead=args.lookahead,
     )
     image = load_image(args.image_file)
     first = True

@@ -45,6 +45,7 @@ class ChatEngine:
         mesh=None,
         metrics=None,
         prefill_chunk=None,
+        lookahead: int = 0,
     ):
         """`mesh`: optional inference mesh (model-axis TP). Params are
         sharded once here; jitted prefill/decode partition via SPMD
@@ -53,6 +54,9 @@ class ChatEngine:
         parallelism."""
         self.mesh = mesh
         self.metrics = metrics
+        # Prompt-lookup speculation (greedy serialized path only; batched
+        # decoding amortizes weight reads across slots already).
+        self.lookahead = lookahead
         self._use_flash = None
         if mesh is not None:
             from ..parallel.sharding import shard_params
@@ -222,6 +226,7 @@ class ChatEngine:
                 self.cfg,
                 self.sampling,
                 use_flash=self._use_flash,
+                lookahead=self.lookahead,
             )
         try:
             for tok in stream:

@@ -174,6 +174,55 @@ def generate(
     return np.asarray(tokens)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_verify(
+    params,
+    cache: Dict,
+    tokens: jnp.ndarray,  # [B, S]
+    valid: jnp.ndarray,   # [B, S] bool — padded proposal slots are False
+    cfg: VisZephyrConfig,
+) -> Tuple[jnp.ndarray, Dict]:
+    """Speculative verify: append S tokens (the pending accepted token plus
+    S−1 proposed) in ONE cached forward and return per-position logits
+    [B, S, V]. A verify step reads the same weight bytes as a single decode
+    step (both are HBM-bound), so each accepted proposal token is nearly
+    free — the TPU-friendly way to buy single-stream latency. The caller
+    rolls `cache["length"]` back to the accepted prefix; rejected slots
+    hold garbage K/V that the next append overwrites (masks key validity
+    off `length`, so stale slots are never attended)."""
+    positions = cache["length"][:, None] + jnp.cumsum(
+        valid.astype(jnp.int32), axis=1) - 1
+    embeds = embed(params["decoder"], tokens)
+    logits, new_cache = mistral_forward(
+        params["decoder"], embeds, cfg.decoder, positions,
+        attn_valid=valid, cache=cache, logits_slice="all",
+    )
+    return logits, new_cache
+
+
+def _propose_lookup(history: np.ndarray, ngram: int = 2, span: int = 8):
+    """Prompt-lookup proposal (draft-model-free speculation): find the most
+    recent earlier occurrence of the trailing `ngram` tokens in the
+    sequence so far and propose the tokens that followed it. Catches the
+    copy/echo structure of VQA answers (entity names, option text, prompt
+    phrases) with zero model cost."""
+    n = len(history)
+    if n < ngram + 1:
+        return None
+    tail = history[-ngram:]
+    body = history[: n - 1]  # allow overlap up to the penultimate token
+    if len(body) < ngram:
+        return None
+    windows = np.lib.stride_tricks.sliding_window_view(body, ngram)
+    matches = np.flatnonzero((windows == tail).all(axis=1))
+    # Most recent match whose continuation has at least one known token.
+    for i in matches[::-1]:
+        cont = history[i + ngram : i + ngram + span]
+        if len(cont):
+            return cont
+    return None
+
+
 def generate_stream(
     params,
     input_ids: jnp.ndarray,
@@ -186,21 +235,73 @@ def generate_stream(
     cache_len: Optional[int] = None,
     use_flash: Optional[bool] = None,
     merge_info: Optional[jnp.ndarray] = None,
+    lookahead: int = 0,
 ) -> Iterator[int]:
     """Single-sequence streaming generation: yields token ids until EOS or
-    the budget is exhausted. Host drives one jitted step per token."""
+    the budget is exhausted. Host drives one jitted step per token.
+
+    `lookahead > 0` enables prompt-lookup speculative decoding (greedy
+    only): up to `lookahead` tokens proposed from the sequence's own
+    n-gram structure are verified in one multi-token cache append —
+    identical output to plain greedy decoding, fewer device steps."""
     assert input_ids.shape[0] == 1, "streaming path is single-sequence"
     T = input_ids.shape[1]
     if cache_len is None:
         n_img = (0 if images is None else
                  images.shape[1] * cfg.tokens_per_patch + cfg.max_extra_merge_tokens())
-        cache_len = pad_to_bucket(T + n_img + sampling.max_new_tokens)
+        cache_len = pad_to_bucket(T + n_img + sampling.max_new_tokens + lookahead)
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
     last_logits, cache, _ = prefill(
         params, input_ids, images, patch_valid, cfg, cache_len,
         text_valid=text_valid, use_flash=use_flash, merge_info=merge_info,
     )
+    speculate = lookahead > 0 and sampling.temperature <= 0.0
+    # Image sentinels (< 0) are placeholders, not vocabulary: keep them out
+    # of the lookup history (an n-gram crossing one is meaningless).
+    history = [int(t) for t in np.asarray(input_ids[0]) if t >= 0]
+    budget = sampling.max_new_tokens
+
+    tok = int(jnp.argmax(last_logits, axis=-1)[0]) if speculate else None
+    if speculate:
+        # `tok` is pending: emitted to the caller, not yet in the cache.
+        if tok == sampling.eos_token_id:
+            return
+        yield tok
+        history.append(tok)
+        budget -= 1
+        S = lookahead + 1
+        while budget > 0:
+            prop = _propose_lookup(np.asarray(history), span=lookahead)
+            if prop is None:
+                prop = np.zeros((0,), np.int32)
+            n_prop = len(prop)
+            toks = np.full((1, S), cfg.decoder.pad_token_id, np.int32)
+            toks[0, 0] = tok
+            toks[0, 1 : 1 + n_prop] = prop
+            valid = np.zeros((1, S), bool)
+            valid[0, : 1 + n_prop] = True
+            base_len = cache["length"]
+            logits, cache = decode_verify(
+                params, cache, jnp.asarray(toks), jnp.asarray(valid), cfg
+            )
+            greedy = np.asarray(jnp.argmax(logits[0], axis=-1))
+            accepted = 0
+            while accepted < n_prop and greedy[accepted] == prop[accepted]:
+                accepted += 1
+            emitted = list(prop[:accepted]) + [int(greedy[accepted])]
+            # Roll back to the accepted prefix: `tok` + accepted proposals
+            # are real cache entries; the new pending token is not written.
+            cache = dict(cache, length=base_len + 1 + accepted)
+            for t in emitted[:budget]:
+                if t == sampling.eos_token_id:
+                    return
+                yield int(t)
+                history.append(int(t))
+            budget -= len(emitted[:budget])
+            tok = emitted[-1] if budget > 0 else None
+        return
+
     token = None
     for _ in range(sampling.max_new_tokens):
         rng, sub = jax.random.split(rng)
