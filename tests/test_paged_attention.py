@@ -83,3 +83,49 @@ class TestSelfTerm:
         # Row 0 has no cache: softmax over {self} → exactly v_new per group.
         expect0 = np.repeat(np.asarray(v_new[0]), Hq // Hkv, axis=0)
         np.testing.assert_allclose(np.asarray(got[0]), expect0, rtol=2e-5, atol=2e-5)
+
+
+class TestPagedKVUpdate:
+    """In-place Pallas pool write (`paged_kv_update`) == XLA scatter.
+
+    Page ids are unique per call in production (each (layer, slot) owns a
+    distinct pool page; only the reserved trash page repeats) — duplicates
+    have undefined scatter order, so tests use unique ids."""
+
+    def test_matches_xla_scatter(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import paged_kv_update
+
+        Hkv, N, ps, D, L, B = 2, 16, 8, 128, 3, 4
+        kp = jnp.asarray(rng.standard_normal((Hkv, N, ps, D)), jnp.float32)
+        vp = jnp.asarray(rng.standard_normal((Hkv, N, ps, D)), jnp.float32)
+        ks = jnp.asarray(rng.standard_normal((L, B, Hkv, D)), jnp.float32)
+        vs = jnp.asarray(rng.standard_normal((L, B, Hkv, D)), jnp.float32)
+        pids = jnp.asarray(rng.permutation(N)[: L * B].reshape(L, B), jnp.int32)
+        offs = jnp.asarray(rng.integers(0, ps, (B,)), jnp.int32)
+
+        ref_k = kp.at[:, pids, jnp.broadcast_to(offs, (L, B))].set(
+            jnp.moveaxis(ks, 2, 0))
+        ref_v = vp.at[:, pids, jnp.broadcast_to(offs, (L, B))].set(
+            jnp.moveaxis(vs, 2, 0))
+        got_k, got_v = paged_kv_update(kp, vp, ks, vs, pids, offs)
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+
+    def test_untouched_pages_preserved(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import paged_kv_update
+
+        Hkv, N, ps, D, L, B = 2, 8, 8, 128, 1, 2
+        kp = jnp.asarray(rng.standard_normal((Hkv, N, ps, D)), jnp.float32)
+        vp = jnp.asarray(rng.standard_normal((Hkv, N, ps, D)), jnp.float32)
+        ks = jnp.zeros((L, B, Hkv, D), jnp.float32)
+        vs = jnp.zeros((L, B, Hkv, D), jnp.float32)
+        pids = jnp.asarray([[1, 2]], jnp.int32)
+        offs = jnp.asarray([0, 3], jnp.int32)
+        kp_host = np.asarray(kp)  # the pools are donated (deleted) below
+        got_k, _ = paged_kv_update(kp, vp, ks, vs, pids, offs)
+        # Pages 0 and 3.. untouched; page 1 row 0 and page 2 row 3 zeroed.
+        np.testing.assert_array_equal(np.asarray(got_k[:, 0]), kp_host[:, 0])
+        np.testing.assert_array_equal(np.asarray(got_k[:, 3:]), kp_host[:, 3:])
+        assert float(jnp.abs(got_k[:, 1, 0]).max()) == 0.0
+        assert float(jnp.abs(got_k[:, 2, 3]).max()) == 0.0
+        np.testing.assert_array_equal(np.asarray(got_k[:, 1, 1:]), kp_host[:, 1, 1:])

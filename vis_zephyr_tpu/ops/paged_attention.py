@@ -227,6 +227,74 @@ def paged_attention(
     return out.reshape(B, Hq, D)
 
 
+def _kv_update_kernel(page_size: int):
+    def kernel(pids_ref, offs_ref, k_ref, v_ref, kold_ref, vold_ref,
+               kout_ref, vout_ref):
+        b = pl.program_id(1)
+        off = offs_ref[b]
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, page_size, 1), 2)
+        sel = row == off
+        kout_ref[...] = jnp.where(sel, k_ref[0, 0][:, None, None, :], kold_ref[...])
+        vout_ref[...] = jnp.where(sel, v_ref[0, 0][:, None, None, :], vold_ref[...])
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0, 1))
+def paged_kv_update(
+    k_pages: jnp.ndarray,   # [Hkv, N, ps, D] (donated, updated in place)
+    v_pages: jnp.ndarray,
+    ks: jnp.ndarray,        # [L, B, Hkv, D] — one decode step's new K rows
+    vs: jnp.ndarray,
+    page_ids: jnp.ndarray,  # [L, B] int32 absolute pool page per (layer, slot)
+    offsets: jnp.ndarray,   # [B] int32 row within the page
+    interpret=None,
+) -> tuple:
+    """Write one decode step's K/V rows into the pools IN PLACE.
+
+    Replaces the XLA scatter `pool.at[:, page_lb, off_lb].set(...)`, which
+    costs ~20 ms/step at B=32 on v5e (measured — XLA lowers the scatter to
+    a serialized update loop over a 1.6 GB operand). Here each (layer,
+    slot) grid cell streams its target page block through VMEM and
+    rewrites one row (masked select — no dynamic stores), with
+    `input_output_aliases` pinning the pools in place: total traffic is
+    2·L·B page blocks (~0.5 GB at B=32) instead of a serialized scatter.
+
+    The caller passes trash-page ids (0) for inactive slots; repeated
+    writes to page 0 are benign (it is never attended).
+    """
+    Hkv, N, ps, D = k_pages.shape
+    L, B, _, _ = ks.shape
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    flat_pids = page_ids.reshape(-1)
+    grid = (L, B)
+    page_block = pl.BlockSpec(
+        (Hkv, 1, ps, D), lambda l, b, pids, offs: (0, pids[l * B + b], 0, 0)
+    )
+    new_block = pl.BlockSpec((1, 1, Hkv, D), lambda l, b, pids, offs: (l, b, 0, 0))
+    kp, vp = pl.pallas_call(
+        _kv_update_kernel(ps),
+        out_shape=(jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+                   jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # page ids, offsets
+            grid=grid,
+            in_specs=[new_block, new_block, page_block, page_block],
+            out_specs=[page_block, page_block],
+        ),
+        # Operand indices count flattened args INCLUDING the scalar-prefetch
+        # ones (cf. megablox gmm's {6: 0}): pools are args 4 and 5.
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(flat_pids, offsets, ks.astype(k_pages.dtype), vs.astype(v_pages.dtype),
+      k_pages, v_pages)
+    return kp, vp
+
+
 def paged_attention_reference(q, k_pages, v_pages, page_table, lengths,
                               k_new=None, v_new=None):
     """XLA oracle: gather pages into dense KV (appending the current token's
