@@ -86,13 +86,15 @@ def _splice_embeds(params, input_ids, images, patch_valid, cfg: VisZephyrConfig,
             prepared["lengths"])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(4,))
-def _chunk_extend(dec_params, embeds, positions, valid, cache, cfg: VisZephyrConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "pallas_cache"), donate_argnums=(4,))
+def _chunk_extend(dec_params, embeds, positions, valid, cache, cfg: VisZephyrConfig,
+                  pallas_cache: bool = True):
     """Append one prefill chunk to a B=1 scratch cache (decoder cache-
     extension mode: the chunk attends causally over all previous chunks)."""
     logits, cache = mistral_forward(
         dec_params, embeds, cfg.decoder, positions,
         attn_valid=valid, cache=cache, logits_slice="all",
+        pallas_cache_update=pallas_cache,
     )
     return logits, cache
 
@@ -109,15 +111,17 @@ def _admit(cache, k, v, length, cfg: VisZephyrConfig, slot: int):
     return {"k": ck, "v": cv, "length": lengths}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sampling"), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnames=("cfg", "sampling", "pallas_cache"),
+                   donate_argnums=(1,))
 def _batch_step(params, cache, token, active, key, cfg: VisZephyrConfig,
-                sampling: SamplingConfig):
+                sampling: SamplingConfig, pallas_cache: bool = True):
     """One decode step over all slots; inactive slots are frozen."""
     old_lengths = cache["length"]
     embeds = embed(params["decoder"], token[:, None])
     logits, new_cache = mistral_forward(
         params["decoder"], embeds, cfg.decoder, old_lengths[:, None],
         cache=cache, logits_slice="last",
+        pallas_cache_update=pallas_cache,
     )
     next_token = _sample(logits[:, 0], key, sampling)
     next_token = jnp.where(active, next_token, cfg.decoder.pad_token_id)
@@ -320,6 +324,7 @@ class ContinuousBatcher:
             logits, st["cache"] = _chunk_extend(
                 self.params["decoder"], st["embeds"][:, sl], st["positions"][:, sl],
                 st["valid"][:, sl], st["cache"], self.cfg,
+                pallas_cache=self.mesh is None,
             )
             if (st["length"] - 1) // C == c:  # chunk holding the last real token
                 st["last_logits"] = logits[0, (st["length"] - 1) % C]
@@ -394,7 +399,7 @@ class ContinuousBatcher:
         self.rng, sub = jax.random.split(self.rng)
         self.token, self.cache = _batch_step(
             self.params, self.cache, self.token, jnp.asarray(self.active), sub,
-            self.cfg, self.sampling,
+            self.cfg, self.sampling, pallas_cache=self.mesh is None,
         )
         tokens = np.asarray(jax.device_get(self.token))
         stepped = 0
