@@ -48,17 +48,30 @@ def _sync(x):
     return jax.device_get(jnp.asarray(leaf).ravel()[0])
 
 
-def _random_quantized_mistral(dec, key):
-    """Random int8 decoder weights built directly at int8 (a bf16 init +
-    quantize pass would transiently need ~22GB — more than one chip's HBM)."""
+def _random_quantized_mistral(dec, key, bits: int = 8):
+    """Random int8/int4 decoder weights built directly quantized (a bf16
+    init + quantize pass would transiently need ~22GB — more than one
+    chip's HBM)."""
     L, D, I = dec.num_layers, dec.hidden_size, dec.intermediate_size
     Hq, Hkv, hd = dec.num_heads, dec.num_kv_heads, dec.head_dim
 
-    def qdense(key, shape):
+    def qdense8(key, shape):
         return {
             "kernel_q": jax.random.randint(key, shape, -127, 128, jnp.int8),
             "scale": jnp.full(shape[:-2] + (1, shape[-1]), 2e-4, jnp.float32),
         }
+
+    def qdense4(key, shape, group=128):
+        K = shape[-2]
+        group = min(group, K)  # tiny-preset smoke configs
+        return {
+            "kernel_q4": jax.random.randint(
+                key, shape[:-2] + (K // 2, shape[-1]), -127, 128, jnp.int8),
+            "scale4": jnp.full(
+                shape[:-2] + (K // group, shape[-1]), 2e-4, jnp.float32),
+        }
+
+    qdense = qdense4 if bits == 4 else qdense8
 
     k = jax.random.split(key, 10)
     return {
@@ -131,16 +144,19 @@ def bench_decode(cfg: VisZephyrConfig, steps: int = 64, warmup: int = 8,
 
 
 def bench_decode_paged(cfg: VisZephyrConfig, steps: int = 64, slots: int = 32,
-                       prompt_len: int = 512) -> dict:
+                       prompt_len: int = 512, bits: int = 8) -> dict:
     """Aggregate decode throughput on the paged-KV batcher's step program
     (serve/paged.py) at slot counts the dense cache cannot hold: B=32 needs
-    ~2.7 GB of pool vs 8.6 GB dense."""
+    ~2.7 GB of pool vs 8.6 GB dense. bits=4 frees another 3.5 GB of
+    weights for pool (the --load-4bit serving configuration) — the highest
+    slot counts ride int4."""
     from vis_zephyr_tpu.models.mistral import fuse_decoder_layers
     from vis_zephyr_tpu.serve.generate import SamplingConfig
     from vis_zephyr_tpu.serve.paged import _paged_step
 
     dec = cfg.decoder
-    params = {"decoder": fuse_decoder_layers(_random_quantized_mistral(dec, jax.random.PRNGKey(0)))}
+    params = {"decoder": fuse_decoder_layers(
+        _random_quantized_mistral(dec, jax.random.PRNGKey(0), bits=bits))}
     ps, cache_len = 128, 2048
     pps = cache_len // ps
     pages_per_req = -(-(prompt_len + steps * 4) // ps)  # slack for the scan
@@ -191,11 +207,12 @@ def bench_decode_paged(cfg: VisZephyrConfig, steps: int = 64, slots: int = 32,
             )
         _sync(tok2)
         dt = (time.perf_counter() - t0) / n
+        tag = "paged" if bits == 8 else "paged4"
         return {
-            f"paged_decode_tokens_per_sec_batch{slots}": slots / dt,
-            f"paged_decode_ms_per_step_batch{slots}": dt * 1e3,
-            "paged_slots": slots,
-            "paged_loop": "host",
+            f"{tag}_decode_tokens_per_sec_batch{slots}": slots / dt,
+            f"{tag}_decode_ms_per_step_batch{slots}": dt * 1e3,
+            f"{tag}_slots": slots,
+            f"{tag}_loop": "host",
         }
 
     kp, vp, lengths, token = run(params, kp, vp, lengths, token, steps)
@@ -206,10 +223,11 @@ def bench_decode_paged(cfg: VisZephyrConfig, steps: int = 64, slots: int = 32,
         kp, vp, lengths, token = run(params, kp, vp, lengths, token, steps)
     _sync(token)
     dt = (time.perf_counter() - t0) / reps
+    tag = "paged" if bits == 8 else "paged4"
     return {
-        f"paged_decode_tokens_per_sec_batch{slots}": steps * slots / dt,
-        f"paged_decode_ms_per_step_batch{slots}": dt / steps * 1e3,
-        "paged_slots": slots,
+        f"{tag}_decode_tokens_per_sec_batch{slots}": steps * slots / dt,
+        f"{tag}_decode_ms_per_step_batch{slots}": dt / steps * 1e3,
+        f"{tag}_slots": slots,
     }
 
 
@@ -309,12 +327,13 @@ def run_phase(phase: str, decode_slots: int = 16) -> None:
     elif phase == "decode":
         out = bench_decode(cfg, batch_slots=decode_slots)
         out["decode_slots"] = decode_slots
-    elif phase == "paged":
+    elif phase in ("paged", "paged4"):
         # Interpret-mode Pallas (CPU smoke tests) is orders slower: shrink.
         tiny = os.environ.get("VZT_BENCH_PRESET") == "tiny"
         out = bench_decode_paged(
             cfg, slots=decode_slots, steps=2 if tiny else 64,
             prompt_len=32 if tiny else 512,
+            bits=4 if phase == "paged4" else 8,
         )
     else:
         raise ValueError(f"unknown phase {phase!r}")
@@ -386,11 +405,15 @@ def main():
     # (pool 6.5 GB + 7 GB int8 weights — fits when the chip is clean),
     # degrade to 32 then 16 on RESOURCE_EXHAUSTED.
     extras.update(_phase_with_retries("paged", [64, 32, 16]))
+    # int4 weights free ~3.5 GB for pool: the highest slot counts.
+    extras.update(_phase_with_retries("paged4", [96, 64]))
 
     slots = extras.get("decode_slots")
     dense = extras.get(f"decode_tokens_per_sec_batch{slots}") if slots else None
     pslots = extras.get("paged_slots")
     paged = extras.get(f"paged_decode_tokens_per_sec_batch{pslots}") if pslots else None
+    p4slots = extras.get("paged4_slots")
+    paged4 = extras.get(f"paged4_decode_tokens_per_sec_batch{p4slots}") if p4slots else None
     # Headline: best serving throughput measured (paged usually wins on
     # slot count; dense remains the floor).
     value, tag = None, None
@@ -398,6 +421,8 @@ def main():
         value, tag = dense, f"batch{slots}"
     if paged is not None and (value is None or paged > value):
         value, tag = paged, f"paged_batch{pslots}"
+    if paged4 is not None and (value is None or paged4 > value):
+        value, tag = paged4, f"paged_int4_batch{p4slots}"
     if value is not None:
         result = {
             "metric": f"zephyr7b_decode_tokens_per_sec_per_chip_{tag}",
@@ -421,7 +446,7 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=["vision", "prefill", "decode", "paged"])
+    ap.add_argument("--phase", choices=["vision", "prefill", "decode", "paged", "paged4"])
     ap.add_argument("--decode-slots", type=int, default=16)
     cli = ap.parse_args()
     if cli.phase:
