@@ -350,24 +350,60 @@ def run_phase(phase: str, decode_slots: int = 16) -> None:
 _RETRY_BACKOFF_S = (45, 90)
 
 
+def _proc_cpu_seconds(pid: int) -> float:
+    """utime+stime of `pid` from /proc (Linux), in seconds."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        ticks = int(parts[11]) + int(parts[12])  # utime, stime
+        return ticks / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return float("inf")  # can't tell → assume healthy
+
+
 def _run_phase_subprocess(phase: str, slots: int | None = None) -> dict | None:
+    """Run one phase in a fresh process.
+
+    Wedge detection: the tunneled axon device occasionally leaves a new
+    client stuck forever in the acquisition handshake (observed: a process
+    sits at <5 CPU-seconds for 20+ minutes while a FRESH process connects
+    fine). Burning the full phase timeout on such a client would zero the
+    round's numbers, so if the child has burned almost no CPU by 180 s we
+    kill it and report a wedge — the caller's retry loop starts a fresh
+    process, which is what actually resolves the state."""
     import subprocess
     import sys
+    import time as _t
 
     cmd = [sys.executable, os.path.abspath(__file__), "--phase", phase]
     if slots is not None:
         cmd += ["--decode-slots", str(slots)]
-    try:
-        proc = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=3600,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-    except subprocess.TimeoutExpired:
-        return {"_error": f"{phase}: timeout"}
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    deadline = _t.monotonic() + 3600
+    wedge_check_at = _t.monotonic() + 180
+    while True:
+        try:
+            out, err = proc.communicate(timeout=15)
+            break
+        except subprocess.TimeoutExpired:
+            now = _t.monotonic()
+            if now >= deadline:
+                proc.kill()
+                out, err = proc.communicate()
+                return {"_error": f"{phase}: timeout"}
+            if now >= wedge_check_at:
+                if _proc_cpu_seconds(proc.pid) < 8.0:
+                    proc.kill()
+                    proc.communicate()
+                    return {"_error": f"{phase}: device-acquisition wedge"}
+                wedge_check_at = float("inf")  # healthy; stop checking
     if proc.returncode != 0:
-        tail = (proc.stderr or proc.stdout or "")[-400:]
+        tail = (err or out or "")[-400:]
         return {"_error": f"{phase}: rc={proc.returncode}: {tail}"}
-    for line in reversed(proc.stdout.strip().splitlines()):
+    for line in reversed(out.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
@@ -393,20 +429,20 @@ def _phase_with_retries(phase: str, attempts: list) -> dict:
 def main():
     extras = {"device": str(jax.devices()[0])}
 
-    extras.update(_phase_with_retries("vision", [None, None]))
-    extras.update(_phase_with_retries("prefill", [None, None]))
+    extras.update(_phase_with_retries("vision", [None, None, None]))
+    extras.update(_phase_with_retries("prefill", [None, None, None]))
     if "anyres_encode_ms_per_image" in extras and "prefill_640_ms" in extras:
         extras["ttft_ms_estimate"] = round(
             extras["anyres_encode_ms_per_image"] + extras["prefill_640_ms"], 1
         )
     # decode: retry at 16 slots, then degrade to 8 rather than report zero.
-    extras.update(_phase_with_retries("decode", [16, 16, 8]))
+    extras.update(_phase_with_retries("decode", [16, 16, 16, 8]))
     # paged decode at slot counts a dense cache can't hold: try 64 first
     # (pool 6.5 GB + 7 GB int8 weights — fits when the chip is clean),
     # degrade to 32 then 16 on RESOURCE_EXHAUSTED.
-    extras.update(_phase_with_retries("paged", [64, 32, 16]))
+    extras.update(_phase_with_retries("paged", [64, 64, 32, 16]))
     # int4 weights free ~3.5 GB for pool: the highest slot counts.
-    extras.update(_phase_with_retries("paged4", [96, 64]))
+    extras.update(_phase_with_retries("paged4", [96, 96, 64]))
 
     slots = extras.get("decode_slots")
     dense = extras.get(f"decode_tokens_per_sec_batch{slots}") if slots else None
