@@ -234,8 +234,9 @@ def mistral_forward(
 
         batch_idx = jnp.arange(B)[:, None]
 
-        # Default ON: the XLA scatter path lowers to serialized row updates
-        # (measured ~10 ms/step at B=16 dense, ~20 ms on the paged pools).
+        # Default ON: exact vs the XLA scatter and equal-speed on the dense
+        # layout (18.44 ms/step B=16 either way, v5e; the scatter is only
+        # pathological on the head-major paged pools) — see ops/kv_cache.py.
         # Callers running this jit under SPMD auto-partitioning (the dense
         # TP serving path) must pass False — XLA cannot partition a Pallas
         # custom call it didn't shard_map.

@@ -2,17 +2,22 @@
 
 The dense decode path (`models/mistral.py` cache mode) appends each
 step's K/V with an XLA scatter per layer (`ck.at[i, b, slot].set(k)`).
-XLA lowers gather/scatter with dynamic indices to serialized row updates —
-the same pathology measured at ~20 ms/step on the paged pools (B=32,
-v5e) before `ops/paged_attention.paged_kv_update` replaced it there.
+On the head-major paged pools the equivalent scatter cost ~20 ms/step at
+B=32 (leading-dim strides serialize the row writes) and the Pallas
+replacement (`ops/paged_attention.paged_kv_update`) recovered all of it.
+Measured on the DENSE layout the story differs: [L, B, S, Hkv, D] keeps
+each row contiguous and XLA's scatter is already efficient — this kernel
+matches it (B=16 decode 18.44 ms/step either way, v5e) rather than
+beating it. It is kept as the default because it is exact vs the
+scatter, pins the buffers via `input_output_aliases` (no reliance on
+XLA's scatter-aliasing heuristics), and gives the multi-token verify
+append an explicit row-write path.
 
-This kernel writes the T new rows of one layer into the stacked
-[L, B, S, Hkv, D] cache in place: grid (B, T), each cell fully overwrites
-one [Hkv, D] row block at (layer, b, lengths[b] + t), with
-`input_output_aliases` pinning the cache buffers — no copy, no
-read-modify-write (row blocks are whole). Padded trailing tokens are
-written like the scatter wrote them: their rows hold garbage that the
-attention mask already excludes and the next append overwrites.
+Layout: grid (B, T), each cell fully overwrites one [Hkv, D] row block
+at (layer, b, lengths[b] + t) — no copy, no read-modify-write (row
+blocks are whole). Padded trailing tokens are written like the scatter
+wrote them: their rows hold garbage that the attention mask already
+excludes and the next append overwrites.
 
 Reference equivalent: HF's `past_key_values` concat (`torch.cat` per
 layer, reallocating), reference `vis_zephyr/model/language_model/
