@@ -337,6 +337,7 @@ def run_phase(phase: str, decode_slots: int = 16) -> None:
         )
     else:
         raise ValueError(f"unknown phase {phase!r}")
+    out["device"] = str(jax.devices()[0])
     print(json.dumps(out))
 
 
@@ -427,7 +428,9 @@ def _phase_with_retries(phase: str, attempts: list) -> dict:
 
 
 def main():
-    extras = {"device": str(jax.devices()[0])}
+    # No device work in THIS process: a wedged acquisition here would take
+    # the whole harness down with it. Phase subprocesses report the device.
+    extras = {}
 
     extras.update(_phase_with_retries("vision", [None, None, None]))
     extras.update(_phase_with_retries("prefill", [None, None, None]))
