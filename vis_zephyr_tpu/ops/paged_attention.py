@@ -14,13 +14,17 @@ Layout (head-major, matching the tuned library kernel
   lengths:           [B] int32                        (tokens per sequence)
   q:                 [B, Hq, D] (one decode step)     → out [B, Hq, D]
 
-The current decode token's K/V ride as SEPARATE operands (`k_new`/`v_new`
-[B, Hkv, D]) folded into the online softmax as a final self-term, so the
-pools are strictly read-only inside the decode step. This matters: an
-in-place pool scatter aliasing a Pallas (custom-call) consumer defeats
-XLA's in-place buffer analysis and inserts a full pool copy per layer —
-measured 333 ms/step vs 18 ms without the conflict on v5e. The caller
-scatters all layers' K/V into the pools once, after the layer scan.
+The serving hot path (`serve/paged.py::_paged_step`) is write-first: each
+layer writes its K/V row in place via `paged_kv_update` (below) and then
+calls this function with `k_new=None`, which dispatches to the tuned
+library kernel on TPU. The custom kernel here additionally supports the
+current token's K/V as SEPARATE operands (`k_new`/`v_new` [B, Hkv, D])
+folded into the online softmax as a final self-term — the structure for
+callers that must keep the pools read-only. History that still matters:
+an in-place XLA *scatter* aliasing a Pallas consumer defeats XLA's
+buffer analysis and inserts a full pool copy per layer (measured 333
+ms/step vs 18 ms on v5e); a Pallas write with `input_output_aliases`
+does not.
 
 The kernel runs one (batch row, kv head) pair per grid cell and walks that
 sequence's pages sequentially with online softmax; the page table rides the

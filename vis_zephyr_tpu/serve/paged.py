@@ -24,6 +24,12 @@ Layout (TPU-first):
 - page allocation is host-side (a free list): a request's full span
   (prompt pages + generation budget) is claimed at admit and released at
   finish. No per-step allocation, no fragmentation handling needed.
+- the decode step is write-first: each layer writes its new K/V row into
+  the pools IN PLACE (`ops/paged_attention.paged_kv_update`, aliased
+  through the scan carry) and then attends over cache+token with the
+  tuned library paged-attention kernel. Measured v5e decode steps:
+  19.5 ms at 32 slots (1645 tok/s/chip), 28.5 ms at 64 (2249 tok/s/chip),
+  512-token prompts, int8 weights.
 
 Multi-chip (model-axis TP mesh): params are TP-sharded, pools are sharded
 over kv heads (`[Hkv, ...]` axis 0), and the decode kernel runs per shard
