@@ -384,7 +384,13 @@ def _run_phase_subprocess(phase: str, slots: int | None = None) -> dict | None:
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     deadline = _t.monotonic() + 3600
-    wedge_check_at = _t.monotonic() + 180
+    # Wedge = no CPU progress: a stuck acquisition sits at near-zero CPU
+    # forever, while compile/run phases burn CPU continuously. Absolute
+    # thresholds misfire (imports alone trickle ~10 s under load), so
+    # require <2 CPU-seconds of progress across a 150 s window, checked
+    # after a 120 s grace period.
+    last_cpu = None
+    last_cpu_t = _t.monotonic() + 120  # grace before the first window
     while True:
         try:
             out, err = proc.communicate(timeout=15)
@@ -395,12 +401,13 @@ def _run_phase_subprocess(phase: str, slots: int | None = None) -> dict | None:
                 proc.kill()
                 out, err = proc.communicate()
                 return {"_error": f"{phase}: timeout"}
-            if now >= wedge_check_at:
-                if _proc_cpu_seconds(proc.pid) < 8.0:
+            if now >= last_cpu_t + 150:
+                cpu = _proc_cpu_seconds(proc.pid)
+                if last_cpu is not None and cpu - last_cpu < 2.0:
                     proc.kill()
                     proc.communicate()
                     return {"_error": f"{phase}: device-acquisition wedge"}
-                wedge_check_at = float("inf")  # healthy; stop checking
+                last_cpu, last_cpu_t = cpu, now
     if proc.returncode != 0:
         tail = (err or out or "")[-400:]
         return {"_error": f"{phase}: rc={proc.returncode}: {tail}"}
