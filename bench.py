@@ -434,10 +434,42 @@ def _phase_with_retries(phase: str, attempts: list) -> dict:
     return {f"{phase}_error": str(last_err)[:300]}
 
 
+def _wait_for_device_health(max_wait_s: float = 1500.0) -> float:
+    """Absorb a device-acquisition wedge era BEFORE burning phase attempts.
+
+    The tunneled device sometimes queues new clients for many minutes
+    (stale sessions from killed processes age out server-side). A tiny
+    probe subprocess — left alone, NEVER killed early — acquires as soon
+    as the device is healthy; phases then start against a clean device
+    instead of each spending their retry ladder on the wedge. Returns the
+    seconds spent waiting (recorded in the output for postmortems)."""
+    import subprocess
+    import sys
+    import time as _t
+
+    if os.environ.get("VZT_BENCH_PLATFORM"):  # CPU smoke runs: no device
+        return 0.0
+    t0 = _t.monotonic()
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((128,128))@jnp.ones((128,128))).sum()))")
+    try:
+        proc = subprocess.Popen([sys.executable, "-c", code],
+                                stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL)
+        try:
+            proc.wait(timeout=max_wait_s)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+    except Exception:
+        pass
+    return round(_t.monotonic() - t0, 1)
+
+
 def main():
     # No device work in THIS process: a wedged acquisition here would take
     # the whole harness down with it. Phase subprocesses report the device.
-    extras = {}
+    extras = {"device_health_wait_s": _wait_for_device_health()}
 
     extras.update(_phase_with_retries("vision", [None, None, None]))
     extras.update(_phase_with_retries("prefill", [None, None, None]))
