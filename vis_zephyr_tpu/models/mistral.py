@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ..config import DecoderConfig
 from ..ops.attention import attention_mask, dot_product_attention
+from ..ops.kv_cache import dense_cache_update
 from ..ops.quant import maybe_dequant  # noqa: F401 (re-exported for callers)
 from ..ops.quant_matmul import qdot
 
@@ -253,8 +254,6 @@ def mistral_forward(
             hn = rms_norm(h, layer_params["input_ln"]["scale"], cfg.rms_norm_eps)
             q, k, v = _project_qkv(hn, layer_params["attn"], cfg, cos, sin)
             if pallas_cache_update:
-                from ..ops.kv_cache import dense_cache_update
-
                 ck, cv = dense_cache_update(ck, cv, k, v, lengths, i)
             else:
                 ck = ck.at[i, batch_idx, slot].set(k.astype(ck.dtype))

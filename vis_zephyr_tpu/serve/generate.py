@@ -211,8 +211,6 @@ def _propose_lookup(history: np.ndarray, ngram: int = 2, span: int = 8):
         return None
     tail = history[-ngram:]
     body = history[: n - 1]  # allow overlap up to the penultimate token
-    if len(body) < ngram:
-        return None
     windows = np.lib.stride_tricks.sliding_window_view(body, ngram)
     matches = np.flatnonzero((windows == tail).all(axis=1))
     # Most recent match whose continuation has at least one known token.
