@@ -82,10 +82,16 @@ class TestBatchedEngine:
             threading.Thread(target=worker, args=(f"c{i}", f"question number w{i}"))
             for i in range(3)
         ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join(timeout=300)
+        try:
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+        finally:
+            # Join the pump before the engine goes out of scope: a pump
+            # still stepping donated buffers while the next test compiles
+            # races the runtime (observed intermittent interpreter aborts).
+            engine.close()
         assert set(results) == {"c0", "c1", "c2"}
         # Batched replies must match the serial engine exactly (greedy).
         for i in range(3):

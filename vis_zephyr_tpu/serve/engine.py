@@ -82,6 +82,7 @@ class ChatEngine:
         # steps instead of serializing on the lock.
         self.batcher = None
         self._pump = None
+        self._pump_stop = False
         self._pump_lock = threading.Lock()
         if continuous_batching:
             if kv_cache == "paged":
@@ -114,7 +115,7 @@ class ChatEngine:
                 import time
 
                 idle = 0
-                while True:
+                while not self._pump_stop:
                     if self.batcher.has_work:
                         idle = 0
                         self.batcher.step()
@@ -135,6 +136,20 @@ class ChatEngine:
 
             self._pump = threading.Thread(target=pump, daemon=True)
             self._pump.start()
+
+    def close(self) -> None:
+        """Stop the background pump and wait for it to exit.
+
+        Call when retiring an engine while the process lives on (tests,
+        embedding hosts): the pump idles ~2 s past the last request before
+        exiting on its own, and a thread still stepping donated cache
+        buffers while the next engine compiles races the runtime."""
+        self._pump_stop = True
+        pump = self._pump
+        if pump is not None and pump.is_alive():
+            pump.join(timeout=30)
+        self._pump = None
+        self._pump_stop = False
 
     # -- session management -------------------------------------------------
 
