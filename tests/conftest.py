@@ -9,7 +9,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA CPU collectives ABORT the process ("Termination timeout ...
+    # exceeded. Exiting to ensure a consistent program state") when the 8
+    # virtual devices' threads miss the rendezvous deadline — which happens
+    # under host CPU starvation (e.g. suites running concurrently), not
+    # from any real deadlock. Give the rendezvous room to be slow.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
