@@ -208,12 +208,17 @@ int encode_impl(const Tokenizer* tok, const char* text, size_t text_len,
   }
 
   int count = 0;
+  bool overflow = false;
   for (int i = 0; i >= 0 && i < n; i = syms[i].next) {
     if (!syms[i].alive) continue;
-    if (count >= max_out) return -count;  // buffer too small: need |count|
-    out[count++] = syms[i].id;
+    if (count < max_out) {
+      out[count] = syms[i].id;
+    } else {
+      overflow = true;  // keep counting (unwritten) so |count| is the TRUE
+    }                   // total the retry must allocate, not just max_out
+    count++;
   }
-  return count;
+  return overflow ? -count : count;
 }
 
 int decode_impl(const Tokenizer* tok, const int32_t* ids, int n_ids,

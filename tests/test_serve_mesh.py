@@ -158,3 +158,47 @@ class TestMeshPagedServing:
             cache_len=64,
         )[0]
         np.testing.assert_array_equal(list(batcher.stream(h)), solo)
+
+
+class TestMeshSerializedEngine:
+    """ADVICE r2 (high): ChatEngine with a mesh but NO batcher (serve.api/
+    cli --tp N) runs generate_stream -> decode_step/decode_verify; those
+    must route the cache write through the XLA scatter (pallas_cache=False)
+    — the Pallas custom call can't be auto-partitioned over the kv-head-
+    sharded cache."""
+
+    def _engine(self, setup, mesh, **kw):
+        from vis_zephyr_tpu.serve.engine import ChatEngine
+
+        cfg, params = setup
+
+        class _Tok:
+            eos_token_id = -1  # never fires: deterministic token count
+
+            def __call__(self, text):
+                from types import SimpleNamespace
+
+                ids = [1] + [5 + (ord(c) % 50) for c in text[:12]]
+                return SimpleNamespace(input_ids=ids)
+
+            def decode(self, ids, skip_special_tokens=True):
+                return " ".join(str(i) for i in ids)
+
+        return ChatEngine(params, cfg, _Tok(), temperature=0.0,
+                          max_new_tokens=6, mesh=mesh, **kw)
+
+    def test_serialized_tp_matches_single_device(self, setup):
+        mesh = create_mesh(model=8)
+        tp = self._engine(setup, mesh)
+        solo = self._engine(setup, None)
+        got_tp = tp.chat_text("s", "hello world")
+        got_solo = solo.chat_text("s", "hello world")
+        assert got_tp == got_solo and got_tp
+
+    def test_serialized_tp_speculative_matches(self, setup):
+        mesh = create_mesh(model=8)
+        tp = self._engine(setup, mesh, lookahead=4)
+        solo = self._engine(setup, None)
+        got_tp = tp.chat_text("s", "abc abc abc")
+        got_solo = solo.chat_text("s", "abc abc abc")
+        assert got_tp == got_solo and got_tp

@@ -226,7 +226,10 @@ class NativeTokenizer:
             if n >= 0:
                 ids = list(buf[:n])
                 return ([self.bos_token_id] + ids) if add_bos else ids
-            cap = -n + 8
+            # -n is the true required count (the C side keeps counting past
+            # the overflow); doubling is belt-and-braces against any future
+            # encoder whose retry hint is partial.
+            cap = max(-n + 8, cap * 2)
 
     def decode(self, ids, skip_special_tokens: bool = True) -> str:
         ids = [int(i) for i in ids]
@@ -239,4 +242,4 @@ class NativeTokenizer:
             n = self._lib.vzt_tok_decode(self._h, arr, len(ids), buf, cap)
             if n >= 0:
                 return buf.raw[:n].decode("utf-8", errors="replace")
-            cap = -n + 8
+            cap = max(-n + 8, cap * 2)

@@ -47,10 +47,13 @@ def init_mlp_projector(cfg: VisZephyrConfig, key, dtype=jnp.float32) -> Dict:
 
 
 def mlp_projector_forward(params: Dict, visual: jnp.ndarray) -> jnp.ndarray:
-    """[N, T, V] fused visual features → [N, T, D] decoder-width tokens."""
-    h = visual @ params["fc1"]["kernel"] + params["fc1"]["bias"]
+    """[N, T, V] fused visual features → [N, T, D] decoder-width tokens.
+    `qdot` accepts raw or int8-quantized kernels (`--load-8bit/-4bit`)."""
+    from ..ops.quant_matmul import qdot
+
+    h = qdot(visual, params["fc1"]) + params["fc1"]["bias"]
     h = jax.nn.gelu(h, approximate=False)
-    return h @ params["fc2"]["kernel"] + params["fc2"]["bias"]
+    return qdot(h, params["fc2"]) + params["fc2"]["bias"]
 
 
 def init_projector(cfg: VisZephyrConfig, key, dtype=jnp.float32) -> Dict:

@@ -108,17 +108,25 @@ def maybe_dequant(p: Dict, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def quantize_qformer(projector_params: Dict) -> Dict:
-    """Int8-quantize the Q-Former's dense kernels for inference (the
-    projector is ~1.7B params at full scale — the dominant share of the
-    vision-side weight bytes). LayerNorms, biases and the learned queries
-    stay in their original dtype."""
+    """Int8-quantize the projector's dense kernels for inference. For the
+    Q-Former tree ("blocks") that's ~1.7B params at full scale — the
+    dominant share of the vision-side weight bytes. The `mlp2x_gelu` tree
+    ({fc1, fc2[, image_newline]}) gets its two kernels quantized the same
+    way (`projector.mlp_projector_forward` is quant-aware). LayerNorms,
+    biases and the learned queries stay in their original dtype."""
     out = dict(projector_params)
-    blocks = dict(projector_params["blocks"])
 
     def q(d):
         rest = {k: v for k, v in d.items() if k != "kernel"}
         rest.update(quantize_kernel(d["kernel"]))
         return rest
+
+    if "blocks" not in projector_params:  # mlp2x_gelu projector
+        out["fc1"] = q(projector_params["fc1"])
+        out["fc2"] = q(projector_params["fc2"])
+        return out
+
+    blocks = dict(projector_params["blocks"])
 
     for attn_name in ("self_attn", "cross_attn"):
         attn = dict(blocks[attn_name])

@@ -63,6 +63,20 @@ def process_batch_slice(global_batch: int) -> slice:
     return slice(i * per, (i + 1) * per)
 
 
+def agree_flag(local_flag: bool) -> bool:
+    """Collective OR of a per-process bool — every process returns the same
+    answer. Used for preemption: SIGTERM may land on only some hosts (or at
+    different step boundaries), but `save_checkpoint` is a collective, so
+    all hosts must enter the preemption save at the SAME step or the save
+    hangs until hard eviction. Single-process: identity."""
+    if jax.process_count() == 1:
+        return bool(local_flag)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray(bool(local_flag)))
+    return bool(np.any(flags))
+
+
 def make_global_batch(local_batch: Dict, mesh: Mesh) -> Dict:
     """Assemble per-process host arrays into global jax.Arrays sharded
     batch-first over the mesh's data axes. Single-process: equivalent to

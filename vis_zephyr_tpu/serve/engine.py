@@ -148,6 +148,16 @@ class ChatEngine:
         pump = self._pump
         if pump is not None and pump.is_alive():
             pump.join(timeout=30)
+        if pump is not None and pump.is_alive():
+            # Wedged pump: leave the stop flag SET so it can never re-enter
+            # its loop and step donated buffers under a successor engine —
+            # clearing it here would recreate the exact race close() exists
+            # to prevent.
+            import warnings
+
+            warnings.warn("ChatEngine.close(): pump thread did not exit "
+                          "within 30s; leaving stop flag set")
+            return
         self._pump = None
         self._pump_stop = False
 
@@ -242,6 +252,10 @@ class ChatEngine:
                 self.sampling,
                 use_flash=self._use_flash,
                 lookahead=self.lookahead,
+                # Mesh-sharded cache → the Pallas cache-update custom call
+                # can't be auto-partitioned; use the XLA scatter (same rule
+                # the batchers apply per-step).
+                pallas_cache=self.mesh is None,
             )
         try:
             for tok in stream:

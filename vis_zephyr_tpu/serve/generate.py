@@ -103,33 +103,41 @@ def prefill(
     return last, cache, lengths
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "pallas_cache"))
 def decode_step(
     params,
     cache: Dict,
     token: jnp.ndarray,  # [B]
     cfg: VisZephyrConfig,
+    pallas_cache: bool = True,
 ) -> Tuple[jnp.ndarray, Dict]:
-    """One decode step. Returns (logits [B, V], new_cache)."""
+    """One decode step. Returns (logits [B, V], new_cache).
+
+    `pallas_cache=False` is required when this jit runs under SPMD
+    auto-partitioning (serialized TP serving: a mesh-sharded cache) — XLA
+    cannot partition the Pallas cache-update custom call; the plain XLA
+    scatter shards cleanly (same rule as `batching._batch_step`)."""
     positions = cache["length"][:, None]
     embeds = embed(params["decoder"], token[:, None])
     logits, new_cache = mistral_forward(
         params["decoder"], embeds, cfg.decoder, positions,
         cache=cache, logits_slice="last",
+        pallas_cache_update=pallas_cache,
     )
     return logits[:, 0], new_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sampling"))
+@functools.partial(jax.jit, static_argnames=("cfg", "sampling", "pallas_cache"))
 def _decode_loop(
-    params, cache, first_token, key, cfg: VisZephyrConfig, sampling: SamplingConfig
+    params, cache, first_token, key, cfg: VisZephyrConfig, sampling: SamplingConfig,
+    pallas_cache: bool = True,
 ):
     B = first_token.shape[0]
 
     def body(carry, _):
         cache, token, done, key = carry
         key, sub = jax.random.split(key)
-        logits, cache = decode_step(params, cache, token, cfg)
+        logits, cache = decode_step(params, cache, token, cfg, pallas_cache=pallas_cache)
         next_token = _sample(logits, sub, sampling)
         next_token = jnp.where(done, sampling.eos_token_id, next_token)
         done = done | (next_token == sampling.eos_token_id)
@@ -154,9 +162,11 @@ def generate(
     cache_len: Optional[int] = None,
     use_flash: Optional[bool] = None,
     merge_info: Optional[jnp.ndarray] = None,
+    pallas_cache: bool = True,
 ) -> np.ndarray:
     """Batch generation, fully compiled. Returns [B, max_new_tokens] token
-    ids (EOS-padded after stop)."""
+    ids (EOS-padded after stop). Pass `pallas_cache=False` when params/cache
+    are mesh-sharded (SPMD can't partition the Pallas cache-update)."""
     B, T = input_ids.shape
     if cache_len is None:
         n_img = (0 if images is None else
@@ -170,17 +180,19 @@ def generate(
     )
     rng, sub = jax.random.split(rng)
     first = _sample(last_logits, sub, sampling)
-    tokens, _ = _decode_loop(params, cache, first, rng, cfg, sampling)
+    tokens, _ = _decode_loop(params, cache, first, rng, cfg, sampling,
+                             pallas_cache=pallas_cache)
     return np.asarray(tokens)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "pallas_cache"))
 def decode_verify(
     params,
     cache: Dict,
     tokens: jnp.ndarray,  # [B, S]
     valid: jnp.ndarray,   # [B, S] bool — padded proposal slots are False
     cfg: VisZephyrConfig,
+    pallas_cache: bool = True,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Speculative verify: append S tokens (the pending accepted token plus
     S−1 proposed) in ONE cached forward and return per-position logits
@@ -196,6 +208,7 @@ def decode_verify(
     logits, new_cache = mistral_forward(
         params["decoder"], embeds, cfg.decoder, positions,
         attn_valid=valid, cache=cache, logits_slice="all",
+        pallas_cache_update=pallas_cache,
     )
     return logits, new_cache
 
@@ -234,6 +247,7 @@ def generate_stream(
     use_flash: Optional[bool] = None,
     merge_info: Optional[jnp.ndarray] = None,
     lookahead: int = 0,
+    pallas_cache: bool = True,
 ) -> Iterator[int]:
     """Single-sequence streaming generation: yields token ids until EOS or
     the budget is exhausted. Host drives one jitted step per token.
@@ -281,7 +295,8 @@ def generate_stream(
             valid[0, : 1 + n_prop] = True
             base_len = cache["length"]
             logits, cache = decode_verify(
-                params, cache, jnp.asarray(toks), jnp.asarray(valid), cfg
+                params, cache, jnp.asarray(toks), jnp.asarray(valid), cfg,
+                pallas_cache=pallas_cache,
             )
             greedy = np.asarray(jnp.argmax(logits[0], axis=-1))
             accepted = 0
@@ -306,7 +321,8 @@ def generate_stream(
         if token is None:
             token = _sample(last_logits, sub, sampling)
         else:
-            logits, cache = decode_step(params, cache, token, cfg)
+            logits, cache = decode_step(params, cache, token, cfg,
+                                        pallas_cache=pallas_cache)
             token = _sample(logits, sub, sampling)
         tok = int(token[0])
         if tok == sampling.eos_token_id:

@@ -46,10 +46,14 @@ def save_checkpoint(
             )
         else:
             ckptr.save(os.path.abspath(os.path.join(path, "state")), state, force=True)
-    meta = {"step": step, "projector_only": projector_only}
-    meta.update(metadata or {})
-    with open(os.path.join(path, "trainer_state.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    # The orbax save above is collective (every process participates);
+    # trainer_state.json is a plain file on shared storage — one writer
+    # (multi-host runs would otherwise race the same path).
+    if jax.process_index() == 0:
+        meta = {"step": step, "projector_only": projector_only}
+        meta.update(metadata or {})
+        with open(os.path.join(path, "trainer_state.json"), "w") as f:
+            json.dump(meta, f, indent=2)
     return path
 
 

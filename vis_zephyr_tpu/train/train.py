@@ -212,7 +212,7 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
         # dies where it stands).
         import signal
 
-        preempted = {"flag": False}
+        preempted = {"flag": False, "agreed": False}
 
         def _on_sigterm(signum, frame):  # noqa: ARG001
             preempted["flag"] = True
@@ -265,7 +265,7 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                 batch_indices = [b[sl] for b in batch_indices]
             loader = _prefetch.PrefetchLoader(dataset, collator, batch_indices, num_workers=4)
             for batch in loader:
-                if step >= total_steps or preempted["flag"]:
+                if step >= total_steps or preempted["agreed"]:
                     break
                 if n_proc > 1:
                     batch = distributed.make_global_batch(batch, mesh)
@@ -305,7 +305,13 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                         projector_only=(args.stage == "1"),
                         metadata={"loss": losses[-1] if losses else None},
                     )
-                if preempted["flag"]:
+                # SIGTERM may land on only some hosts / at different step
+                # boundaries, but the checkpoint save below is a collective:
+                # all hosts must agree on the flag at the SAME step or the
+                # save hangs until hard eviction. `agree_flag` is an
+                # allgather-OR (identity when single-process).
+                preempted["agreed"] = distributed.agree_flag(preempted["flag"])
+                if preempted["agreed"]:
                     save_checkpoint(
                         args.output_dir, state, step,
                         projector_only=False,
@@ -314,13 +320,13 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                     if is_main:
                         print(f"preempted: checkpointed at step {step}", flush=True)
                     break
-            if preempted["flag"]:
+            if preempted["agreed"]:
                 break
 
         # Final save: stage 1 keeps the projector artifact AND the full
         # state; stage 2 saves adapters in the full state. (Preemption
         # already checkpointed this exact step.)
-        if not preempted["flag"]:
+        if not preempted["agreed"]:
             save_checkpoint(args.output_dir, state, step, projector_only=False)
             if args.stage == "1":
                 save_checkpoint(args.output_dir, state, step + 1, projector_only=True)
