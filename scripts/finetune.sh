@@ -21,6 +21,8 @@ python -m vis_zephyr_tpu.train.train \
     --image-aspect-ratio anyres \
     --model-max-length 1024 \
     --per-device-batch-size 4 \
+    --grad-accum-steps 4 \
+    --lora-dropout 0.05 \
     --learning-rate 2e-4 \
     --warmup-ratio 0.03 \
     --num-epochs 1 \

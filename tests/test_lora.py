@@ -109,3 +109,57 @@ class TestLoraTraining:
             np.asarray(lp["projector"]["queries"]),
             np.asarray(new_state["params"]["projector"]["queries"]),
         )
+
+
+class TestLoraDropout:
+    """Reference recipe: peft lora_dropout=0.05 (`script/finetune.sh`) —
+    train-time dropout on the LoRA branch input only."""
+
+    def _loss(self, params, batch, lora_dropout=0.0, rng=None):
+        from vis_zephyr_tpu.train.steps import loss_fn
+
+        loss, _ = loss_fn(params, batch, CFG, remat=False,
+                          lora_dropout=lora_dropout, dropout_rng=rng)
+        return float(loss)
+
+    def _batch(self, rng):
+        ids = rng.integers(5, CFG.decoder.vocab_size, (2, 6))
+        return {
+            "input_ids": jnp.asarray(ids),
+            "labels": jnp.asarray(rng.integers(5, CFG.decoder.vocab_size, (2, 6))),
+        }
+
+    def test_dropout_changes_training_loss(self, lora_params, rng):
+        _, lp = lora_params
+        # Nonzero B so the LoRA branch contributes (fresh adapters have B=0).
+        lp = jax.tree_util.tree_map(lambda x: x, lp)
+
+        def bump(node):
+            if isinstance(node, dict) and "lora_b" in node:
+                node = dict(node)
+                node["lora_b"] = jnp.ones_like(node["lora_b"]) * 0.3
+                return node
+            if isinstance(node, dict):
+                return {k: bump(v) for k, v in node.items()}
+            return node
+
+        lp = bump(lp)
+        batch = self._batch(rng)
+        base = self._loss(lp, batch)
+        same = self._loss(lp, batch, lora_dropout=0.0, rng=jax.random.PRNGKey(3))
+        assert base == same  # rate 0 → rng ignored
+        dropped = self._loss(lp, batch, lora_dropout=0.5, rng=jax.random.PRNGKey(3))
+        assert dropped != base
+        # No rng (inference) → dropout inactive even with a rate set.
+        eval_loss = self._loss(lp, batch, lora_dropout=0.5, rng=None)
+        assert eval_loss == base
+        # Different rng → different mask → different loss.
+        dropped2 = self._loss(lp, batch, lora_dropout=0.5, rng=jax.random.PRNGKey(4))
+        assert dropped2 != dropped
+
+    def test_dropout_noop_without_adapters(self, lora_params, rng):
+        base_params, _ = lora_params
+        batch = self._batch(rng)
+        a = self._loss(base_params, batch)
+        b = self._loss(base_params, batch, lora_dropout=0.5, rng=jax.random.PRNGKey(0))
+        assert a == b

@@ -129,3 +129,49 @@ class TestPagedKVUpdate:
         assert float(jnp.abs(got_k[:, 1, 0]).max()) == 0.0
         assert float(jnp.abs(got_k[:, 2, 3]).max()) == 0.0
         np.testing.assert_array_equal(np.asarray(got_k[:, 1, 1:]), kp_host[:, 1, 1:])
+
+
+class TestSlidingWindow:
+    """VERDICT r2 #8: windowed page walk (backbone semantics — Mistral
+    window 4096 under max_position 32768; mask rule matches
+    `ops.attention.attention_mask`: q_pos − kv_pos < window)."""
+
+    def test_matches_windowed_oracle(self, rng):
+        q, kp, vp, table, _ = make_case(rng, B=3, pages_per_seq=6)
+        lengths = jnp.asarray([96, 17, 5], jnp.int32)
+        for w in (8, 16, 40, 64):
+            got = paged_attention(q, kp, vp, table, lengths, sliding_window=w)
+            ref = paged_attention_reference(q, kp, vp, table, lengths,
+                                            sliding_window=w)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                err_msg=f"window={w}")
+
+    def test_window_changes_output_when_binding(self, rng):
+        q, kp, vp, table, _ = make_case(rng, B=1, pages_per_seq=6)
+        lengths = jnp.asarray([90], jnp.int32)
+        full = paged_attention(q, kp, vp, table, lengths)
+        windowed = paged_attention(q, kp, vp, table, lengths, sliding_window=16)
+        assert not np.allclose(np.asarray(full), np.asarray(windowed))
+        # A window wider than the sequence is a no-op.
+        wide = paged_attention(q, kp, vp, table, lengths, sliding_window=256)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(wide),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_window_with_self_term(self, rng):
+        """k_new variant: the query sits at position `length` and its
+        self-term is always in-window."""
+        q, kp, vp, table, _ = make_case(rng, B=2, pages_per_seq=4)
+        lengths = jnp.asarray([40, 3], jnp.int32)
+        Hkv, D = kp.shape[0], kp.shape[-1]
+        k_new = jnp.asarray(rng.standard_normal((2, Hkv, D)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((2, Hkv, D)), jnp.float32)
+        for w in (8, 33):
+            got = paged_attention(q, kp, vp, table, lengths,
+                                  k_new=k_new, v_new=v_new, sliding_window=w)
+            ref = paged_attention_reference(q, kp, vp, table, lengths,
+                                            k_new=k_new, v_new=v_new,
+                                            sliding_window=w)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                err_msg=f"window={w}")

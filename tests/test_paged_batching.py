@@ -147,3 +147,32 @@ class TestPagedBatcher:
                 params, jnp.asarray(ids[None]), None, None, cfg, sampling, cache_len=64
             )[0]
             np.testing.assert_array_equal(list(batcher.stream(h)), solo)
+
+
+class TestSlidingWindowServing:
+    """cache_len beyond decoder.sliding_window: the paged decode must match
+    the dense path (whose attention_mask applies the same window)."""
+
+    def test_paged_decode_matches_dense_beyond_window(self, rng):
+        import dataclasses
+
+        base = tiny_config()
+        cfg = dataclasses.replace(
+            base, decoder=dataclasses.replace(base.decoder, sliding_window=16)
+        )
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        sampling = SamplingConfig(max_new_tokens=30, temperature=0.0, eos_token_id=-1)
+        # cache_len 64 > window 16; prompt 24 already exceeds the window and
+        # decode pushes length to ~54.
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=32,
+        )
+        ids, im, pv = make_request(cfg, rng, 24, with_image=False)
+        h = batcher.submit(ids, im, pv)
+        batcher.run_until_drained()
+        solo = generate(
+            params, jnp.asarray(ids[None]), None, None, cfg, sampling,
+            cache_len=64,
+        )[0]
+        np.testing.assert_array_equal(list(batcher.stream(h)), solo)

@@ -118,3 +118,60 @@ def test_stage1_train_run_and_resume(tmp_path, fixture_data, mock_tokenizer):
     assert rows[0]["step"] == 1 and np.isfinite(rows[0]["loss"])
     # Warmup schedule: projector LR group is above the base group.
     assert rows[0]["projector_lr"] > rows[0]["lr"]
+
+
+def test_grad_accum_matches_big_batch(rng):
+    """VERDICT r2 #3: N accumulated micro-steps must produce the SAME
+    update as one N×batch step (equal per-micro-batch token counts, so
+    mean-of-means == global mean — the reference's HF/DeepSpeed
+    accumulation semantics)."""
+    import jax.numpy as jnp
+    import optax
+
+    from vis_zephyr_tpu.config import tiny_config
+    from vis_zephyr_tpu.models.vis_zephyr import init_vis_zephyr
+    from vis_zephyr_tpu.train.steps import init_train_state, make_train_step
+
+    cfg = tiny_config()
+    params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+
+    def batch(seed, B=2, T=8):
+        r = np.random.default_rng(seed)
+        return {
+            "input_ids": jnp.asarray(r.integers(5, cfg.decoder.vocab_size, (B, T))),
+            "labels": jnp.asarray(r.integers(5, cfg.decoder.vocab_size, (B, T))),
+        }
+
+    micro1, micro2 = batch(1), batch(2)
+    big = {k: jnp.concatenate([micro1[k], micro2[k]], axis=0) for k in micro1}
+
+    inner = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-2))
+
+    # Accumulated: two micro-steps through MultiSteps(k=2).
+    tx_acc = optax.MultiSteps(inner, every_k_schedule=2)
+    step_acc = jax.jit(make_train_step(cfg, tx_acc, remat=False))
+    state = init_train_state(params, tx_acc)
+    state, m1 = step_acc(state, micro1)
+    # Mid-accumulation: params must be UNCHANGED (updates are all-zero).
+    np.testing.assert_array_equal(
+        np.asarray(state["params"]["decoder"]["lm_head"]["kernel"]),
+        np.asarray(params["decoder"]["lm_head"]["kernel"]),
+    )
+    state, m2 = step_acc(state, micro2)
+
+    # One big-batch step.
+    tx_big = inner
+    step_big = jax.jit(make_train_step(cfg, tx_big, remat=False))
+    state_big = init_train_state(params, tx_big)
+    state_big, mb = step_big(state_big, big)
+
+    # Same final params (same optimizer update).
+    ja, jb = state["params"], state_big["params"]
+    # atol relative to the lr=1e-2 update magnitude: adam's g/√v̂ amplifies
+    # f32 summation-order noise where a grad entry is ~0.
+    for pa, pb in zip(jax.tree_util.tree_leaves(ja), jax.tree_util.tree_leaves(jb)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-3, atol=1e-4)
+    # Mean-of-means == big-batch mean loss (equal token counts).
+    np.testing.assert_allclose(
+        (float(m1["loss"]) + float(m2["loss"])) / 2, float(mb["loss"]), rtol=1e-5
+    )

@@ -59,33 +59,40 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
-def _project_qkv(h, attn_params, cfg: DecoderConfig, cos, sin):
+def _project_qkv(h, attn_params, cfg: DecoderConfig, cos, sin, lora_do=None):
     B, T, _ = h.shape
     nq = cfg.num_heads * cfg.head_dim
     nkv = cfg.num_kv_heads * cfg.head_dim
+
+    def do(i):  # distinct dropout mask per projection (peft semantics)
+        return None if lora_do is None else (jax.random.fold_in(lora_do[0], i), lora_do[1])
+
     if "qkv" in attn_params:
         # Inference-fused layout (see `fuse_decoder_layers`): one matmul for
         # q|k|v — fewer, larger weight reads in the bandwidth-bound decode.
         qkv = qdot(h, attn_params["qkv"])
         q, k, v = qkv[..., :nq], qkv[..., nq : nq + nkv], qkv[..., nq + nkv :]
     else:
-        q = qdot(h, attn_params["q"])
-        k = qdot(h, attn_params["k"])
-        v = qdot(h, attn_params["v"])
+        q = qdot(h, attn_params["q"], lora_dropout=do(0))
+        k = qdot(h, attn_params["k"], lora_dropout=do(1))
+        v = qdot(h, attn_params["v"], lora_dropout=do(2))
     q = apply_rope(q.reshape(B, T, cfg.num_heads, cfg.head_dim), cos, sin)
     k = apply_rope(k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim), cos, sin)
     v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     return q, k, v
 
 
-def _mlp(h, mlp_params):
+def _mlp(h, mlp_params, lora_do=None):
+    def do(i):
+        return None if lora_do is None else (jax.random.fold_in(lora_do[0], i), lora_do[1])
+
     if "gate_up" in mlp_params:
         fused = qdot(h, mlp_params["gate_up"])
         gate, up = jnp.split(fused, 2, axis=-1)
     else:
-        gate = qdot(h, mlp_params["gate"])
-        up = qdot(h, mlp_params["up"])
-    return qdot(jax.nn.silu(gate) * up, mlp_params["down"])
+        gate = qdot(h, mlp_params["gate"], lora_dropout=do(0))
+        up = qdot(h, mlp_params["up"], lora_dropout=do(1))
+    return qdot(jax.nn.silu(gate) * up, mlp_params["down"], lora_dropout=do(2))
 
 
 def fuse_decoder_layers(decoder_params: Dict) -> Dict:
@@ -146,6 +153,8 @@ def mistral_forward(
     return_kv: bool = False,
     use_flash: Optional[bool] = None,
     pallas_cache_update: Optional[bool] = None,
+    lora_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Run the decoder stack.
 
@@ -194,20 +203,40 @@ def mistral_forward(
             def attend(q, k, v):
                 return dot_product_attention(q, k, v, mask=mask)
 
-        def body(carry, layer_params):
+        # LoRA dropout (train-time only: an rng must be provided). Per-layer
+        # keys ride the scan xs so every layer/projection draws a distinct
+        # mask — reference peft applies an independent nn.Dropout per
+        # adapted linear (`script/finetune.sh` lora_dropout 0.05).
+        use_dropout = lora_dropout > 0.0 and dropout_rng is not None
+
+        def body(carry, xs):
             h = carry
+            layer_params, i = xs
+            lora_do = (
+                (jax.random.fold_in(dropout_rng, i), lora_dropout)
+                if use_dropout else None
+            )
             hn = rms_norm(h, layer_params["input_ln"]["scale"], cfg.rms_norm_eps)
-            q, k, v = _project_qkv(hn, layer_params["attn"], cfg, cos, sin)
+            q, k, v = _project_qkv(hn, layer_params["attn"], cfg, cos, sin,
+                                   lora_do=lora_do)
             attn = attend(q, k, v)
-            attn = qdot(attn.reshape(*attn.shape[:2], -1), layer_params["attn"]["out"])
+            attn = qdot(attn.reshape(*attn.shape[:2], -1), layer_params["attn"]["out"],
+                        lora_dropout=(
+                            (jax.random.fold_in(lora_do[0], 3), lora_dropout)
+                            if lora_do else None))
             h = h + attn
             hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], cfg.rms_norm_eps)
-            h = h + _mlp(hn, layer_params["mlp"])
+            h = h + _mlp(hn, layer_params["mlp"],
+                         lora_do=(
+                             (jax.random.fold_in(lora_do[0], 4), lora_dropout)
+                             if lora_do else None))
             return h, (k, v) if return_kv else None
 
         if remat:
             body = jax.checkpoint(body)  # trade FLOPs for HBM during backprop
-        h, kv = jax.lax.scan(body, h, params["layers"])
+        h, kv = jax.lax.scan(
+            body, h, (params["layers"], jnp.arange(cfg.num_layers))
+        )
         new_cache = kv if return_kv else None
     else:
         S = cache["k"].shape[2]

@@ -238,6 +238,8 @@ def vis_zephyr_forward(
     pad_to_multiple: Optional[int] = None,
     use_flash: Optional[bool] = None,
     merge_info: Optional[jnp.ndarray] = None,
+    lora_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Full multimodal forward (prefill or training step).
 
@@ -277,6 +279,8 @@ def vis_zephyr_forward(
         remat=remat,
         return_kv=return_kv,
         use_flash=use_flash,
+        lora_dropout=lora_dropout,
+        dropout_rng=dropout_rng,
     )
     aux = {k: v for k, v in prepared.items() if k != "embeds"}
     if extra is not None:

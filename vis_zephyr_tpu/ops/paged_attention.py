@@ -54,10 +54,18 @@ from .attention import attention_mask, dot_product_attention
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _make_kernel(R: int, page_size: int, scale: float, has_new: bool):
+def _make_kernel(R: int, page_size: int, scale: float, has_new: bool,
+                 window: Optional[int] = None):
     """Kernel over R pages per grid cell: R k-page refs then R v-page refs
     follow q. Fewer grid cells and one [G, R*page_size] score matmul per
-    cell amortize the per-cell overhead that dominates at R=1."""
+    cell amortize the per-cell overhead that dominates at R=1.
+
+    `window`: sliding-window attention (Mistral semantics, matching
+    `ops.attention.attention_mask`: q_pos − kv_pos < window). The query sits
+    at position length−1 (pool walk includes the current token) or length
+    (separate k_new self-term), so valid slots start at
+    lo = length − window (+1 with k_new); blocks wholly below lo are
+    skipped like blocks wholly past length."""
 
     def kernel(page_table_ref, lengths_ref, q_ref, *rest):
         k_refs = rest[:R]
@@ -78,8 +86,14 @@ def _make_kernel(R: int, page_size: int, scale: float, has_new: bool):
             acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
         length = lengths_ref[b]
+        if window is None:
+            lo = jnp.int32(0)
+            live = p * span < length
+        else:
+            lo = jnp.maximum(length - window + (1 if has_new else 0), 0)
+            live = (p * span < length) & ((p + 1) * span > lo)
 
-        @pl.when(p * span < length)
+        @pl.when(live)
         def _block():
             q = q_ref[0, 0]                               # [G, D]
             k = jnp.concatenate([r[0, 0] for r in k_refs], axis=0)  # [span, D]
@@ -89,7 +103,7 @@ def _make_kernel(R: int, page_size: int, scale: float, has_new: bool):
             ) * scale                                      # [G, span]
 
             slot = p * span + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            mask = slot < length
+            mask = (slot < length) & (slot >= lo)
             s = jnp.where(mask, s, NEG_INF)
 
             m_prev, l_prev = m_scratch[...], l_scratch[...]
@@ -129,7 +143,8 @@ def _make_kernel(R: int, page_size: int, scale: float, has_new: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret", "use_lib"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "use_lib",
+                                             "sliding_window"))
 def paged_attention(
     q: jnp.ndarray,
     k_pages: jnp.ndarray,
@@ -141,6 +156,7 @@ def paged_attention(
     scale=None,
     interpret=None,
     use_lib=None,
+    sliding_window: Optional[int] = None,
 ) -> jnp.ndarray:
     """q [B, Hq, D] against paged KV ([Hkv, num_pages, page_size, D]).
 
@@ -148,6 +164,12 @@ def paged_attention(
     [B, Hkv, D] given, the current token participates in attention as a
     final self-term (exact online softmax) without being written to the
     pools first — see module docstring for why. Returns [B, Hq, D].
+
+    `sliding_window` masks slots below the Mistral window (backbone
+    semantics: window 4096, max_position 32768 — reference
+    `checkpoints/.../config.json`); pass it only when sequences can
+    actually exceed the window (it routes off the tuned library kernel,
+    which has no window support).
     """
     B, Hq, D = q.shape
     Hkv, _, page_size, _ = k_pages.shape
@@ -157,7 +179,8 @@ def paged_attention(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if use_lib is None:
-        use_lib = not interpret and k_new is None and scale == D ** -0.5
+        use_lib = (not interpret and k_new is None and scale == D ** -0.5
+                   and sliding_window is None)
 
     if use_lib:
         from jax.experimental.pallas.ops.tpu.paged_attention import (
@@ -204,7 +227,8 @@ def paged_attention(
 
     grid = (B, Hkv, n_blocks)
     out = pl.pallas_call(
-        _make_kernel(R, page_size=page_size, scale=scale, has_new=has_new),
+        _make_kernel(R, page_size=page_size, scale=scale, has_new=has_new,
+                     window=sliding_window),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, group, D), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # page_table, lengths
@@ -300,7 +324,7 @@ def paged_kv_update(
 
 
 def paged_attention_reference(q, k_pages, v_pages, page_table, lengths,
-                              k_new=None, v_new=None):
+                              k_new=None, v_new=None, sliding_window=None):
     """XLA oracle: gather pages into dense KV (appending the current token's
     K/V when given), run masked attention."""
     B, Hq, D = q.shape
@@ -312,6 +336,10 @@ def paged_attention_reference(q, k_pages, v_pages, page_table, lengths,
     k = jnp.moveaxis(k_pages[:, page_table], 0, 3).reshape(B, S, Hkv, D)
     v = jnp.moveaxis(v_pages[:, page_table], 0, 3).reshape(B, S, Hkv, D)
     kv_valid = jnp.arange(S)[None, :] < lengths[:, None]
+    # The query's true position: length-1 when the pool walk already holds
+    # the current token, length with a separate k_new self-term. Slot index
+    # == token position for in-window slots, so the standard mask applies.
+    q_pos = (lengths[:, None] - 1).astype(jnp.int32)
     if k_new is not None:
         k = jnp.concatenate([k, k_new[:, None].astype(k.dtype)], axis=1)
         v = jnp.concatenate([v, v_new[:, None].astype(v.dtype)], axis=1)
@@ -319,8 +347,13 @@ def paged_attention_reference(q, k_pages, v_pages, page_table, lengths,
             [kv_valid, jnp.ones((B, 1), bool)], axis=1
         )
         S += 1
-    q_pos = jnp.full((B, 1), S)  # after every valid slot → causal no-op
-    kv_pos = jnp.broadcast_to(jnp.arange(S), (B, S))
-    mask = attention_mask(q_pos, kv_pos, kv_valid=kv_valid, causal=True)
+        q_pos = q_pos + 1
+        kv_pos = jnp.concatenate(
+            [jnp.broadcast_to(jnp.arange(S - 1), (B, S - 1)), q_pos], axis=1
+        )
+    else:
+        kv_pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    mask = attention_mask(q_pos, kv_pos, kv_valid=kv_valid, causal=True,
+                          sliding_window=sliding_window)
     out = dot_product_attention(q[:, None], k, v, mask=mask)
     return out[:, 0]

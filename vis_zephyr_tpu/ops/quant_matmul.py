@@ -212,19 +212,29 @@ def quantized_matmul_int4(
     return out[:M] if M_pad != M else out
 
 
-def qdot(x: jnp.ndarray, p: dict, use_pallas: bool = True) -> jnp.ndarray:
+def qdot(x: jnp.ndarray, p: dict, use_pallas: bool = True,
+         lora_dropout=None) -> jnp.ndarray:
     """Dense apply for raw or quantized dense params, with optional LoRA.
 
     `x`: [..., K]; `p`: {"kernel": [K, N]} or {"kernel_q", "scale"}, plus
     optional LoRA leaves {"lora_a": [K, r], "lora_b": [r, N],
     "lora_scale": scalar} whose contribution `(x@A)@B * scale` is added
     (stage-2 adapters, reference peft wrap `train/train.py:775-787`).
+    `lora_dropout`: optional `(rng, rate)` — train-time dropout on the
+    LoRA branch's INPUT only (peft semantics: `B(A(dropout(x)))`; the
+    frozen base path never sees dropout). Reference recipe: rate 0.05,
+    `script/finetune.sh`.
     Uses the Pallas kernel on TPU backends when the shapes tile; otherwise
     falls back to dequant + einsum (CPU tests, odd shapes).
     """
     out = _base_dot(x, p, use_pallas)
     if "lora_a" in p:
-        delta = jnp.einsum("...k,kr->...r", x, p["lora_a"].astype(x.dtype))
+        xl = x
+        if lora_dropout is not None:
+            rng, rate = lora_dropout
+            keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+            xl = jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+        delta = jnp.einsum("...k,kr->...r", xl, p["lora_a"].astype(x.dtype))
         delta = jnp.einsum("...r,rn->...n", delta, p["lora_b"].astype(x.dtype))
         out = out + delta * p["lora_scale"].astype(x.dtype)
     return out

@@ -38,9 +38,12 @@ GQA groups); the row-parallel output projection carries the layer's single
 psum. Per-chip pool HBM drops by the mesh size, so the aggregate slot
 ceiling scales UP with chips (the v5e-8 north-star configuration).
 
-Limitations: the paged kernel has no sliding-window mask, so `cache_len`
-must not exceed `decoder.sliding_window` (true for Zephyr: 4096-window vs
-2048 cache).
+Sliding window: when `cache_len` exceeds `decoder.sliding_window` the
+decode step switches to the custom kernel's windowed page walk (slots
+below `length − window` masked and their page blocks skipped) — sequences
+beyond 4096 tokens serve correctly under the backbone's 32K positions.
+Configs whose sequences cannot outgrow the window keep the tuned library
+kernel.
 """
 
 from __future__ import annotations
@@ -112,7 +115,7 @@ def _clear_row(page_table, slot):
     return page_table.at[slot].set(jnp.zeros((page_table.shape[1],), page_table.dtype))
 
 
-def _paged_attention_tp(mesh):
+def _paged_attention_tp(mesh, sliding_window=None):
     """paged_attention wrapped for a model-axis TP mesh: kv-head-sharded
     pools, head-sharded queries. The kernel is a per-(batch, kv-head) grid —
     each device runs it unchanged over its Hkv/m heads (GQA groups stay
@@ -122,7 +125,8 @@ def _paged_attention_tp(mesh):
     from jax.experimental.shard_map import shard_map
 
     def local(q, kp, vp, table, lengths):
-        return paged_attention(q, kp, vp, table, lengths)
+        return paged_attention(q, kp, vp, table, lengths,
+                               sliding_window=sliding_window)
 
     return shard_map(
         local, mesh=mesh,
@@ -180,6 +184,13 @@ def _paged_step(params, kp, vp, page_table, lengths, token, active, key,
     # below) — never zero slots, so no 0/0 in the softmax.
     lengths_next = lengths_eff + 1
 
+    # Sliding-window only when a sequence can actually outgrow the window
+    # (cache_len > window): the masked kernel routes off the tuned library
+    # kernel, so short-sequence configs keep the fast path.
+    cache_len = page_table.shape[1] * ps
+    sw = dec.sliding_window
+    window = sw if (sw is not None and cache_len > sw) else None
+
     # Write-first structure: each layer writes its new K/V row into the
     # pools IN PLACE (`paged_kv_update`, input_output_aliases through the
     # scan carry — no pool copies), then attends with the tuned library
@@ -187,7 +198,10 @@ def _paged_step(params, kp, vp, page_table, lengths, token, active, key,
     # 19.8 ms/step vs 28.5 for self-term + one post-scan write, and vs
     # 333 ms for the naive XLA in-scan scatter (the library kernel is 2×
     # the custom self-term kernel: 0.28 vs 0.56 ms/layer).
-    attn_fn = paged_attention if mesh is None else _paged_attention_tp(mesh)
+    if mesh is None:
+        attn_fn = functools.partial(paged_attention, sliding_window=window)
+    else:
+        attn_fn = _paged_attention_tp(mesh, sliding_window=window)
     kv_update = paged_kv_update if mesh is None else _kv_update_tp(mesh)
 
     def body(carry, xs):
@@ -263,12 +277,9 @@ class PagedBatcher(ContinuousBatcher):
         self._reserved_slot = None
         if cache_len % page_size:
             raise ValueError("cache_len must be a multiple of page_size")
-        sw = cfg.decoder.sliding_window
-        if sw is not None and cache_len > sw:
-            raise ValueError(
-                f"paged kernel has no sliding-window mask: cache_len={cache_len} "
-                f"exceeds decoder.sliding_window={sw}"
-            )
+        # cache_len beyond decoder.sliding_window is supported: the decode
+        # kernel masks slots below length − window (`ops/paged_attention`,
+        # backbone semantics — window 4096 under max_position 32768).
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots

@@ -39,7 +39,8 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> Tuple[jnp.ndarray
     return jnp.where(valid, nll, 0.0).sum() / n, valid.sum()
 
 
-def loss_fn(params, batch: Dict, cfg: VisZephyrConfig, remat: bool = True):
+def loss_fn(params, batch: Dict, cfg: VisZephyrConfig, remat: bool = True,
+            lora_dropout: float = 0.0, dropout_rng=None):
     logits, aux = vis_zephyr_forward(
         params,
         batch["input_ids"],
@@ -50,13 +51,15 @@ def loss_fn(params, batch: Dict, cfg: VisZephyrConfig, remat: bool = True):
         labels=batch["labels"],
         remat=remat,
         merge_info=batch.get("merge_info"),
+        lora_dropout=lora_dropout,
+        dropout_rng=dropout_rng,
     )
     loss, n_tokens = cross_entropy(logits, aux["labels"])
     return loss, {"loss": loss, "tokens": n_tokens}
 
 
 def make_train_step(cfg: VisZephyrConfig, tx: optax.GradientTransformation, remat: bool = True,
-                    trainable=None):
+                    trainable=None, lora_dropout: float = 0.0, dropout_seed: int = 0):
     """Returns `train_step(state, batch) -> (state, metrics)` where
     state = {"params", "opt_state", "step"}.
 
@@ -65,15 +68,28 @@ def make_train_step(cfg: VisZephyrConfig, tx: optax.GradientTransformation, rema
     eliminates their backward pass (stage 1 no longer materializes full
     decoder grads), and grad_norm / global-norm clipping then cover only
     params that actually train — matching the reference, which clips only
-    requires_grad params (HF Trainer semantics)."""
+    requires_grad params (HF Trainer semantics).
+
+    `lora_dropout` > 0 applies train-time dropout on each LoRA branch input
+    (reference recipe 0.05, `script/finetune.sh`); the per-step rng is
+    derived deterministically from `dropout_seed` and the step counter, so
+    no rng threading through the caller and resumed runs replay the same
+    masks. `tx` may be an `optax.MultiSteps` wrap (gradient accumulation) —
+    the state pytree shape is whatever `tx.init` produced."""
 
     def train_step(state, batch):
+        rng = (
+            jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state["step"])
+            if lora_dropout > 0.0 else None
+        )
+
         def masked_loss(p):
             if trainable is not None:
                 p = jax.tree_util.tree_map(
                     lambda m, x: x if m else jax.lax.stop_gradient(x), trainable, p
                 )
-            return loss_fn(p, batch, cfg, remat=remat)
+            return loss_fn(p, batch, cfg, remat=remat,
+                           lora_dropout=lora_dropout, dropout_rng=rng)
 
         (loss, metrics), grads = jax.value_and_grad(masked_loss, has_aux=True)(
             state["params"]

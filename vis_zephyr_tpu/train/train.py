@@ -50,6 +50,7 @@ class TrainArguments:
     pretrain_mm_mlp_adapter: str = ""     # projector-only ckpt to load for stage 2
     lora_r: int = 128
     lora_alpha: int = 256
+    lora_dropout: float = 0.05            # reference script/finetune.sh
     # Data
     data_path: str = ""
     image_folder: str = ""
@@ -68,7 +69,11 @@ class TrainArguments:
     warmup_ratio: float = 0.03
     num_epochs: int = 1
     per_device_batch_size: int = 16
-    max_steps: Optional[int] = None
+    # Reference Stage-2 recipe: per-GPU bs 4 × gradient_accumulation_steps 4
+    # (`script/finetune.sh`) — accumulate N micro-batch grads per optimizer
+    # step so the effective-batch recipe fits memory-tight chips.
+    grad_accum_steps: int = 1
+    max_steps: Optional[int] = None       # optimizer steps (HF semantics)
     max_grad_norm: float = 1.0
     seed: int = 42
     remat: bool = True
@@ -170,9 +175,14 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
         mesh = create_mesh(data=args.mesh_data, fsdp=fsdp, model=args.mesh_model)
         dp = args.mesh_data * fsdp
     global_batch = args.per_device_batch_size * dp
+    accum = max(1, args.grad_accum_steps)
 
-    steps_per_epoch = max(1, len(dataset) // global_batch)
+    # Optimizer-step accounting (HF semantics): max_steps / save_steps /
+    # logging_steps / the LR schedule all count optimizer steps; the loop
+    # below consumes `accum` micro-batches per optimizer step.
+    steps_per_epoch = max(1, len(dataset) // (global_batch * accum))
     total_steps = args.max_steps or steps_per_epoch * args.num_epochs
+    total_micro = total_steps * accum
 
     opt_cfg = OptimizerConfig(
         learning_rate=args.learning_rate,
@@ -183,8 +193,19 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
         max_grad_norm=args.max_grad_norm,
     )
     tx = build_optimizer(params, opt_cfg, stage=args.stage)
+    if accum > 1:
+        # Mean-of-means over micro-batches, applied every `accum` calls —
+        # the inner tx (and its LR schedule) advances once per optimizer
+        # step, exactly like the reference's DeepSpeed accumulation.
+        import optax
+
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     trainable = trainable_mask(params, args.stage)
-    train_step = jax.jit(make_train_step(cfg, tx, remat=args.remat, trainable=trainable))
+    train_step = jax.jit(make_train_step(
+        cfg, tx, remat=args.remat, trainable=trainable,
+        lora_dropout=args.lora_dropout if args.stage == "2" else 0.0,
+        dropout_seed=args.seed,
+    ))
 
     with jax.set_mesh(mesh):
         params = shard_params(params, mesh)
@@ -201,7 +222,10 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
         sampler = LengthGroupedSampler(
             dataset.modality_lengths if args.group_by_modality_length else dataset.lengths,
             batch_size=args.per_device_batch_size,
-            world_size=dp,
+            # Megabatch spans one OPTIMIZER step's samples: world × accum
+            # (reference sampler multiplies world_size × grad_accum,
+            # `train/vis_zephyr_trainer.py:215`).
+            world_size=dp * accum,
             group_by_modality=args.group_by_modality_length,
             seed=args.seed,
         )
@@ -265,7 +289,7 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                 batch_indices = [b[sl] for b in batch_indices]
             loader = _prefetch.PrefetchLoader(dataset, collator, batch_indices, num_workers=4)
             for batch in loader:
-                if step >= total_steps or preempted["agreed"]:
+                if step >= total_micro or preempted["agreed"]:
                     break
                 if n_proc > 1:
                     batch = distributed.make_global_batch(batch, mesh)
@@ -276,17 +300,18 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                 state, metrics = train_step(state, batch)
                 step += 1
                 seen_samples += global_batch
+                opt_step, at_boundary = step // accum, step % accum == 0
 
-                if step % args.logging_steps == 0:
+                if at_boundary and opt_step % args.logging_steps == 0:
                     loss = float(jax.device_get(metrics["loss"]))
                     losses.append(loss)
                     if is_main:
-                        print(f"step {step}/{total_steps} loss {loss:.4f}", flush=True)
+                        print(f"step {opt_step}/{total_steps} loss {loss:.4f}", flush=True)
                     if mlogger:
                         now = time.perf_counter()
                         d_steps = max(1, step - last_log_step)
                         mlogger.log(
-                            step,
+                            opt_step,
                             loss=loss,
                             grad_norm=float(jax.device_get(metrics["grad_norm"])),
                             tokens=int(jax.device_get(metrics["tokens"])),
@@ -296,12 +321,12 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                             step_time_s=round((now - last_log_t) / d_steps, 4),
                             epoch=epoch,
                             **{k: round(v, 8) for k, v in
-                               learning_rates_at(opt_cfg, step).items()},
+                               learning_rates_at(opt_cfg, opt_step).items()},
                         )
                         last_log_t, last_log_step = now, step
-                if step % args.save_steps == 0:
+                if at_boundary and opt_step % args.save_steps == 0:
                     save_checkpoint(
-                        args.output_dir, state, step,
+                        args.output_dir, state, opt_step,
                         projector_only=(args.stage == "1"),
                         metadata={"loss": losses[-1] if losses else None},
                     )
@@ -312,13 +337,15 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                 # allgather-OR (identity when single-process).
                 preempted["agreed"] = distributed.agree_flag(preempted["flag"])
                 if preempted["agreed"]:
+                    # Mid-accumulation is fine: the MultiSteps state carries
+                    # the partial grads and resumes exactly.
                     save_checkpoint(
-                        args.output_dir, state, step,
+                        args.output_dir, state, opt_step,
                         projector_only=False,
                         metadata={"preempted": True},
                     )
                     if is_main:
-                        print(f"preempted: checkpointed at step {step}", flush=True)
+                        print(f"preempted: checkpointed at step {opt_step}", flush=True)
                     break
             if preempted["agreed"]:
                 break
@@ -327,9 +354,10 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
         # state; stage 2 saves adapters in the full state. (Preemption
         # already checkpointed this exact step.)
         if not preempted["agreed"]:
-            save_checkpoint(args.output_dir, state, step, projector_only=False)
+            save_checkpoint(args.output_dir, state, step // accum, projector_only=False)
             if args.stage == "1":
-                save_checkpoint(args.output_dir, state, step + 1, projector_only=True)
+                save_checkpoint(args.output_dir, state, step // accum + 1,
+                                projector_only=True)
 
         if mlogger:
             mlogger.close()
