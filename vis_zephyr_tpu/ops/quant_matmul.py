@@ -32,7 +32,7 @@ _PALLAS_QMM_ENABLED = _os.environ.get("VZT_PALLAS_QMM", "0") == "1"
 
 
 def _kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -42,22 +42,29 @@ def _kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref):
         x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
 
-    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _finish():
         out_ref[...] = (acc_ref[...] * scale_ref[...].astype(jnp.float32)).astype(
             out_ref.dtype
         )
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "out_dtype"))
+@functools.partial(jax.jit, static_argnames=("block_k", "block_n", "out_dtype"))
 def quantized_matmul(
     x: jnp.ndarray,
     wq: jnp.ndarray,
     scale: jnp.ndarray,
     block_k: int = 512,
+    block_n: int = 2048,
     out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """x [M, K] @ dequant(wq [K, N], scale [1, N]) → [M, N]."""
+    """x [M, K] @ dequant(wq [K, N], scale [1, N]) → [M, N].
+
+    Grid (N/block_n parallel, K/block_k sequential reduction) — the same
+    structure as the int4 kernel, which measures faster than both the old
+    full-N sequential-K layout (270 GB/s) and XLA's fused dequant-dot
+    (~357 GB/s): smaller [block_k, block_n] panels pipeline DMAs across
+    grid steps instead of serializing on one huge panel per step."""
     M, K = x.shape
     K2, N = wq.shape
     assert K == K2, (x.shape, wq.shape)
@@ -66,6 +73,10 @@ def quantized_matmul(
     block_k = min(block_k, K)
     if K % block_k:
         raise ValueError(f"K={K} must tile by block_k={block_k}")
+    if N % 128 == 0 and N % block_n:
+        block_n = next(d * 128 for d in range(N // 128, 0, -1)
+                       if N % (d * 128) == 0)
+    block_n = min(block_n, N)
 
     # Pad M up to the sublane quantum so tiny decode batches still map.
     M_pad = max(8, ((M + 7) // 8) * 8)
@@ -77,17 +88,17 @@ def quantized_matmul(
         out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(K // block_k,),
+            grid=(N // block_n, K // block_k),
             in_specs=[
-                pl.BlockSpec((M_pad, block_k), lambda k: (0, k)),
-                pl.BlockSpec((block_k, N), lambda k: (k, 0)),
-                pl.BlockSpec((1, N), lambda k: (0, 0)),
+                pl.BlockSpec((M_pad, block_k), lambda n, k: (0, k)),
+                pl.BlockSpec((block_k, block_n), lambda n, k: (k, n)),
+                pl.BlockSpec((1, block_n), lambda n, k: (0, n)),
             ],
-            out_specs=pl.BlockSpec((M_pad, N), lambda k: (0, 0)),
-            scratch_shapes=[pltpu.VMEM((M_pad, N), jnp.float32)],
+            out_specs=pl.BlockSpec((M_pad, block_n), lambda n, k: (0, n)),
+            scratch_shapes=[pltpu.VMEM((M_pad, block_n), jnp.float32)],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M_pad * K * N,

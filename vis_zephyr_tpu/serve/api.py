@@ -173,15 +173,18 @@ def main(args=None):
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree: shard the model over this "
                         "many chips (model-axis inference mesh)")
-    p.add_argument("--prefill-chunk", type=int, default=None,
+    p.add_argument("--prefill-chunk", type=int, default=256,
                    help="admit long prompts in chunks of N tokens, "
-                        "interleaved with decode steps (512 recommended)")
+                        "interleaved with decode steps so admission never "
+                        "blocks active streams (head-of-line TTFT). Default "
+                        "on at 256; pass 0 for whole-prompt admission")
     p.add_argument("--metrics-path", default=None,
                    help="JSONL file for per-request TTFT/TPOT rows; "
                         "aggregate histograms at GET /metrics")
     p.add_argument("--lookahead", type=int, default=0,
-                   help="prompt-lookup speculative decoding span on the "
-                        "serialized path (greedy only; 0 disables)")
+                   help="prompt-lookup speculative decoding span (greedy "
+                        "only; 0 disables): serialized path and the dense "
+                        "continuous batcher")
     a = p.parse_args(args)
 
     tokenizer, params, cfg, _ = load_pretrained_model(
@@ -203,7 +206,8 @@ def main(args=None):
         max_new_tokens=a.max_new_tokens,
         continuous_batching=a.continuous_batching, max_slots=a.max_slots,
         kv_cache=a.kv_cache, num_pages=a.num_pages, mesh=mesh,
-        metrics=metrics, prefill_chunk=a.prefill_chunk, lookahead=a.lookahead,
+        metrics=metrics, prefill_chunk=a.prefill_chunk or None,
+        lookahead=a.lookahead,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

@@ -111,6 +111,30 @@ def _admit(cache, k, v, length, cfg: VisZephyrConfig, slot: int):
     return {"k": ck, "v": cv, "length": lengths}
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "pallas_cache"),
+                   donate_argnums=(1,))
+def _verify_step(params, cache, toks, valid, cfg: VisZephyrConfig,
+                 pallas_cache: bool = True):
+    """Batched speculative verify: append up to S tokens per slot (column 0
+    is every slot's pending token; later columns are prompt-lookup
+    proposals, padded rows invalid) in ONE cached forward. Returns
+    per-position greedy tokens [B, S]; the caller measures the accepted
+    prefix per slot and OVERWRITES cache["length"] host-side — rejected
+    slots hold garbage K/V above the accepted point that the next append
+    overwrites (attention masks keys off `length`, so stale rows are never
+    attended). A verify step reads the same weight bytes as a single decode
+    step (both HBM-bound), so each accepted token is nearly free."""
+    positions = cache["length"][:, None] + jnp.cumsum(
+        valid.astype(jnp.int32), axis=1) - 1
+    embeds = embed(params["decoder"], toks)
+    logits, new_cache = mistral_forward(
+        params["decoder"], embeds, cfg.decoder, positions,
+        attn_valid=valid, cache=cache, logits_slice="all",
+        pallas_cache_update=pallas_cache,
+    )
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "sampling", "pallas_cache"),
                    donate_argnums=(1,))
 def _batch_step(params, cache, token, active, key, cfg: VisZephyrConfig,
@@ -159,6 +183,7 @@ class ContinuousBatcher:
         mesh=None,
         metrics=None,
         prefill_chunk: Optional[int] = None,
+        lookahead: int = 0,
     ):
         """`mesh`: optional inference mesh (see `parallel.mesh.inference_mesh`).
         Params are TP-sharded over its model axis and the KV cache over the
@@ -169,9 +194,16 @@ class ContinuousBatcher:
         `metrics`: optional `utils.metrics.ServingMetrics` — per-request
         TTFT/TPOT recorded at finish.
         `prefill_chunk`: admit long prompts in chunks of this many tokens,
-        interleaved with decode steps (no head-of-line blocking)."""
+        interleaved with decode steps (no head-of-line blocking).
+        `lookahead`: per-slot prompt-lookup speculative decoding (greedy
+        only; silently off when sampling.temperature > 0): each scheduler
+        step proposes up to `lookahead` tokens per slot from the slot's own
+        n-gram structure and verifies all slots in ONE multi-token cache
+        append — token-identical to plain greedy, fewer device steps on
+        copy-heavy outputs. Acceptance recorded in `metrics`."""
         self.metrics = metrics
         self.prefill_chunk = prefill_chunk
+        self.lookahead = lookahead if sampling.temperature <= 0.0 else 0
         self._prefilling = None
         self._reserved_slot = None
         if mesh is not None:
@@ -194,6 +226,11 @@ class ContinuousBatcher:
         self.active = np.zeros(max_slots, bool)
         self.budget = np.zeros(max_slots, np.int64)
         self.slot_req: List[Optional[_Request]] = [None] * max_slots
+        # Speculation bookkeeping (host mirrors): per-slot token history for
+        # n-gram lookup and the committed cache length (saves a device fetch
+        # per step when clamping proposal spans).
+        self.slot_hist: List[list] = [[] for _ in range(max_slots)]
+        self.slot_len = np.zeros(max_slots, np.int64)
         self.pending: "queue.Queue[_Request]" = queue.Queue()
         self.rng = jax.random.PRNGKey(seed)
         self._next_id = 0
@@ -261,6 +298,7 @@ class ContinuousBatcher:
         """Put a prefilled request into `slot` and emit its first token.
         k/v: [L, T, Hkv, D]; last_logits: [V]."""
         self.cache = _admit(self.cache, k, v, length, self.cfg, slot)
+        self.slot_len[slot] = int(length)
         self._activate(req, slot, last_logits)
         return True
 
@@ -271,6 +309,9 @@ class ContinuousBatcher:
         self.slot_req[slot] = req
         self.active[slot] = True
         self.budget[slot] = req.max_new_tokens - 1
+        # Lookup history: vocabulary tokens only (image sentinels < 0 are
+        # placeholders; an n-gram crossing one is meaningless).
+        self.slot_hist[slot] = [int(t) for t in req.input_ids if t >= 0] + [tok]
         self.token = self.token.at[slot].set(tok)
         if tok == self.sampling.eos_token_id:
             self._finish(slot)
@@ -386,16 +427,100 @@ class ContinuousBatcher:
         self.slot_req[slot] = None
         self.active[slot] = False
 
+    def _step_verify(self) -> int:
+        """One speculative scheduler step: column 0 of the verify batch is
+        every slot's pending token (exactly what `_batch_step` would have
+        decoded), later columns are that slot's prompt-lookup proposals.
+        All slots verify in one multi-token append; each slot commits its
+        accepted prefix and carries the first mismatching greedy token as
+        the next pending token — token-identical to plain greedy decoding
+        (`tests/test_batching.py::TestSpeculativeBatcher`)."""
+        from .generate import _propose_lookup
+
+        S = self.lookahead + 1
+        B = self.max_slots
+        toks = np.full((B, S), self.cfg.decoder.pad_token_id, np.int32)
+        # Column 0 valid for EVERY slot (active or not): a fully-invalid row
+        # would attend zero keys. Inactive slots write one pad-token row
+        # that the host-side length overwrite below rolls right back.
+        valid = np.zeros((B, S), bool)
+        valid[:, 0] = True
+        token_host = np.array(jax.device_get(self.token))  # writable copy
+        props: List[Optional[np.ndarray]] = [None] * B
+        for slot in range(B):
+            if not self.active[slot]:
+                continue
+            toks[slot, 0] = token_host[slot]
+            cap = int(min(self.lookahead, self.budget[slot] - 1,
+                          self.cache_len - self.slot_len[slot] - 1))
+            if cap <= 0:
+                continue
+            prop = _propose_lookup(np.asarray(self.slot_hist[slot]), span=cap)
+            if prop is None or not len(prop):
+                continue
+            prop = np.asarray(prop[:cap], np.int32)
+            n = len(prop)
+            toks[slot, 1 : 1 + n] = prop
+            valid[slot, 1 : 1 + n] = True
+            props[slot] = prop
+
+        greedy, self.cache = _verify_step(
+            self.params, self.cache, jnp.asarray(toks), jnp.asarray(valid),
+            self.cfg, pallas_cache=self.mesh is None,
+        )
+        greedy = np.asarray(jax.device_get(greedy))
+
+        stepped = 0
+        for slot in range(B):
+            if not self.active[slot]:
+                continue
+            stepped += 1
+            prop = props[slot] if props[slot] is not None else np.zeros(0, np.int32)
+            accepted = 0
+            while accepted < len(prop) and greedy[slot, accepted] == prop[accepted]:
+                accepted += 1
+            emitted = list(int(t) for t in prop[:accepted]) + [int(greedy[slot, accepted])]
+            if self.metrics is not None and len(prop):
+                self.metrics.record_speculation(len(prop), accepted)
+            # Cache now holds pending + accepted proposals; the final
+            # emitted token is the NEW pending one (not yet written).
+            self.slot_len[slot] += 1 + accepted
+            finished = False
+            for t in emitted:
+                if t == self.sampling.eos_token_id:
+                    finished = True
+                    break
+                self._emit(self.slot_req[slot], t)
+                self.slot_hist[slot].append(t)
+                self.budget[slot] -= 1
+                if self.budget[slot] <= 0:
+                    finished = True
+                    break
+            if finished:
+                self._finish(slot)
+            else:
+                token_host[slot] = emitted[-1]
+        # Host is the source of truth for lengths: rolls every slot back to
+        # its accepted prefix (and undoes the inactive slots' dummy row).
+        self.cache = dict(
+            self.cache, length=jnp.asarray(self.slot_len.astype(np.int32))
+        )
+        self.token = jnp.asarray(token_host)
+        return stepped
+
     def step(self) -> int:
         """Admit pending requests (one chunk's worth under chunked prefill),
-        then advance every active slot by one token. Returns the number of
-        active slots stepped."""
+        then advance every active slot by one token (or by a speculative
+        verify span with `lookahead`). Returns the number of active slots
+        stepped."""
         if self.prefill_chunk:
             self._pump_prefill()
         else:
             self._admit_pending()
         if not self.active.any():
             return 0
+        if self.lookahead > 0:
+            return self._step_verify()
         self.rng, sub = jax.random.split(self.rng)
         self.token, self.cache = _batch_step(
             self.params, self.cache, self.token, jnp.asarray(self.active), sub,

@@ -54,8 +54,8 @@ class ChatEngine:
         parallelism."""
         self.mesh = mesh
         self.metrics = metrics
-        # Prompt-lookup speculation (greedy serialized path only; batched
-        # decoding amortizes weight reads across slots already).
+        # Prompt-lookup speculation: serialized path and the dense
+        # continuous batcher (paged decodes one token/step for now).
         self.lookahead = lookahead
         self._use_flash = None
         if mesh is not None:
@@ -99,7 +99,7 @@ class ChatEngine:
                 self.batcher = ContinuousBatcher(
                     params, cfg, max_slots=max_slots, cache_len=cache_len,
                     sampling=self.sampling, mesh=mesh, metrics=metrics,
-                    prefill_chunk=prefill_chunk,
+                    prefill_chunk=prefill_chunk, lookahead=lookahead,
                 )
 
     def _ensure_pump(self) -> None:

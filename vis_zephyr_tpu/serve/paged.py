@@ -312,6 +312,12 @@ class PagedBatcher(ContinuousBatcher):
         self.active = np.zeros(max_slots, bool)
         self.budget = np.zeros(max_slots, np.int64)
         self.slot_req: List[Optional[_Request]] = [None] * max_slots
+        # _activate (shared with the dense batcher) maintains these; the
+        # paged step decodes one token per step (speculative verify needs a
+        # multi-row paged append — dense batcher only for now).
+        self.lookahead = 0
+        self.slot_hist: List[list] = [[] for _ in range(max_slots)]
+        self.slot_len = np.zeros(max_slots, np.int64)
         self.slot_pages: List[List[int]] = [[] for _ in range(max_slots)]
         self.pending = queue.Queue()
         self._requeued: deque = deque()  # head-of-queue retries (no pages free)
@@ -377,6 +383,7 @@ class PagedBatcher(ContinuousBatcher):
             k, v, jnp.asarray(length, jnp.int32), jnp.asarray(row), slot=slot,
         )
         self.slot_pages[slot] = pages
+        self.slot_len[slot] = n_len
         self._activate(req, slot, last_logits)
         return True
 

@@ -59,6 +59,9 @@ class ServingMetrics:
         self._count: Dict[str, int] = {}
         self.requests = 0
         self.tokens_out = 0
+        # Speculative decoding (prompt-lookup) accounting.
+        self.spec_proposed = 0
+        self.spec_accepted = 0
 
     def observe(self, name: str, value_ms: float) -> None:
         hist = self._hist.setdefault(name, [0] * len(self.BUCKETS_MS))
@@ -83,6 +86,12 @@ class ServingMetrics:
                 tokens=n_tokens,
             )
 
+    def record_speculation(self, proposed: int, accepted: int) -> None:
+        """One verify step's proposal outcome for one slot (the batcher's
+        prompt-lookup speculation, `serve/batching.py::_step_verify`)."""
+        self.spec_proposed += proposed
+        self.spec_accepted += accepted
+
     def _quantile(self, name: str, q: float) -> Optional[float]:
         hist = self._hist.get(name)
         n = self._count.get(name, 0)
@@ -99,6 +108,12 @@ class ServingMetrics:
 
     def summary(self) -> Dict[str, Dict]:
         out = {"requests": self.requests, "tokens_out": self.tokens_out}
+        if self.spec_proposed:
+            out["speculation"] = {
+                "proposed": self.spec_proposed,
+                "accepted": self.spec_accepted,
+                "acceptance_rate": round(self.spec_accepted / self.spec_proposed, 4),
+            }
         for name, n in self._count.items():
             out[name] = {
                 "count": n,
