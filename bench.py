@@ -172,12 +172,15 @@ def bench_decode(cfg: VisZephyrConfig, steps: int = 64,
 
 
 def bench_decode_paged(cfg: VisZephyrConfig, steps: int = 64, slots: int = 32,
-                       prompt_len: int = 512, bits: int = 8) -> dict:
+                       prompt_len: int = 512, bits: int = 8,
+                       kv_quant: bool = False) -> dict:
     """Aggregate decode throughput on the paged-KV batcher's step program
     (serve/paged.py) at slot counts the dense cache cannot hold: B=32 needs
     ~2.7 GB of pool vs 8.6 GB dense. bits=4 frees another 3.5 GB of
     weights for pool (the --load-4bit serving configuration) — the highest
-    slot counts ride int4."""
+    slot counts ride int4. kv_quant stores the pools int8 with per-row
+    scales (--kv-quant): half the KV bytes per step, which is the dominant
+    HBM traffic at high slot counts."""
     from vis_zephyr_tpu.models.mistral import fuse_decoder_layers
     from vis_zephyr_tpu.serve.generate import SamplingConfig
     from vis_zephyr_tpu.serve.paged import _paged_step
@@ -190,8 +193,16 @@ def bench_decode_paged(cfg: VisZephyrConfig, steps: int = 64, slots: int = 32,
     pages_per_req = -(-(prompt_len + steps * 4) // ps)  # slack for the scan
     num_pages = 1 + slots * pages_per_req
     L, Hkv, D = dec.num_layers, dec.num_kv_heads, dec.head_dim
-    kp = jnp.zeros((Hkv, L * num_pages, ps, D), jnp.bfloat16)
+    pool_dtype = jnp.int8 if kv_quant else jnp.bfloat16
+    kp = jnp.zeros((Hkv, L * num_pages, ps, D), pool_dtype)
     vp = jnp.zeros_like(kp)
+    if kv_quant:
+        # Scale layout [Hkv, N, 1, ps]: row scales along lanes (the
+        # ps-trailing layout tile-pads 128x and OOMs the chip).
+        ksp = jnp.ones((Hkv, L * num_pages, 1, ps), jnp.float32)
+        vsp = jnp.ones_like(ksp)
+    else:
+        ksp = vsp = None
     table = np.zeros((slots, pps), np.int32)
     for b in range(slots):
         table[b, :pages_per_req] = 1 + b * pages_per_req + np.arange(pages_per_req)
@@ -204,29 +215,31 @@ def bench_decode_paged(cfg: VisZephyrConfig, steps: int = 64, slots: int = 32,
 
     # Donate the pools: without it the un-aliased output copy doubles the
     # pool footprint and OOMs next to the 7 GB int8 params.
-    @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2, 3, 4))
-    def run(params, kp, vp, lengths, token, n):
+    @functools.partial(jax.jit, static_argnames=("n",),
+                       donate_argnums=(1, 2, 3, 4, 5))
+    def run(params, kp, vp, scales, lengths, token, n):
         def step(carry, _):
-            kp, vp, lengths, token = carry
-            token, kp, vp, lengths = _paged_step(
-                params, kp, vp, table, lengths, token, active, key, cfg, sampling
+            kp, vp, scales, lengths, token = carry
+            token, kp, vp, scales, lengths = _paged_step(
+                params, kp, vp, scales, table, lengths, token, active, key,
+                cfg, sampling,
             )
-            return (kp, vp, lengths, token), None
+            return (kp, vp, scales, lengths, token), None
 
-        (kp, vp, lengths, token), _ = jax.lax.scan(
-            step, (kp, vp, lengths, token), None, length=n
+        (kp, vp, scales, lengths, token), _ = jax.lax.scan(
+            step, (kp, vp, scales, lengths, token), None, length=n
         )
-        return kp, vp, lengths, token
+        return kp, vp, scales, lengths, token
 
-    kp, vp, lengths, token = run(params, kp, vp, lengths, token, steps)
-    _sync(token)
+    state = run(params, kp, vp, (ksp, vsp), lengths, token, steps)
+    _sync(state[-1])
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        kp, vp, lengths, token = run(params, kp, vp, lengths, token, steps)
-    _sync(token)
+        state = run(params, *state, steps)
+    _sync(state[-1])
     dt = (time.perf_counter() - t0) / reps
-    tag = "paged" if bits == 8 else "paged4"
+    tag = ("pagedq" if kv_quant else "paged") if bits == 8 else "paged4"
     return {
         f"{tag}_decode_tokens_per_sec_batch{slots}": steps * slots / dt,
         f"{tag}_decode_ms_per_step_batch{slots}": dt / steps * 1e3,
@@ -376,6 +389,8 @@ def _headline(extras: dict) -> dict:
     dense = extras.get(f"decode_tokens_per_sec_batch{slots}") if slots else None
     pslots = extras.get("paged_slots")
     paged = extras.get(f"paged_decode_tokens_per_sec_batch{pslots}") if pslots else None
+    pqslots = extras.get("pagedq_slots")
+    pagedq = extras.get(f"pagedq_decode_tokens_per_sec_batch{pqslots}") if pqslots else None
     p4slots = extras.get("paged4_slots")
     paged4 = extras.get(f"paged4_decode_tokens_per_sec_batch{p4slots}") if p4slots else None
     single = extras.get("decode_tokens_per_sec_single")
@@ -387,6 +402,8 @@ def _headline(extras: dict) -> dict:
         value, tag = dense, f"batch{slots}"
     if paged is not None and (value is None or paged > value):
         value, tag = paged, f"paged_batch{pslots}"
+    if pagedq is not None and (value is None or pagedq > value):
+        value, tag = pagedq, f"paged_int8kv_batch{pqslots}"
     if paged4 is not None and (value is None or paged4 > value):
         value, tag = paged4, f"paged_int4_batch{p4slots}"
 
@@ -458,6 +475,16 @@ def main():
     paged_steps = 2 if tiny else 64
     paged_prompt = 32 if tiny else 512
     # Headline first: the judged numbers land before any time pressure.
+    # int8 KV pools (--kv-quant serving mode) halve the dominant HBM
+    # traffic at high slot counts — the best-known configuration leads.
+    h.run_phase(
+        "pagedq",
+        lambda slots: bench_decode_paged(
+            cfg, slots=slots, steps=paged_steps, prompt_len=paged_prompt,
+            bits=8, kv_quant=True),
+        [{"slots": 64}, {"slots": 32}],
+        min_time_s=150,
+    )
     h.run_phase(
         "paged",
         lambda slots: bench_decode_paged(
@@ -506,11 +533,12 @@ def run_phase_cli(phase: str, slots: int) -> None:
     elif phase == "decode":
         out = bench_decode(cfg, batch_slots=slots)
         out["decode_slots"] = slots
-    elif phase in ("paged", "paged4"):
+    elif phase in ("paged", "paged4", "pagedq"):
         out = bench_decode_paged(
             cfg, slots=slots, steps=2 if tiny else 64,
             prompt_len=32 if tiny else 512,
             bits=4 if phase == "paged4" else 8,
+            kv_quant=phase == "pagedq",
         )
     else:
         raise ValueError(f"unknown phase {phase!r}")
@@ -522,7 +550,8 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=["vision", "prefill", "decode", "paged", "paged4"])
+    ap.add_argument("--phase", choices=["vision", "prefill", "decode", "paged",
+                                        "paged4", "pagedq"])
     ap.add_argument("--decode-slots", type=int, default=16)
     cli = ap.parse_args()
     if cli.phase:

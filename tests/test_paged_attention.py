@@ -175,3 +175,115 @@ class TestSlidingWindow:
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
                 err_msg=f"window={w}")
+
+
+class TestQuantizedKV:
+    """int8 KV pools (kv_quant serving mode): per-row absmax scales, library
+    convention row ≈ int8·scale/127.5 (`ops.paged_attention.quantize_kv`)."""
+
+    def test_quant_roundtrip_error_bounded(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import dequant_kv, quantize_kv
+
+        x = jnp.asarray(rng.standard_normal((4, 16, 64)), jnp.float32)
+        q, s = quantize_kv(x)
+        assert s.shape == x.shape[:-1] + (1,)
+        back = dequant_kv(q, s, jnp.float32)
+        # Per-row absmax int8: max error ≤ absmax/127.5/2 per element.
+        bound = np.asarray(s) / 127.5 / 2 + 1e-6
+        assert (np.abs(np.asarray(back) - np.asarray(x)) <= bound).all()
+
+    def test_quantized_attention_matches_dequant_oracle(self, rng):
+        """paged_attention with k_scales == the oracle over explicitly
+        dequantized pools (same dequant math → tight tolerance)."""
+        from vis_zephyr_tpu.ops.paged_attention import (
+            dequant_kv_pool, quantize_kv_pool,
+        )
+
+        q, kp, vp, table, lengths = make_case(rng)
+        kq, ks = quantize_kv_pool(kp)
+        vq, vs = quantize_kv_pool(vp)
+        assert ks.shape == kp.shape[:2] + (1, kp.shape[2])
+        got = paged_attention(q, kq, vq, table, lengths, k_scales=ks, v_scales=vs)
+        ref = paged_attention_reference(
+            q, dequant_kv_pool(kq, ks, jnp.float32),
+            dequant_kv_pool(vq, vs, jnp.float32), table, lengths,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_quantized_attention_close_to_float(self, rng):
+        """Quantization error through attention stays small (the mode is a
+        throughput trade, not an accuracy cliff)."""
+        from vis_zephyr_tpu.ops.paged_attention import quantize_kv_pool
+
+        q, kp, vp, table, lengths = make_case(rng)
+        kq, ks = quantize_kv_pool(kp)
+        vq, vs = quantize_kv_pool(vp)
+        got = paged_attention(q, kq, vq, table, lengths, k_scales=ks, v_scales=vs)
+        ref = paged_attention_reference(q, kp, vp, table, lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0.1, atol=0.05)
+
+    def test_windowed_quantized_attention(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import (
+            dequant_kv_pool, quantize_kv_pool,
+        )
+
+        q, kp, vp, table, _ = make_case(rng, B=2, pages_per_seq=4)
+        lengths = jnp.asarray([55, 9], jnp.int32)
+        kq, ks = quantize_kv_pool(kp)
+        vq, vs = quantize_kv_pool(vp)
+        got = paged_attention(q, kq, vq, table, lengths, sliding_window=16,
+                              k_scales=ks, v_scales=vs)
+        ref = paged_attention_reference(
+            q, dequant_kv_pool(kq, ks, jnp.float32),
+            dequant_kv_pool(vq, vs, jnp.float32), table, lengths,
+            sliding_window=16,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+
+class TestPagedKVUpdateQuant:
+    """`paged_kv_update_q`: in-VMEM quantize + in-place int8 row/scale write."""
+
+    def test_written_rows_match_quantize_kv(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import paged_kv_update_q, quantize_kv
+
+        Hkv, N, ps, D, L, B = 2, 16, 8, 128, 3, 4
+        kp = jnp.zeros((Hkv, N, ps, D), jnp.int8)
+        vp = jnp.zeros((Hkv, N, ps, D), jnp.int8)
+        ksp = jnp.zeros((Hkv, N, 1, ps), jnp.float32)
+        vsp = jnp.zeros((Hkv, N, 1, ps), jnp.float32)
+        ks = jnp.asarray(rng.standard_normal((L, B, Hkv, D)), jnp.float32)
+        vs = jnp.asarray(rng.standard_normal((L, B, Hkv, D)), jnp.float32)
+        pids = jnp.asarray(rng.permutation(N)[: L * B].reshape(L, B), jnp.int32)
+        offs = jnp.asarray(rng.integers(0, ps, (B,)), jnp.int32)
+
+        ref_kq, ref_ks = quantize_kv(ks)   # [L, B, Hkv, D] int8, [L, B, Hkv]
+        ref_vq, ref_vs = quantize_kv(vs)
+        pids_h, offs_h = np.asarray(pids), np.asarray(offs)
+        got_kp, got_vp, got_ksp, got_vsp = paged_kv_update_q(
+            kp, vp, ksp, vsp, ks, vs, pids, offs
+        )
+        got_kp, got_vp = np.asarray(got_kp), np.asarray(got_vp)
+        got_ksp, got_vsp = np.asarray(got_ksp), np.asarray(got_vsp)
+        touched = np.zeros((N, ps), bool)
+        for l in range(L):
+            for b in range(B):
+                p, o = pids_h[l, b], offs_h[b]
+                touched[p, o] = True
+                np.testing.assert_array_equal(got_kp[:, p, o], np.asarray(ref_kq)[l, b])
+                np.testing.assert_array_equal(got_vp[:, p, o], np.asarray(ref_vq)[l, b])
+                np.testing.assert_allclose(
+                    got_ksp[:, p, 0, o], np.asarray(ref_ks)[l, b, :, 0],
+                    rtol=1e-6)
+                np.testing.assert_allclose(
+                    got_vsp[:, p, 0, o], np.asarray(ref_vs)[l, b, :, 0],
+                    rtol=1e-6)
+        # Untouched rows stay zero (pools started zeroed).
+        assert (got_kp[:, ~touched] == 0).all()
+        untouched_scales = np.stack(
+            [got_ksp[:, p, 0, o] for p in range(got_ksp.shape[1])
+             for o in range(ps) if not touched[p, o]], axis=-1)
+        assert (untouched_scales == 0).all()

@@ -176,3 +176,89 @@ class TestSlidingWindowServing:
             cache_len=64,
         )[0]
         np.testing.assert_array_equal(list(batcher.stream(h)), solo)
+
+
+class TestQuantizedPagedBatcher:
+    """kv_quant=True: int8 pools + per-row scales through admission, decode
+    writes, and the page walk. Token streams are compared EXACTLY against
+    solo bf16 generate — on the tiny fixture model the per-row int8 error
+    (≤ absmax/255) never flips a greedy argmax; a mismatch here means the
+    quant plumbing is wrong, not that quantization is lossy."""
+
+    def test_matches_standalone_generate(self, setup, rng):
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=6, temperature=0.0, eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=4, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=32, kv_quant=True,
+        )
+        assert batcher.kp.dtype == jnp.int8
+        kp = batcher.kp.shape
+        assert batcher.ksp.shape == kp[:2] + (1, kp[2])
+        requests = [make_request(cfg, rng, T, with_image=True) for T in (5, 8, 6)]
+        handles = [batcher.submit(ids, im, pv) for ids, im, pv in requests]
+        batcher.run_until_drained()
+        for (ids, im, pv), handle in zip(requests, handles):
+            got = list(batcher.stream(handle))
+            solo = generate(
+                params, jnp.asarray(ids[None]), jnp.asarray(im[None]),
+                jnp.asarray(pv[None]), cfg, sampling, cache_len=64,
+            )[0]
+            np.testing.assert_array_equal(got, solo)
+
+    def test_page_reuse_and_release(self, setup, rng):
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=4, temperature=0.0, eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=32, page_size=16,
+            sampling=sampling, num_pages=5, kv_quant=True,
+        )
+        requests = [make_request(cfg, rng, 4 + i, with_image=False) for i in range(5)]
+        handles = [batcher.submit(ids, im, pv) for ids, im, pv in requests]
+        batcher.run_until_drained()
+        for (ids, im, pv), h in zip(requests, handles):
+            got = list(batcher.stream(h))
+            solo = generate(
+                params, jnp.asarray(ids[None]), None, None, cfg, sampling, cache_len=32
+            )[0]
+            np.testing.assert_array_equal(got, solo)
+        assert batcher.allocator.available == 4
+
+    def test_chunked_prefill_admission(self, setup, rng):
+        """kv_quant composes with chunked prefill (the scratch cache is
+        bf16; quantization happens once at install)."""
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=5, temperature=0.0, eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=16, kv_quant=True, prefill_chunk=16,
+        )
+        ids, im, pv = make_request(cfg, rng, 21, with_image=False)
+        h = batcher.submit(ids, im, pv)
+        batcher.run_until_drained()
+        solo = generate(
+            params, jnp.asarray(ids[None]), None, None, cfg, sampling, cache_len=64
+        )[0]
+        np.testing.assert_array_equal(list(batcher.stream(h)), solo)
+
+    def test_windowed_quant_decode(self, rng):
+        import dataclasses
+
+        base = tiny_config()
+        cfg = dataclasses.replace(
+            base, decoder=dataclasses.replace(base.decoder, sliding_window=16)
+        )
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        sampling = SamplingConfig(max_new_tokens=30, temperature=0.0, eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=32, kv_quant=True,
+        )
+        ids, im, pv = make_request(cfg, rng, 24, with_image=False)
+        h = batcher.submit(ids, im, pv)
+        batcher.run_until_drained()
+        solo = generate(
+            params, jnp.asarray(ids[None]), None, None, cfg, sampling,
+            cache_len=64,
+        )[0]
+        np.testing.assert_array_equal(list(batcher.stream(h)), solo)

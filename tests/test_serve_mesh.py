@@ -202,3 +202,45 @@ class TestMeshSerializedEngine:
         got_tp = tp.chat_text("s", "abc abc abc")
         got_solo = solo.chat_text("s", "abc abc abc")
         assert got_tp == got_solo and got_tp
+
+
+class TestMeshPagedQuantServing:
+    """kv_quant under model-axis TP: int8 pools AND scale pools are
+    kv-head-sharded; each shard quantizes/dequantizes its own heads."""
+
+    def test_tp_paged_quant_matches_single_device(self, setup, rng):
+        from vis_zephyr_tpu.serve.paged import PagedBatcher
+
+        cfg, params = setup
+        mesh = create_mesh(model=2)
+        sampling = SamplingConfig(max_new_tokens=6, temperature=0.0, eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=4, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=32, mesh=mesh, kv_quant=True,
+        )
+        requests = [make_request(cfg, rng, T, with_image=True) for T in (5, 8)]
+        handles = [batcher.submit(ids, im, pv) for ids, im, pv in requests]
+        batcher.run_until_drained()
+
+        for (ids, im, pv), handle in zip(requests, handles):
+            got = list(batcher.stream(handle))
+            solo = generate(
+                params, jnp.asarray(ids[None]), jnp.asarray(im[None]),
+                jnp.asarray(pv[None]), cfg, sampling, cache_len=64,
+            )[0]
+            np.testing.assert_array_equal(got, solo)
+
+    def test_tp_paged_quant_scale_pools_sharded(self, setup):
+        from vis_zephyr_tpu.serve.paged import PagedBatcher
+
+        cfg, params = setup
+        mesh = create_mesh(model=2)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=32, page_size=16,
+            sampling=SamplingConfig(max_new_tokens=2), num_pages=16, mesh=mesh,
+            kv_quant=True,
+        )
+        assert batcher.kp.dtype == jnp.int8
+        for pool in (batcher.kp, batcher.ksp, batcher.vsp):
+            shard_shape = pool.addressable_shards[0].data.shape
+            assert shard_shape[0] == pool.shape[0] // 2  # kv heads split

@@ -53,9 +53,57 @@ from .attention import attention_mask, dot_product_attention
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# int8 KV quantization, library-kernel numeric convention
+# (jax...paged_attention.quantization_utils): row ≈ int8 · scale / 127.5,
+# scale = absmax of the row.
+#
+# POOL SCALE LAYOUT: [Hkv, num_pages, 1, page_size] f32 — one page's row
+# scales along the LANE axis. This is the only layout that is both
+# TPU-tile-compact and Pallas-block-legal:
+#   · [.., ps, 1] (scale-per-row trailing) puts the singleton on the lane
+#     dim: T(8,128) tiling pads 1 → 128, a 128× HBM expansion that turns
+#     48 MB of scales into 6 GB per pool and OOMs the chip (measured —
+#     XLA materializes padded copies inside the step program).
+#   · [.., ps] 3D makes the page dim second-to-last, and a (1, 1, ps)
+#     block's sublane dim (1 vs N) is neither 8-aligned nor equal to the
+#     array dim — not lowerable.
+#   · [.., 1, ps] tiles (1, ps) → (8, 128): an 8× sublane pad (48 → 385 MB
+#     per pool) and blocks of (1, 1, 1, ps) equal the array dims — legal.
+# The attention kernel consumes scales as (1, span) row vectors and folds
+# them into the SCORES (s = (q·kqᵀ)·ksc) and the PROBABILITIES
+# (acc += (p·vsc)·vq) instead of dequantizing rows — algebraically
+# identical, broadcast-friendly, and the int8→bf16 convert feeding the MXU
+# is exact (|int8| ≤ 127 is representable), so precision is a shade BETTER
+# than per-row dequantization.
+KV_QUANT_MAX = 127.5
+
+
+def quantize_kv(x: jnp.ndarray):
+    """[..., D] float → (int8 [..., D], scales [..., 1]) per-row absmax."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    q = jnp.rint(x.astype(jnp.float32) * (KV_QUANT_MAX / jnp.maximum(s, 1e-9)))
+    return q.astype(jnp.int8), s.astype(jnp.float32)
+
+
+def dequant_kv(q: jnp.ndarray, s: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """int8 [..., D] with scales [..., 1] → float [..., D]."""
+    return (q.astype(jnp.float32) * (s / KV_QUANT_MAX)).astype(dtype)
+
+
+def quantize_kv_pool(pool: jnp.ndarray):
+    """[Hkv, N, ps, D] float pool → (int8 pool, scales [Hkv, N, 1, ps])
+    in the pool scale layout (see module comment)."""
+    q, s = quantize_kv(pool)
+    return q, jnp.swapaxes(s, -1, -2)
+
+
+def dequant_kv_pool(q: jnp.ndarray, s: jnp.ndarray, dtype=jnp.bfloat16):
+    """Inverse of `quantize_kv_pool` (oracle/test helper)."""
+    return dequant_kv(q, jnp.swapaxes(s, -1, -2), dtype)
+
 
 def _make_kernel(R: int, page_size: int, scale: float, has_new: bool,
-                 window: Optional[int] = None):
+                 window: Optional[int] = None, quant: bool = False):
     """Kernel over R pages per grid cell: R k-page refs then R v-page refs
     follow q. Fewer grid cells and one [G, R*page_size] score matmul per
     cell amortize the per-cell overhead that dominates at R=1.
@@ -65,14 +113,30 @@ def _make_kernel(R: int, page_size: int, scale: float, has_new: bool,
     at position length−1 (pool walk includes the current token) or length
     (separate k_new self-term), so valid slots start at
     lo = length − window (+1 with k_new); blocks wholly below lo are
-    skipped like blocks wholly past length."""
+    skipped like blocks wholly past length.
+
+    `quant`: int8 pages with per-row scales — R k-scale and R v-scale refs
+    ([1, 1, 1, ps] f32 blocks, scales along lanes) follow the v-page refs.
+    The scales are folded into the scores / probabilities as (1, span) row
+    vectors (see module comment) — no per-row dequantization, no
+    transposes. The scale blocks add ~3% to the page DMA bytes, so the
+    decode step reads ~half the HBM bytes of the bf16 walk. NOTE: the
+    tuned library kernel is NOT used for int8 pools — it broadcasts
+    scales to full [.., ps, D] f32 arrays before its pallas_call
+    (paged_attention_kernel.py:428-432), materializing 4× the int8 pool in
+    HBM (measured: 24 GB program, OOM on a 16 GB chip)."""
 
     def kernel(page_table_ref, lengths_ref, q_ref, *rest):
         k_refs = rest[:R]
         v_refs = rest[R : 2 * R]
-        k_new_ref, v_new_ref = rest[2 * R], rest[2 * R + 1]
-        o_ref = rest[2 * R + 2]
-        m_scratch, l_scratch, acc_scratch = rest[2 * R + 3 : 2 * R + 6]
+        base = 2 * R
+        if quant:
+            ks_refs = rest[base : base + R]
+            vs_refs = rest[base + R : base + 2 * R]
+            base += 2 * R
+        k_new_ref, v_new_ref = rest[base], rest[base + 1]
+        o_ref = rest[base + 2]
+        m_scratch, l_scratch, acc_scratch = rest[base + 3 : base + 6]
 
         b = pl.program_id(0)
         p = pl.program_id(2)
@@ -98,9 +162,18 @@ def _make_kernel(R: int, page_size: int, scale: float, has_new: bool,
             q = q_ref[0, 0]                               # [G, D]
             k = jnp.concatenate([r[0, 0] for r in k_refs], axis=0)  # [span, D]
             v = jnp.concatenate([r[0, 0] for r in v_refs], axis=0)
+            if quant:
+                # (1, span) row-scale vectors; int8 → q.dtype is exact.
+                ksc = jnp.concatenate([r[0, 0] for r in ks_refs], axis=1)
+                vsc = jnp.concatenate([r[0, 0] for r in vs_refs], axis=1)
+                k = k.astype(q.dtype)
+                v = v.astype(q.dtype)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale                                      # [G, span]
+            if quant:
+                # Fold the K row scales into the scores: s_j ·= ksc_j/127.5.
+                s = s * (ksc * (1.0 / KV_QUANT_MAX))
 
             slot = p * span + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             mask = (slot < length) & (slot >= lo)
@@ -114,6 +187,10 @@ def _make_kernel(R: int, page_size: int, scale: float, has_new: bool,
             l_scratch[...] = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
             m_scratch[...] = m_next
             acc_scratch[...] *= alpha[:, :1]
+            if quant:
+                # Fold the V row scales into the probabilities:
+                # acc += (p · vsc/127.5) @ vq  ==  p @ (vq·vsc/127.5).
+                pexp = pexp * (vsc * (1.0 / KV_QUANT_MAX))
             acc_scratch[...] += jax.lax.dot(
                 pexp.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
@@ -157,6 +234,8 @@ def paged_attention(
     interpret=None,
     use_lib=None,
     sliding_window: Optional[int] = None,
+    k_scales: Optional[jnp.ndarray] = None,
+    v_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """q [B, Hq, D] against paged KV ([Hkv, num_pages, page_size, D]).
 
@@ -170,17 +249,27 @@ def paged_attention(
     `checkpoints/.../config.json`); pass it only when sequences can
     actually exceed the window (it routes off the tuned library kernel,
     which has no window support).
+
+    `k_scales`/`v_scales` [Hkv, num_pages, 1, page_size] (pool scale
+    layout — see module comment) mark the pools as int8-quantized per row
+    (numeric convention: `row ≈ int8 · scale/127.5`, scale = row absmax at
+    write time). Halves the KV bytes per decode step — the dominant HBM
+    traffic at high slot counts. The custom kernel folds the scales into
+    scores/probabilities in VMEM; the tuned library kernel is NOT used for
+    int8 pools because it broadcasts the scales to full [.., ps, D] f32
+    arrays host-side (4× the int8 pool in HBM — OOM).
     """
     B, Hq, D = q.shape
     Hkv, _, page_size, _ = k_pages.shape
     pages_per_seq = page_table.shape[1]
     group = Hq // Hkv
     scale = D ** -0.5 if scale is None else scale
+    quant = k_scales is not None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if use_lib is None:
         use_lib = (not interpret and k_new is None and scale == D ** -0.5
-                   and sliding_window is None)
+                   and sliding_window is None and not quant)
 
     if use_lib:
         from jax.experimental.pallas.ops.tpu.paged_attention import (
@@ -197,8 +286,8 @@ def paged_attention(
     qg = q.reshape(B, Hkv, group, D)
     has_new = k_new is not None
     if not has_new:  # dummy operands keep one kernel signature
-        k_new = jnp.zeros((B, Hkv, D), k_pages.dtype)
-        v_new = jnp.zeros((B, Hkv, D), v_pages.dtype)
+        k_new = jnp.zeros((B, Hkv, D), q.dtype)
+        v_new = jnp.zeros((B, Hkv, D), q.dtype)
     # Singleton token axis: TPU lowering needs the last two block dims to be
     # full (or 8/128-aligned); [B, Hkv, 1, D] blocks as (1, 1, 1, D).
     k_new = k_new[:, :, None, :]
@@ -225,10 +314,24 @@ def paged_attention(
             ),
         )
 
+    def scale_spec(j):
+        # Scale pool [Hkv, N, 1, ps]: one page's row scales along lanes.
+        return pl.BlockSpec(
+            (1, 1, 1, page_size),
+            lambda b, h, p, pt, ln, j=j: (
+                h, pt[b, jnp.minimum(R * p + j, pages_per_seq - 1)], 0, 0
+            ),
+        )
+
+    scale_operands, scale_specs = (), []
+    if quant:
+        scale_operands = (*([k_scales] * R), *([v_scales] * R))
+        scale_specs = [scale_spec(j) for j in range(R)] * 2
+
     grid = (B, Hkv, n_blocks)
     out = pl.pallas_call(
         _make_kernel(R, page_size=page_size, scale=scale, has_new=has_new,
-                     window=sliding_window),
+                     window=sliding_window, quant=quant),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, group, D), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # page_table, lengths
@@ -237,6 +340,7 @@ def paged_attention(
                 pl.BlockSpec((1, 1, group, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
                 *[page_spec(j) for j in range(R)],
                 *[page_spec(j) for j in range(R)],
+                *scale_specs,
                 pl.BlockSpec((1, 1, 1, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
                 pl.BlockSpec((1, 1, 1, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
             ],
@@ -251,7 +355,8 @@ def paged_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_table, lengths, qg, *([k_pages] * R), *([v_pages] * R), k_new, v_new)
+    )(page_table, lengths, qg, *([k_pages] * R), *([v_pages] * R),
+      *scale_operands, k_new, v_new)
     return out.reshape(B, Hq, D)
 
 
@@ -321,6 +426,87 @@ def paged_kv_update(
     )(flat_pids, offsets, ks.astype(k_pages.dtype), vs.astype(v_pages.dtype),
       k_pages, v_pages)
     return kp, vp
+
+
+def _kv_update_quant_kernel(page_size: int):
+    def kernel(pids_ref, offs_ref, k_ref, v_ref,
+               kold_ref, vold_ref, ksold_ref, vsold_ref,
+               kout_ref, vout_ref, ksout_ref, vsout_ref):
+        b = pl.program_id(1)
+        off = offs_ref[b]
+        # Quantize the new rows in VMEM (library convention: int8·s/127.5,
+        # s = row absmax) — the pools never hold bf16 rows.
+        k = k_ref[0, 0].astype(jnp.float32)   # [Hkv, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        ks = jnp.max(jnp.abs(k), axis=-1, keepdims=True)     # [Hkv, 1]
+        vs = jnp.max(jnp.abs(v), axis=-1, keepdims=True)
+        kq = jnp.rint(k * (KV_QUANT_MAX / jnp.maximum(ks, 1e-9)))
+        vq = jnp.rint(v * (KV_QUANT_MAX / jnp.maximum(vs, 1e-9)))
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, page_size, 1), 2)
+        sel = row == off
+        kout_ref[...] = jnp.where(sel, kq.astype(jnp.int8)[:, None, None, :],
+                                  kold_ref[...])
+        vout_ref[...] = jnp.where(sel, vq.astype(jnp.int8)[:, None, None, :],
+                                  vold_ref[...])
+        # Scale blocks are [Hkv, 1, 1, ps] (row scales along lanes): select
+        # lane `off` and broadcast the [Hkv, 1] scales across it.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, page_size), 3)
+        lsel = lane == off
+        ksout_ref[...] = jnp.where(lsel, ks[:, None, None, :], ksold_ref[...])
+        vsout_ref[...] = jnp.where(lsel, vs[:, None, None, :], vsold_ref[...])
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",),
+                   donate_argnums=(0, 1, 2, 3))
+def paged_kv_update_q(
+    k_pages: jnp.ndarray,    # [Hkv, N, ps, D] int8 (donated, in place)
+    v_pages: jnp.ndarray,
+    k_scales: jnp.ndarray,   # [Hkv, N, 1, ps] f32 row scales along lanes (donated)
+    v_scales: jnp.ndarray,
+    ks: jnp.ndarray,         # [L, B, Hkv, D] float — new K rows
+    vs: jnp.ndarray,
+    page_ids: jnp.ndarray,   # [L, B] int32
+    offsets: jnp.ndarray,    # [B] int32
+    interpret=None,
+) -> tuple:
+    """`paged_kv_update` for int8-quantized pools: quantizes each new row
+    in VMEM and writes the int8 row + its scale in place."""
+    Hkv, N, ps, D = k_pages.shape
+    L, B, _, _ = ks.shape
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    flat_pids = page_ids.reshape(-1)
+    grid = (L, B)
+    page_block = pl.BlockSpec(
+        (Hkv, 1, ps, D), lambda l, b, pids, offs: (0, pids[l * B + b], 0, 0)
+    )
+    scale_block = pl.BlockSpec(
+        (Hkv, 1, 1, ps), lambda l, b, pids, offs: (0, pids[l * B + b], 0, 0)
+    )
+    new_block = pl.BlockSpec((1, 1, Hkv, D), lambda l, b, pids, offs: (l, b, 0, 0))
+    return pl.pallas_call(
+        _kv_update_quant_kernel(ps),
+        out_shape=(jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+                   jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+                   jax.ShapeDtypeStruct(k_scales.shape, k_scales.dtype),
+                   jax.ShapeDtypeStruct(v_scales.shape, v_scales.dtype)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[new_block, new_block,
+                      page_block, page_block, scale_block, scale_block],
+            out_specs=[page_block, page_block, scale_block, scale_block],
+        ),
+        # Flattened args incl. scalar-prefetch: (pids, offs, k, v, kp, vp,
+        # ksp, vsp) → pools are 4..7.
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(flat_pids, offsets, ks, vs, k_pages, v_pages, k_scales, v_scales)
 
 
 def paged_attention_reference(q, k_pages, v_pages, page_table, lengths,

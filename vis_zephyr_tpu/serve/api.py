@@ -170,6 +170,10 @@ def main(args=None):
                    help="paged: shared page pools (higher slot counts per chip)")
     p.add_argument("--num-pages", type=int, default=None,
                    help="paged pool size (default: half the dense footprint)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV pools (paged only): per-row absmax scales, "
+                        "halves decode KV HBM traffic and doubles the slot "
+                        "ceiling per pool byte")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree: shard the model over this "
                         "many chips (model-axis inference mesh)")
@@ -205,7 +209,7 @@ def main(args=None):
         params, cfg, tokenizer, temperature=a.temperature,
         max_new_tokens=a.max_new_tokens,
         continuous_batching=a.continuous_batching, max_slots=a.max_slots,
-        kv_cache=a.kv_cache, num_pages=a.num_pages, mesh=mesh,
+        kv_cache=a.kv_cache, kv_quant=a.kv_quant, num_pages=a.num_pages, mesh=mesh,
         metrics=metrics, prefill_chunk=a.prefill_chunk or None,
         lookahead=a.lookahead,
     )

@@ -41,6 +41,7 @@ class ChatEngine:
         max_slots: int = 8,
         cache_len: int = 2048,
         kv_cache: str = "dense",  # "dense" | "paged"
+        kv_quant: bool = False,
         num_pages: Optional[int] = None,
         mesh=None,
         metrics=None,
@@ -92,6 +93,7 @@ class ChatEngine:
                     params, cfg, max_slots=max_slots, cache_len=cache_len,
                     sampling=self.sampling, num_pages=num_pages, mesh=mesh,
                     metrics=metrics, prefill_chunk=prefill_chunk,
+                    kv_quant=kv_quant,
                 )
             else:
                 from .batching import ContinuousBatcher

@@ -38,6 +38,15 @@ GQA groups); the row-parallel output projection carries the layer's single
 psum. Per-chip pool HBM drops by the mesh size, so the aggregate slot
 ceiling scales UP with chips (the v5e-8 north-star configuration).
 
+int8 KV (`kv_quant=True`): pools hold int8 rows with per-row absmax
+scales ([Hkv, L*num_pages, 1, page_size] f32 — row scales along lanes;
+numeric convention row ≈ int8·scale/127.5). Prefill admission quantizes
+on write (`_admit_paged_q`), decode writes quantize in VMEM
+(`ops.paged_attention.paged_kv_update_q`), and the custom Pallas kernel
+folds the scales into scores/probabilities during the page walk — KV
+bytes per decode step halve, which is the dominant HBM traffic at high
+slot counts, and the slot ceiling per pool byte nearly doubles.
+
 Sliding window: when `cache_len` exceeds `decoder.sliding_window` the
 decode step switches to the custom kernel's windowed page walk (slots
 below `length − window` masked and their page blocks skipped) — sequences
@@ -62,7 +71,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import VisZephyrConfig
 from ..models.mistral import _mlp, _project_qkv, embed, rms_norm, rope_cos_sin
-from ..ops.paged_attention import paged_attention, paged_kv_update
+from ..ops.paged_attention import (
+    paged_attention,
+    paged_kv_update,
+    paged_kv_update_q,
+    quantize_kv,
+)
 from ..ops.quant_matmul import qdot
 from .batching import ContinuousBatcher, _Request
 from .generate import SamplingConfig, _sample
@@ -86,6 +100,33 @@ class PageAllocator:
 
     def release(self, pages: List[int]) -> None:
         self._free.extend(pages)
+
+
+@functools.partial(jax.jit, static_argnames=("slot",),
+                   donate_argnums=(0, 1, 2, 3, 4, 5))
+def _admit_paged_q(kp, vp, ksp, vsp, page_table, lengths, k, v, length, row,
+                   *, slot: int):
+    """`_admit_paged` for int8-quantized pools: per-row quantize the
+    prefilled K/V, write int8 blocks + scale blocks."""
+    L, T, Hkv, D = k.shape
+    ps = kp.shape[2]
+    P = kp.shape[1] // L
+    n = T // ps
+    kq, ks = quantize_kv(k)   # [L, T, Hkv, D] int8, [L, T, Hkv, 1]
+    vq, vs = quantize_kv(v)
+    kb = kq.reshape(L, n, ps, Hkv, D).transpose(3, 0, 1, 2, 4)
+    vb = vq.reshape(L, n, ps, Hkv, D).transpose(3, 0, 1, 2, 4)
+    # Pool scale layout [Hkv, N, 1, ps]: a page's row scales along lanes.
+    ksb = ks[..., 0].reshape(L, n, ps, Hkv).transpose(3, 0, 1, 2)[:, :, :, None, :]
+    vsb = vs[..., 0].reshape(L, n, ps, Hkv).transpose(3, 0, 1, 2)[:, :, :, None, :]
+    pages = row[:n]
+    kp = kp.reshape(Hkv, L, P, ps, D).at[:, :, pages].set(kb).reshape(Hkv, L * P, ps, D)
+    vp = vp.reshape(Hkv, L, P, ps, D).at[:, :, pages].set(vb).reshape(Hkv, L * P, ps, D)
+    ksp = ksp.reshape(Hkv, L, P, 1, ps).at[:, :, pages].set(ksb).reshape(Hkv, L * P, 1, ps)
+    vsp = vsp.reshape(Hkv, L, P, 1, ps).at[:, :, pages].set(vsb).reshape(Hkv, L * P, 1, ps)
+    page_table = page_table.at[slot].set(row)
+    lengths = lengths.at[slot].set(length.astype(jnp.int32))
+    return kp, vp, ksp, vsp, page_table, lengths
 
 
 @functools.partial(jax.jit, static_argnames=("slot",), donate_argnums=(0, 1, 2, 3))
@@ -115,31 +156,60 @@ def _clear_row(page_table, slot):
     return page_table.at[slot].set(jnp.zeros((page_table.shape[1],), page_table.dtype))
 
 
-def _paged_attention_tp(mesh, sliding_window=None):
+def _paged_attention_tp(mesh, sliding_window=None, quant=False):
     """paged_attention wrapped for a model-axis TP mesh: kv-head-sharded
     pools, head-sharded queries. The kernel is a per-(batch, kv-head) grid —
     each device runs it unchanged over its Hkv/m heads (GQA groups stay
     intact because query heads are blocked per kv head), so TP needs zero
     collectives inside attention; the row-parallel `attn/out` matmul after
-    it carries the layer's single psum, exactly like the dense TP path."""
+    it carries the layer's single psum, exactly like the dense TP path.
+
+    `quant`: int8 pools — the per-row scale pools shard over kv heads
+    exactly like the pools themselves."""
     from jax.experimental.shard_map import shard_map
 
-    def local(q, kp, vp, table, lengths):
-        return paged_attention(q, kp, vp, table, lengths,
-                               sliding_window=sliding_window)
+    if not quant:
+        def local(q, kp, vp, table, lengths):
+            return paged_attention(q, kp, vp, table, lengths,
+                                   sliding_window=sliding_window)
 
-    return shard_map(
-        local, mesh=mesh,
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(
+                P(None, "model", None),          # q [B, Hq, D]
+                P("model", None, None, None),    # k pools [Hkv, L*P, ps, D]
+                P("model", None, None, None),    # v pools
+                P(None, None),                   # page table (replicated)
+                P(None),                         # lengths (replicated)
+            ),
+            out_specs=P(None, "model", None),
+            check_rep=False,
+        )
+
+    def local_q(q, kp, vp, table, lengths, ksp, vsp):
+        return paged_attention(q, kp, vp, table, lengths,
+                               sliding_window=sliding_window,
+                               k_scales=ksp, v_scales=vsp)
+
+    sm = shard_map(
+        local_q, mesh=mesh,
         in_specs=(
-            P(None, "model", None),          # q [B, Hq, D]
-            P("model", None, None, None),    # k pools [Hkv, L*P, ps, D]
-            P("model", None, None, None),    # v pools
-            P(None, None),                   # page table (replicated)
-            P(None),                         # lengths (replicated)
+            P(None, "model", None),
+            P("model", None, None, None),
+            P("model", None, None, None),
+            P(None, None),
+            P(None),
+            P("model", None, None, None),    # k scales [Hkv, L*P, 1, ps]
+            P("model", None, None, None),    # v scales
         ),
         out_specs=P(None, "model", None),
         check_rep=False,
     )
+
+    def wrapper(q, kp, vp, table, lengths, *, k_scales, v_scales):
+        return sm(q, kp, vp, table, lengths, k_scales, v_scales)
+
+    return wrapper
 
 
 def _kv_update_tp(mesh):
@@ -157,12 +227,34 @@ def _kv_update_tp(mesh):
     )
 
 
+def _kv_update_q_tp(mesh):
+    """paged_kv_update_q under the TP mesh: int8 pools AND their per-row
+    scale pools are kv-head-sharded; each shard quantizes and writes its own
+    heads' rows (no collectives)."""
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map(
+        paged_kv_update_q, mesh=mesh,
+        in_specs=(P("model"), P("model"), P("model"), P("model"),
+                  P(None, None, "model", None),
+                  P(None, None, "model", None), P(), P()),
+        out_specs=(P("model"), P("model"), P("model"), P("model")),
+        check_rep=False,
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "sampling", "mesh"), donate_argnums=(1, 2, 4)
+    jax.jit, static_argnames=("cfg", "sampling", "mesh"),
+    donate_argnums=(1, 2, 3, 5),
 )
-def _paged_step(params, kp, vp, page_table, lengths, token, active, key,
+def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
                 cfg: VisZephyrConfig, sampling: SamplingConfig, mesh=None):
-    """One decode step over all slots against the paged pools."""
+    """One decode step over all slots against the paged pools.
+
+    `scales`: `(None, None)` for bf16 pools, or `(k_scales, v_scales)`
+    [Hkv, L*P, 1, ps] f32 for int8-quantized pools (the kv_quant serving mode
+    — halves the dominant KV HBM traffic at high slot counts; new rows are
+    quantized in VMEM by `paged_kv_update_q`)."""
     dec = cfg.decoder
     L = dec.num_layers
     P = kp.shape[1] // L  # logical pages per layer segment
@@ -198,31 +290,44 @@ def _paged_step(params, kp, vp, page_table, lengths, token, active, key,
     # 19.8 ms/step vs 28.5 for self-term + one post-scan write, and vs
     # 333 ms for the naive XLA in-scan scatter (the library kernel is 2×
     # the custom self-term kernel: 0.28 vs 0.56 ms/layer).
+    ksp, vsp = scales
     if mesh is None:
         attn_fn = functools.partial(paged_attention, sliding_window=window)
+        kv_update = paged_kv_update
+        kv_update_q = paged_kv_update_q
     else:
-        attn_fn = _paged_attention_tp(mesh, sliding_window=window)
-    kv_update = paged_kv_update if mesh is None else _kv_update_tp(mesh)
+        attn_fn = _paged_attention_tp(mesh, sliding_window=window,
+                                      quant=ksp is not None)
+        kv_update = _kv_update_tp(mesh)
+        kv_update_q = _kv_update_q_tp(mesh)
 
     def body(carry, xs):
-        h, kp, vp = carry
+        h, kp, vp, ksp, vsp = carry
         layer_params, i = xs
         hn = rms_norm(h, layer_params["input_ln"]["scale"], dec.rms_norm_eps)
         q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin)
-        kp, vp = kv_update(
-            kp, vp, k[:, 0][None], v[:, 0][None],
-            (i * P + cur_page)[None], offset,
-        )
-        attn = attn_fn(q[:, 0], kp, vp, page_table + i * P, lengths_next)
+        if ksp is None:
+            kp, vp = kv_update(
+                kp, vp, k[:, 0][None], v[:, 0][None],
+                (i * P + cur_page)[None], offset,
+            )
+            attn = attn_fn(q[:, 0], kp, vp, page_table + i * P, lengths_next)
+        else:
+            kp, vp, ksp, vsp = kv_update_q(
+                kp, vp, ksp, vsp, k[:, 0][None], v[:, 0][None],
+                (i * P + cur_page)[None], offset,
+            )
+            attn = attn_fn(q[:, 0], kp, vp, page_table + i * P, lengths_next,
+                           k_scales=ksp, v_scales=vsp)
         attn = attn.reshape(B, 1, -1)
         h = h + qdot(attn, layer_params["attn"]["out"])
         hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], dec.rms_norm_eps)
         h = h + _mlp(hn, layer_params["mlp"])
-        return (h, kp, vp), None
+        return (h, kp, vp, ksp, vsp), None
 
     dparams = params["decoder"]
-    (h, kp, vp), _ = jax.lax.scan(
-        body, (h, kp, vp), (dparams["layers"], jnp.arange(dec.num_layers))
+    (h, kp, vp, ksp, vsp), _ = jax.lax.scan(
+        body, (h, kp, vp, ksp, vsp), (dparams["layers"], jnp.arange(dec.num_layers))
     )
     h = rms_norm(h, dparams["final_ln"]["scale"], dec.rms_norm_eps)
     logits = jnp.einsum(
@@ -231,7 +336,7 @@ def _paged_step(params, kp, vp, page_table, lengths, token, active, key,
     next_token = _sample(logits[:, 0], key, sampling)
     next_token = jnp.where(active, next_token, dec.pad_token_id)
     new_lengths = jnp.where(active, lengths + 1, lengths)
-    return next_token, kp, vp, new_lengths
+    return next_token, kp, vp, (ksp, vsp), new_lengths
 
 
 class PagedBatcher(ContinuousBatcher):
@@ -255,7 +360,14 @@ class PagedBatcher(ContinuousBatcher):
         mesh=None,
         metrics=None,
         prefill_chunk: Optional[int] = None,
+        kv_quant: bool = False,
     ):
+        """`kv_quant`: store the pools int8 with per-row absmax scales
+        (library convention, `ops.paged_attention.quantize_kv`). Halves the
+        KV bytes per decode step — the dominant HBM traffic at high slot
+        counts — and nearly doubles the slot ceiling per pool byte. New
+        rows are quantized in VMEM by the Pallas write kernel; decode
+        dequantizes in VMEM inside the tuned library kernel."""
         if mesh is not None:
             m = mesh.shape.get("model", 1)
             if cfg.decoder.num_kv_heads % max(m, 1):
@@ -295,17 +407,32 @@ class PagedBatcher(ContinuousBatcher):
 
         dec = cfg.decoder
         dtype = params["decoder"]["embed_tokens"].dtype
+        self.kv_quant = kv_quant
+        pool_dtype = jnp.int8 if kv_quant else dtype
         pool_shape = (dec.num_kv_heads, dec.num_layers * num_pages, page_size, dec.head_dim)
+        self.ksp = self.vsp = None
         if mesh is not None:
             # kv-head-sharded pools: each chip holds Hkv/m heads of every
             # page, so pool HBM scales down with the mesh — the aggregate
             # pool (slot ceiling) scales UP with chips.
             pool_sh = NamedSharding(mesh, P("model", None, None, None))
-            self.kp = jnp.zeros(pool_shape, dtype, device=pool_sh)
-            self.vp = jnp.zeros(pool_shape, dtype, device=pool_sh)
+            self.kp = jnp.zeros(pool_shape, pool_dtype, device=pool_sh)
+            self.vp = jnp.zeros(pool_shape, pool_dtype, device=pool_sh)
+            if kv_quant:
+                # [Hkv, N, 1, ps]: row scales along lanes (the ps-trailing
+                # layout tile-pads 128× on TPU and OOMs — see
+                # ops/paged_attention.py module comment).
+                scale_sh = NamedSharding(mesh, P("model", None, None, None))
+                scale_shape = pool_shape[:2] + (1, pool_shape[2])
+                self.ksp = jnp.zeros(scale_shape, jnp.float32, device=scale_sh)
+                self.vsp = jnp.zeros(scale_shape, jnp.float32, device=scale_sh)
         else:
-            self.kp = jnp.zeros(pool_shape, dtype)
-            self.vp = jnp.zeros(pool_shape, dtype)
+            self.kp = jnp.zeros(pool_shape, pool_dtype)
+            self.vp = jnp.zeros(pool_shape, pool_dtype)
+            if kv_quant:
+                scale_shape = pool_shape[:2] + (1, pool_shape[2])
+                self.ksp = jnp.zeros(scale_shape, jnp.float32)
+                self.vsp = jnp.zeros(scale_shape, jnp.float32)
         self.page_table = jnp.zeros((max_slots, self.pages_per_seq), jnp.int32)
         self.lengths = jnp.zeros((max_slots,), jnp.int32)
         self.token = jnp.full((max_slots,), dec.pad_token_id, jnp.int32)
@@ -378,10 +505,18 @@ class PagedBatcher(ContinuousBatcher):
             return False
         row = np.zeros((self.pages_per_seq,), np.int32)
         row[:n_pages] = pages
-        self.kp, self.vp, self.page_table, self.lengths = _admit_paged(
-            self.kp, self.vp, self.page_table, self.lengths,
-            k, v, jnp.asarray(length, jnp.int32), jnp.asarray(row), slot=slot,
-        )
+        if self.kv_quant:
+            (self.kp, self.vp, self.ksp, self.vsp, self.page_table,
+             self.lengths) = _admit_paged_q(
+                self.kp, self.vp, self.ksp, self.vsp, self.page_table,
+                self.lengths, k, v, jnp.asarray(length, jnp.int32),
+                jnp.asarray(row), slot=slot,
+            )
+        else:
+            self.kp, self.vp, self.page_table, self.lengths = _admit_paged(
+                self.kp, self.vp, self.page_table, self.lengths,
+                k, v, jnp.asarray(length, jnp.int32), jnp.asarray(row), slot=slot,
+            )
         self.slot_pages[slot] = pages
         self.slot_len[slot] = n_len
         self._activate(req, slot, last_logits)
@@ -402,8 +537,9 @@ class PagedBatcher(ContinuousBatcher):
         if not self.active.any():
             return 0
         self.rng, sub = jax.random.split(self.rng)
-        self.token, self.kp, self.vp, self.lengths = _paged_step(
-            self.params, self.kp, self.vp, self.page_table, self.lengths,
+        self.token, self.kp, self.vp, (self.ksp, self.vsp), self.lengths = _paged_step(
+            self.params, self.kp, self.vp, (self.ksp, self.vsp),
+            self.page_table, self.lengths,
             self.token, jnp.asarray(self.active), sub, self.cfg, self.sampling,
             mesh=self.mesh,
         )
