@@ -244,6 +244,141 @@ class TestQuantizedKV:
                                    rtol=2e-3, atol=2e-3)
 
 
+def fa_reference(q, k_pages, v_pages, table, lengths, q_offs,
+                 sliding_window=None):
+    """Dense-gather oracle for the flash-structure kernel's multi-row shape:
+    q [B, S, Hq, D], row j at position q_offs[b]+j, attending pool slots
+    [max(0, pos−window+1), min(pos, length−1)]."""
+    from vis_zephyr_tpu.ops.attention import attention_mask, dot_product_attention
+
+    B, S, Hq, D = q.shape
+    Hkv, _, page_size, _ = k_pages.shape
+    T = table.shape[1] * page_size
+    k = jnp.moveaxis(k_pages[:, table], 0, 3).reshape(B, T, Hkv, D)
+    v = jnp.moveaxis(v_pages[:, table], 0, 3).reshape(B, T, Hkv, D)
+    kv_valid = jnp.arange(T)[None, :] < lengths[:, None]
+    q_pos = q_offs[:, None] + jnp.arange(S)[None, :]
+    kv_pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+    mask = attention_mask(q_pos, kv_pos, kv_valid=kv_valid, causal=True,
+                          sliding_window=sliding_window)
+    return dot_product_attention(q, k, v, mask=mask)
+
+
+class TestFlashStructureKernel:
+    """`paged_attention_fa`: the HBM-resident double-buffered kernel — S>1
+    verify rows, explicit q_offs, loop-bound sliding windows, int8 pools."""
+
+    def test_single_row_matches_dispatch_path(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
+
+        q, kp, vp, table, lengths = make_case(rng)
+        got = paged_attention_fa(q[:, None], kp, vp, table, lengths,
+                                 lengths - 1)[:, 0]
+        ref = paged_attention_reference(q, kp, vp, table, lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_multi_row_verify_shape(self, rng):
+        """S=3 speculative-verify rows: row j attends through position
+        q_offs+j, including the candidate rows written just before it."""
+        from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
+
+        S = 3
+        for Hq, Hkv in ((8, 2), (4, 4), (8, 1)):
+            q1, kp, vp, table, lengths = make_case(rng, Hq=Hq, Hkv=Hkv)
+            B, _, D = q1.shape
+            lengths = jnp.maximum(lengths, S)  # pools hold the S rows
+            q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+            q_offs = lengths - S
+            got = paged_attention_fa(q, kp, vp, table, lengths, q_offs)
+            ref = fa_reference(q, kp, vp, table, lengths, q_offs)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                err_msg=f"Hq={Hq} Hkv={Hkv}")
+
+    def test_multi_row_rows_differ(self, rng):
+        """Causality binds: row 0 (earlier position) != row S−1."""
+        from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
+
+        q1, kp, vp, table, _ = make_case(rng, B=1)
+        B, Hq, D = q1.shape
+        lengths = jnp.asarray([40], jnp.int32)
+        q = jnp.broadcast_to(q1[:, None], (B, 2, Hq, D))  # same query twice
+        got = paged_attention_fa(q, kp, vp, table, lengths, lengths - 2)
+        assert not np.allclose(np.asarray(got[:, 0]), np.asarray(got[:, 1]))
+
+    def test_windowed_multi_row(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
+
+        S = 2
+        q1, kp, vp, table, _ = make_case(rng, B=2, pages_per_seq=6)
+        B, Hq, D = q1.shape
+        lengths = jnp.asarray([96, 7], jnp.int32)
+        q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+        q_offs = lengths - S
+        for w in (8, 16, 40):
+            got = paged_attention_fa(q, kp, vp, table, lengths, q_offs,
+                                     sliding_window=w)
+            ref = fa_reference(q, kp, vp, table, lengths, q_offs,
+                               sliding_window=w)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                err_msg=f"window={w}")
+
+    def test_quantized_multi_row(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import (
+            dequant_kv_pool, paged_attention_fa, quantize_kv_pool,
+        )
+
+        S = 2
+        q1, kp, vp, table, lengths = make_case(rng)
+        B, Hq, D = q1.shape
+        lengths = jnp.maximum(lengths, S)
+        q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+        q_offs = lengths - S
+        kq, ks = quantize_kv_pool(kp)
+        vq, vs = quantize_kv_pool(vp)
+        got = paged_attention_fa(q, kq, vq, table, lengths, q_offs,
+                                 k_scales=ks, v_scales=vs)
+        ref = fa_reference(q, dequant_kv_pool(kq, ks, jnp.float32),
+                           dequant_kv_pool(vq, vs, jnp.float32),
+                           table, lengths, q_offs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_block_size_overshoot_clamps(self, rng):
+        """ppcb need not divide pages_per_seq: overshoot DMAs clamp to the
+        row's last entry and their slots are masked."""
+        from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
+
+        q, kp, vp, table, lengths = make_case(rng, pages_per_seq=6)
+        ref = paged_attention_reference(q, kp, vp, table, lengths)
+        for ppcb in (1, 2, 4, 6):
+            got = paged_attention_fa(q[:, None], kp, vp, table, lengths,
+                                     lengths - 1, pages_per_block=ppcb)[:, 0]
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                err_msg=f"ppcb={ppcb}")
+
+    def test_empty_tail_slot(self, rng):
+        """A zero-length slot (empty block range) must not corrupt its
+        neighbours' cross-cell prefetch chain, and its own output rows are
+        all-masked (l=0 → zeros)."""
+        from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
+
+        q, kp, vp, table, _ = make_case(rng, B=3)
+        lengths = jnp.asarray([9, 0, 23], jnp.int32)
+        got = paged_attention_fa(q[:, None], kp, vp, table, lengths,
+                                 jnp.maximum(lengths - 1, 0))[:, 0]
+        ref = paged_attention_reference(
+            q, kp, vp, table, jnp.asarray([9, 1, 23], jnp.int32))
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                                   rtol=2e-5, atol=2e-5)
+        assert float(jnp.abs(got[1]).max()) == 0.0
+
+
 class TestPagedKVUpdateQuant:
     """`paged_kv_update_q`: in-VMEM quantize + in-place int8 row/scale write."""
 

@@ -46,6 +46,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -282,6 +283,18 @@ def paged_attention(
             pages_per_compute_block=block,
         )
 
+    if k_new is None:
+        # Every non-library single-token case (int8 pools, sliding window,
+        # non-default scale, interpret) rides the flash-structure kernel —
+        # parity with the tuned library kernel at bf16 and ~20% faster on
+        # int8 pools (measured v5e B=64: lib 0.91 ms, FA bf16 0.91, FA
+        # int8 0.73).
+        return paged_attention_fa(
+            q[:, None], k_pages, v_pages, page_table, lengths, lengths - 1,
+            scale=scale, sliding_window=sliding_window,
+            k_scales=k_scales, v_scales=v_scales, interpret=interpret,
+        )[:, 0]
+
     # [B, Hkv, G, D] grouped query layout.
     qg = q.reshape(B, Hkv, group, D)
     has_new = k_new is not None
@@ -358,6 +371,288 @@ def paged_attention(
     )(page_table, lengths, qg, *([k_pages] * R), *([v_pages] * R),
       *scale_operands, k_new, v_new)
     return out.reshape(B, Hq, D)
+
+
+# ---------------------------------------------------------------------------
+# Flash-structure kernel: pools stay in HBM (memory_space=ANY) and page
+# blocks stream through double-buffered VMEM scratch via manual async
+# copies, with the NEXT block's DMAs issued while the current block
+# computes (including across grid cells, via mutable SMEM scalar state).
+# This is the tuned library kernel's pipeline structure
+# (jax...paged_attention_kernel.py) — measured 2× faster than the
+# block-spec-operand walk above at decode shapes — extended three ways the
+# library kernel cannot do:
+#   · int8 pools with lane-layout per-row scales folded into the
+#     scores/probabilities (the library variant broadcasts scales to full
+#     [.., ps, D] f32 arrays host-side — 4× the int8 pool in HBM, OOM);
+#     matmul inputs stay bf16/int8 on the MXU, no f32 dequant pass.
+#   · sliding windows, applied to the LOOP BOUNDS (blocks wholly below
+#     `q_offs − window + 1` are never fetched) rather than as a mask.
+#   · S > 1 query rows per slot at consecutive positions — the
+#     speculative-verify shape (row j sits at position q_offs[b]+j and
+#     attends causally through the pool, including rows j' < j written
+#     just before the call).
+# ---------------------------------------------------------------------------
+
+
+def _fa_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
+               pages_per_seq: int, scale: float, quant: bool,
+               window: Optional[int], batch_size: int, num_kv_heads: int):
+    """One (b, h) grid cell computes a whole slot×kv-head via an inline
+    fori_loop over compute blocks of `ppcb` pages (bk = ppcb·page_size
+    slots per block)."""
+
+    def make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb, ksb, vsb, ksem,
+                    vsem, pt_ref, b, h, i, slot):
+        """Async copies for compute block i of slot b into buffer `slot`."""
+        base = b * pages_per_seq + i * ppcb
+        copies = []
+        for j in range(ppcb):
+            # ppcb need not divide pages_per_seq: overshoot reads clamp to
+            # the row's last entry (their slots are masked; the duplicate
+            # DMAs hit a just-fetched page). Big blocks beat exact ones —
+            # per-block overhead dominates bytes (measured v5e, 6-page
+            # tables: ppcb=2 exact 1.06 ms vs ppcb=6 one-block 0.74).
+            pid = pt_ref[base + jnp.minimum(j, pages_per_seq - 1 - i * ppcb)]
+            copies.append(pltpu.make_async_copy(
+                k_hbm.at[h, pid], kb.at[slot, j], ksem.at[slot]))
+            copies.append(pltpu.make_async_copy(
+                v_hbm.at[h, pid], vb.at[slot, j], vsem.at[slot]))
+            if quant:
+                copies.append(pltpu.make_async_copy(
+                    ks_hbm.at[h, pid], ksb.at[slot, j], ksem.at[slot]))
+                copies.append(pltpu.make_async_copy(
+                    vs_hbm.at[h, pid], vsb.at[slot, j], vsem.at[slot]))
+        return copies
+
+    def kernel(lengths_ref, pt_ref, qoffs_ref, buf_ref, init_ref, q_ref,
+               k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
+               kb, vb, ksb, vsb, ksem, vsem, m_s, l_s, acc_s):
+        b, h = pl.program_id(0), pl.program_id(1)
+
+        def lo_blk(bb):
+            if window is None:
+                return jnp.int32(0)
+            return jnp.maximum(qoffs_ref[bb] - (window - 1), 0) // bk
+
+        def hi_blk(bb):
+            return lax.div(lengths_ref[bb] + (bk - 1), bk)
+
+        def empty(bb):
+            bc = jnp.minimum(bb, batch_size - 1)
+            return hi_blk(bc) <= lo_blk(bc)
+
+        def next_indices(b, h, i):
+            # First (h, i) of the next slot with a non-empty block range;
+            # b == batch_size signals "no further work" (prefetch skipped).
+            # The empty-slot scan runs ONLY when slot b+1 is actually empty
+            # (rare in serving: every slot has length ≥ 1) — an
+            # unconditional scan here delays the next block's DMA issue by
+            # O(B) scalar-core iterations per cell transition (measured
+            # +70% on the whole kernel at B=64).
+            def advance_b():
+                next_b = b + 1
+
+                def scan():
+                    found = lax.fori_loop(
+                        next_b + 1, batch_size,
+                        lambda bb, best: jnp.where(
+                            (best < 0) & ~empty(bb), bb, best),
+                        jnp.int32(-1),
+                    )
+                    return jnp.where(found < 0, batch_size, found)
+
+                nb = lax.cond(
+                    (next_b < batch_size) & empty(next_b), scan,
+                    lambda: next_b,
+                )
+                return (nb, jnp.int32(0),
+                        lo_blk(jnp.minimum(nb, batch_size - 1)))
+
+            def advance_h():
+                return lax.cond(
+                    h + 1 < num_kv_heads,
+                    lambda: (b, h + 1, lo_blk(b)),
+                    advance_b,
+                )
+
+            return lax.cond(i < hi_blk(b), lambda: (b, h, i), advance_h)
+
+        m_s[...] = jnp.full(m_s.shape, -jnp.inf, jnp.float32)
+        l_s[...] = jnp.zeros(l_s.shape, jnp.float32)
+        acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+
+        length = lengths_ref[b]
+        qoff = qoffs_ref[b]
+        lo = lo_blk(b)
+        hi = hi_blk(b)
+
+        def body(i, _):
+            buf = buf_ref[0]
+
+            @pl.when(init_ref[0] == 1)
+            def _first():
+                init_ref[0] = 0
+                for c in make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                                     ksb, vsb, ksem, vsem, pt_ref, b, h, i,
+                                     buf):
+                    c.start()
+
+            # Issue the next block's DMAs (possibly the next grid cell's
+            # first block) before waiting on this one.
+            nb, nh, ni = next_indices(b, h, i + 1)
+
+            @pl.when(nb < batch_size)
+            def _prefetch():
+                nbuf = 1 - buf
+                for c in make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                                     ksb, vsb, ksem, vsem, pt_ref, nb, nh,
+                                     ni, nbuf):
+                    c.start()
+                buf_ref[0] = nbuf
+
+            # Wait on this block's copies (identical descriptors to the
+            # ones started by _first or the previous iteration's prefetch —
+            # each wait dequeues its own copy's completion).
+            for c in make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                                 ksb, vsb, ksem, vsem, pt_ref, b, h, i, buf):
+                c.wait()
+
+            q = q_ref[0, 0]                                   # [S*G, D]
+            k = kb[buf].reshape(bk, -1)                       # [bk, D]
+            v = vb[buf].reshape(bk, -1)
+            if quant:
+                k = k.astype(q.dtype)
+                v = v.astype(q.dtype)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                         # [S*G, bk]
+            if quant:
+                ksc = ksb[buf].reshape(1, bk)
+                s = s * (ksc * (1.0 / KV_QUANT_MAX))
+
+            slot = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            qpos = qoff + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // G
+            mask = (slot <= qpos) & (slot < length)
+            if window is not None:
+                mask &= slot > qpos - window
+            s = jnp.where(mask, s, NEG_INF)
+
+            m_prev, l_prev = m_s[...], l_s[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+            alpha = jnp.exp(m_prev - m_next)
+            pexp = jnp.where(mask, jnp.exp(s - m_next[:, :1]), 0.0)
+            l_s[...] = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
+            m_s[...] = m_next
+            acc_s[...] *= alpha[:, :1]
+            if quant:
+                vsc = vsb[buf].reshape(1, bk)
+                pexp = pexp * (vsc * (1.0 / KV_QUANT_MAX))
+            acc_s[...] += jax.lax.dot(
+                pexp.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            return ()
+
+        lax.fori_loop(lo, hi, body, ())
+
+        l = l_s[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_s[...] * l_inv).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "sliding_window",
+                                             "pages_per_block", "interpret"))
+def paged_attention_fa(
+    q: jnp.ndarray,              # [B, S, Hq, D]
+    k_pages: jnp.ndarray,        # [Hkv, N, ps, D] (bf16 or int8)
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,     # [B, pages_per_seq] int32
+    lengths: jnp.ndarray,        # [B] tokens in the pools (incl. q rows)
+    q_offs: jnp.ndarray,         # [B] position of query row 0
+    scale=None,
+    sliding_window: Optional[int] = None,
+    k_scales: Optional[jnp.ndarray] = None,  # [Hkv, N, 1, ps] f32
+    v_scales: Optional[jnp.ndarray] = None,
+    pages_per_block: Optional[int] = None,
+    interpret=None,
+) -> jnp.ndarray:
+    """Flash-structure paged attention (see section comment above).
+
+    Query row j of slot b sits at position `q_offs[b] + j` and attends
+    slots `[max(0, pos−window+1), pos]` of the pool — S=1 with
+    `q_offs = lengths − 1` reproduces single-token decode; S>1 is the
+    speculative-verify shape (candidate rows must already be written to
+    the pools). Returns [B, S, Hq, D]."""
+    B, S, Hq, D = q.shape
+    Hkv, _, page_size, _ = k_pages.shape
+    pages_per_seq = page_table.shape[1]
+    G = Hq // Hkv
+    SG = S * G
+    scale = D ** -0.5 if scale is None else scale
+    quant = k_scales is not None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    # [B, Hkv, S*G, D]: a kv head's query rows are its S positions × G
+    # group heads; row r ↔ position q_offs + r // G.
+    qg = (q.reshape(B, S, Hkv, G, D).transpose(0, 2, 1, 3, 4)
+          .reshape(B, Hkv, SG, D))
+
+    if pages_per_block is None:
+        # Biggest block wins (per-block overhead dominates bytes); overshoot
+        # past a short table row clamps to the last entry in make_copies.
+        pages_per_block = min(8, pages_per_seq)
+    ppcb = pages_per_block
+    bk = ppcb * page_size
+
+    if not quant:  # dummy HBM refs keep one kernel signature
+        k_scales = jnp.zeros((1, 1, 1, page_size), jnp.float32)
+        v_scales = jnp.zeros((1, 1, 1, page_size), jnp.float32)
+
+    grid = (B, Hkv)
+    kernel = _fa_kernel(
+        G, S, bk, ppcb, page_size, pages_per_seq, scale, quant,
+        sliding_window, B, Hkv,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, SG, D), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,  # lengths, flat table, q_offs, buf, init
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, SG, D), lambda b, h, *_: (b, h, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, SG, D), lambda b, h, *_: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, ppcb, page_size, D), k_pages.dtype),
+                pltpu.VMEM((2, ppcb, page_size, D), v_pages.dtype),
+                pltpu.VMEM((2, ppcb, 1, page_size), jnp.float32),
+                pltpu.VMEM((2, ppcb, 1, page_size), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((SG, 128), jnp.float32),
+                pltpu.VMEM((SG, 128), jnp.float32),
+                pltpu.VMEM((SG, D), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, page_table.reshape(-1), q_offs,
+      jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
+      qg, k_pages, v_pages, k_scales, v_scales)
+    return (out.reshape(B, Hkv, S, G, D).transpose(0, 2, 1, 3, 4)
+            .reshape(B, S, Hq, D))
 
 
 def _kv_update_kernel(page_size: int):
