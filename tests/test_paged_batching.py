@@ -178,7 +178,102 @@ class TestSlidingWindowServing:
         np.testing.assert_array_equal(list(batcher.stream(h)), solo)
 
 
-class TestQuantizedPagedBatcher:
+class TestSpeculativePagedBatcher:
+    """Prompt-lookup speculation on the PAGED batcher: per-slot proposals
+    verified through the flash-structure kernel's multi-row shape
+    (`_paged_verify_step`) — token-IDENTICAL to plain paged greedy, which
+    is itself pinned to solo `generate`."""
+
+    def _run(self, setup, requests, lookahead, max_new=16, metrics=None,
+             **kw):
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=max_new, temperature=0.0,
+                                  eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=4, cache_len=64, page_size=16,
+            num_pages=32, sampling=sampling, lookahead=lookahead,
+            metrics=metrics, **kw,
+        )
+        handles = [batcher.submit(ids, im, pv) for ids, im, pv in requests]
+        batcher.run_until_drained()
+        return [list(batcher.stream(h)) for h in handles]
+
+    def test_token_identical_to_plain_greedy(self, setup, rng):
+        base = rng.integers(5, 60, (6,))
+        reqs = [(np.concatenate([base] * rep), None, None) for rep in (3, 4)]
+        reqs.append(make_request(tiny_config(), rng, 9, with_image=True))
+        plain = self._run(setup, reqs, lookahead=0)
+        spec = self._run(setup, reqs, lookahead=4)
+        for p, s in zip(plain, spec):
+            assert p == s and len(p) == 16
+
+    def test_matches_standalone_generate(self, setup, rng):
+        cfg, params = setup
+        ids = np.tile(rng.integers(5, 40, (5,)), 4)
+        sampling = SamplingConfig(max_new_tokens=12, temperature=0.0,
+                                  eos_token_id=-1)
+        got = self._run(setup, [(ids, None, None)], lookahead=6, max_new=12)[0]
+        solo = generate(params, jnp.asarray(ids[None]), None, None,
+                        cfg, sampling, cache_len=64)[0]
+        np.testing.assert_array_equal(got, solo)
+
+    def test_kv_quant_speculation(self, setup, rng):
+        """int8 pools: verify rows are quantized on write and the multi-row
+        kernel folds the scales — still exact vs plain int8-pool greedy."""
+        ids = np.tile(rng.integers(5, 40, (6,)), 4)
+        plain = self._run(setup, [(ids, None, None)], 0, kv_quant=True)
+        spec = self._run(setup, [(ids, None, None)], 4, kv_quant=True)
+        assert plain == spec and len(spec[0]) == 16
+
+    def test_budget_edges_and_page_boundaries(self, setup, rng):
+        """Verify spans crossing page boundaries (page_size 16, spans of 5)
+        and budgets of 1/2 tokens must clamp exactly."""
+        ids = np.tile(rng.integers(5, 40, (4,)), 5)
+        for max_new in (1, 2, 17):
+            plain = self._run(setup, [(ids, None, None)], 0, max_new=max_new)[0]
+            spec = self._run(setup, [(ids, None, None)], 5, max_new=max_new)[0]
+            assert plain == spec and len(spec) == max_new
+
+    def test_windowed_speculation(self, rng):
+        import dataclasses
+
+        base = tiny_config()
+        cfg = dataclasses.replace(
+            base, decoder=dataclasses.replace(base.decoder, sliding_window=16)
+        )
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        sampling = SamplingConfig(max_new_tokens=30, temperature=0.0,
+                                  eos_token_id=-1)
+        ids = np.tile(rng.integers(5, 40, (6,)), 4)
+
+        def run(lookahead):
+            b = PagedBatcher(
+                params, cfg, max_slots=2, cache_len=64, page_size=16,
+                sampling=sampling, num_pages=32, lookahead=lookahead,
+            )
+            h = b.submit(ids, None, None)
+            b.run_until_drained()
+            return list(b.stream(h))
+
+        assert run(0) == run(4)
+
+    def test_acceptance_recorded_and_pages_released(self, setup, rng):
+        from vis_zephyr_tpu.utils.metrics import ServingMetrics
+
+        metrics = ServingMetrics()
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=24, temperature=0.0,
+                                  eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=16, lookahead=4, metrics=metrics,
+        )
+        ids = np.tile(rng.integers(5, 30, (4,)), 6)
+        h = batcher.submit(ids, None, None)
+        batcher.run_until_drained()
+        assert len(list(batcher.stream(h))) == 24
+        assert metrics.spec_proposed > 0
+        assert batcher.allocator.available == 15  # all pages released
     """kv_quant=True: int8 pools + per-row scales through admission, decode
     writes, and the page walk. Token streams are compared EXACTLY against
     solo bf16 generate — on the tiny fixture model the per-row int8 error

@@ -139,6 +139,52 @@ class TestMeshPagedServing:
                 sampling=SamplingConfig(max_new_tokens=2), mesh=mesh,
             )
 
+    def test_tp_paged_speculative_matches(self, setup, rng):
+        """Paged speculation under TP: multi-row verify rides the
+        flash-structure kernel per pool shard (`_paged_attention_fa_tp`) —
+        token-identical to single-device plain greedy."""
+        from vis_zephyr_tpu.serve.paged import PagedBatcher
+
+        cfg, params = setup
+        mesh = create_mesh(model=2)
+        sampling = SamplingConfig(max_new_tokens=10, temperature=0.0,
+                                  eos_token_id=-1)
+        ids = np.tile(rng.integers(5, 40, (5,)), 4)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=32, mesh=mesh, lookahead=4,
+        )
+        h = batcher.submit(ids, None, None)
+        batcher.run_until_drained()
+        solo = generate(
+            params, jnp.asarray(ids[None]), None, None, cfg, sampling,
+            cache_len=64,
+        )[0]
+        np.testing.assert_array_equal(list(batcher.stream(h)), solo)
+
+    def test_tp_paged_quant_speculative_matches(self, setup, rng):
+        """int8 pools + TP + multi-row verify: scales shard with the pools
+        through the quant FA wrapper."""
+        from vis_zephyr_tpu.serve.paged import PagedBatcher
+
+        cfg, params = setup
+        mesh = create_mesh(model=2)
+        sampling = SamplingConfig(max_new_tokens=8, temperature=0.0,
+                                  eos_token_id=-1)
+        ids = np.tile(rng.integers(5, 40, (6,)), 3)
+
+        def run(lookahead):
+            b = PagedBatcher(
+                params, cfg, max_slots=2, cache_len=64, page_size=16,
+                sampling=sampling, num_pages=32, mesh=mesh, kv_quant=True,
+                lookahead=lookahead,
+            )
+            h = b.submit(ids, None, None)
+            b.run_until_drained()
+            return list(b.stream(h))
+
+        assert run(4) == run(0)
+
     def test_tp_paged_chunked_prefill_matches(self, setup, rng):
         """Chunked prefill admission composes with TP paged decode."""
         from vis_zephyr_tpu.serve.paged import PagedBatcher

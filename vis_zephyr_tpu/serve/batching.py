@@ -464,11 +464,7 @@ class ContinuousBatcher:
             valid[slot, 1 : 1 + n] = True
             props[slot] = prop
 
-        greedy, self.cache = _verify_step(
-            self.params, self.cache, jnp.asarray(toks), jnp.asarray(valid),
-            self.cfg, pallas_cache=self.mesh is None,
-        )
-        greedy = np.asarray(jax.device_get(greedy))
+        greedy = self._verify_device(toks, valid)
 
         stepped = 0
         for slot in range(B):
@@ -502,11 +498,26 @@ class ContinuousBatcher:
                 token_host[slot] = emitted[-1]
         # Host is the source of truth for lengths: rolls every slot back to
         # its accepted prefix (and undoes the inactive slots' dummy row).
+        self._verify_rollback()
+        self.token = jnp.asarray(token_host)
+        return stepped
+
+    def _verify_device(self, toks: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        """Run the batched multi-token verify append; returns per-position
+        greedy tokens [B, S] on host. (PagedBatcher overrides with the
+        paged-pool verify step.)"""
+        greedy, self.cache = _verify_step(
+            self.params, self.cache, jnp.asarray(toks), jnp.asarray(valid),
+            self.cfg, pallas_cache=self.mesh is None,
+        )
+        return np.asarray(jax.device_get(greedy))
+
+    def _verify_rollback(self) -> None:
+        """Reset device lengths to the host-side committed lengths after a
+        verify step (rejected rows above the accepted prefix become dead)."""
         self.cache = dict(
             self.cache, length=jnp.asarray(self.slot_len.astype(np.int32))
         )
-        self.token = jnp.asarray(token_host)
-        return stepped
 
     def step(self) -> int:
         """Admit pending requests (one chunk's worth under chunked prefill),

@@ -55,8 +55,9 @@ class ChatEngine:
         parallelism."""
         self.mesh = mesh
         self.metrics = metrics
-        # Prompt-lookup speculation: serialized path and the dense
-        # continuous batcher (paged decodes one token/step for now).
+        # Prompt-lookup speculation: serialized path and both batchers
+        # (paged verifies through the flash-structure kernel's multi-row
+        # shape).
         self.lookahead = lookahead
         self._use_flash = None
         if mesh is not None:
@@ -93,7 +94,7 @@ class ChatEngine:
                     params, cfg, max_slots=max_slots, cache_len=cache_len,
                     sampling=self.sampling, num_pages=num_pages, mesh=mesh,
                     metrics=metrics, prefill_chunk=prefill_chunk,
-                    kv_quant=kv_quant,
+                    kv_quant=kv_quant, lookahead=lookahead,
                 )
             else:
                 from .batching import ContinuousBatcher

@@ -73,6 +73,7 @@ from ..config import VisZephyrConfig
 from ..models.mistral import _mlp, _project_qkv, embed, rms_norm, rope_cos_sin
 from ..ops.paged_attention import (
     paged_attention,
+    paged_attention_fa,
     paged_kv_update,
     paged_kv_update_q,
     quantize_kv,
@@ -212,6 +213,59 @@ def _paged_attention_tp(mesh, sliding_window=None, quant=False):
     return wrapper
 
 
+def _paged_attention_fa_tp(mesh, sliding_window=None, quant=False):
+    """`paged_attention_fa` (multi-row verify shape, q [B, S, Hq, D]) under
+    the model-axis TP mesh — same sharding story as `_paged_attention_tp`:
+    kv-head-sharded pools, head-sharded queries, zero collectives (GQA
+    groups stay whole per shard)."""
+    from jax.experimental.shard_map import shard_map
+
+    if not quant:
+        def local(q, kp, vp, table, lengths, q_offs):
+            return paged_attention_fa(q, kp, vp, table, lengths, q_offs,
+                                      sliding_window=sliding_window)
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(
+                P(None, None, "model", None),    # q [B, S, Hq, D]
+                P("model", None, None, None),    # k pools [Hkv, L*P, ps, D]
+                P("model", None, None, None),
+                P(None, None),
+                P(None),
+                P(None),                         # q_offs
+            ),
+            out_specs=P(None, None, "model", None),
+            check_rep=False,
+        )
+
+    def local_q(q, kp, vp, table, lengths, q_offs, ksp, vsp):
+        return paged_attention_fa(q, kp, vp, table, lengths, q_offs,
+                                  sliding_window=sliding_window,
+                                  k_scales=ksp, v_scales=vsp)
+
+    sm = shard_map(
+        local_q, mesh=mesh,
+        in_specs=(
+            P(None, None, "model", None),
+            P("model", None, None, None),
+            P("model", None, None, None),
+            P(None, None),
+            P(None),
+            P(None),
+            P("model", None, None, None),
+            P("model", None, None, None),
+        ),
+        out_specs=P(None, None, "model", None),
+        check_rep=False,
+    )
+
+    def wrapper(q, kp, vp, table, lengths, q_offs, *, k_scales, v_scales):
+        return sm(q, kp, vp, table, lengths, q_offs, k_scales, v_scales)
+
+    return wrapper
+
+
 def _kv_update_tp(mesh):
     """paged_kv_update under the TP mesh: each shard writes its own kv
     heads' rows into its pool shard (no collectives)."""
@@ -339,6 +393,110 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
     return next_token, kp, vp, (ksp, vsp), new_lengths
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1, 2, 3),
+)
+def _paged_verify_step(params, kp, vp, scales, page_table, lengths, toks,
+                       active, cfg: VisZephyrConfig, mesh=None):
+    """Batched speculative verify over the paged pools: append S candidate
+    rows per slot (column 0 is the slot's pending token, later columns its
+    prompt-lookup proposals) in ONE cached forward, and return per-position
+    greedy tokens [B, S].
+
+    Per layer, each candidate row's K/V is written into the pools in place
+    (S sequential single-row writes — consecutive rows may share a page, so
+    a single batched write would lose earlier rows to the masked-select
+    read-modify-write), then all S rows attend at once through the
+    flash-structure kernel's multi-row shape (`paged_attention_fa`, row j
+    at position lengths+j, attending causally through the pool including
+    rows j' < j written just before it).
+
+    The caller measures the accepted prefix per slot host-side and
+    OVERWRITES `lengths`: rejected rows hold garbage K/V above the accepted
+    point which the next append overwrites (attention masks slots off
+    `lengths`, so stale rows are never attended). Like the dense
+    `_verify_step`, a verify reads the same weight bytes as one decode step
+    — each accepted token is nearly free."""
+    dec = cfg.decoder
+    L = dec.num_layers
+    Pn = kp.shape[1] // L
+    ps = kp.shape[2]
+    B, S = toks.shape
+
+    lengths_eff = jnp.where(active, lengths, 0)
+    pos = lengths_eff[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    cos, sin = rope_cos_sin(pos, dec.head_dim, dec.rope_theta)
+    h = embed(params["decoder"], toks)
+
+    cache_len = page_table.shape[1] * ps
+    # Landing sites per candidate row [S, B]. Rows past a slot's allocated
+    # span land on trash naturally (unallocated table entries are 0), but
+    # rows past cache_len itself must be FORCED to trash — clamping their
+    # row index would overwrite the slot's last committed page. Only
+    # padding rows can overflow (valid proposals are budget-capped).
+    row_idx = pos // ps
+    in_range = row_idx < page_table.shape[1]
+    pages = jnp.take_along_axis(
+        page_table, jnp.minimum(row_idx, page_table.shape[1] - 1), axis=1)
+    pages = jnp.where(active[:, None] & in_range, pages, 0).T
+    offsets = (pos % ps).T
+    # Clamp so the kernel's page walk never runs past the table (padding
+    # rows of a nearly-full slot would otherwise push it over).
+    lengths_attn = jnp.minimum(lengths_eff + S, cache_len)
+    sw = dec.sliding_window
+    window = sw if (sw is not None and cache_len > sw) else None
+
+    ksp, vsp = scales
+    if mesh is None:
+        attn_fn = functools.partial(paged_attention_fa, sliding_window=window)
+        kv_update = paged_kv_update
+        kv_update_q = paged_kv_update_q
+    else:
+        attn_fn = _paged_attention_fa_tp(mesh, sliding_window=window,
+                                         quant=ksp is not None)
+        kv_update = _kv_update_tp(mesh)
+        kv_update_q = _kv_update_q_tp(mesh)
+
+    def body(carry, xs):
+        h, kp, vp, ksp, vsp = carry
+        layer_params, i = xs
+        hn = rms_norm(h, layer_params["input_ln"]["scale"], dec.rms_norm_eps)
+        q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin)
+        for s in range(S):
+            if ksp is None:
+                kp, vp = kv_update(
+                    kp, vp, k[:, s][None], v[:, s][None],
+                    (i * Pn + pages[s])[None], offsets[s],
+                )
+            else:
+                kp, vp, ksp, vsp = kv_update_q(
+                    kp, vp, ksp, vsp, k[:, s][None], v[:, s][None],
+                    (i * Pn + pages[s])[None], offsets[s],
+                )
+        if ksp is None:
+            attn = attn_fn(q, kp, vp, page_table + i * Pn, lengths_attn,
+                           lengths_eff)
+        else:
+            attn = attn_fn(q, kp, vp, page_table + i * Pn, lengths_attn,
+                           lengths_eff, k_scales=ksp, v_scales=vsp)
+        attn = attn.reshape(B, S, -1)
+        h = h + qdot(attn, layer_params["attn"]["out"])
+        hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], dec.rms_norm_eps)
+        h = h + _mlp(hn, layer_params["mlp"])
+        return (h, kp, vp, ksp, vsp), None
+
+    dparams = params["decoder"]
+    (h, kp, vp, ksp, vsp), _ = jax.lax.scan(
+        body, (h, kp, vp, ksp, vsp), (dparams["layers"], jnp.arange(L))
+    )
+    h = rms_norm(h, dparams["final_ln"]["scale"], dec.rms_norm_eps)
+    logits = jnp.einsum(
+        "bsd,dv->bsv", h, dparams["lm_head"]["kernel"]
+    ).astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return greedy, kp, vp, (ksp, vsp)
+
+
 class PagedBatcher(ContinuousBatcher):
     """Continuous batcher on paged KV pools (drop-in for ContinuousBatcher).
 
@@ -361,6 +519,7 @@ class PagedBatcher(ContinuousBatcher):
         metrics=None,
         prefill_chunk: Optional[int] = None,
         kv_quant: bool = False,
+        lookahead: int = 0,
     ):
         """`kv_quant`: store the pools int8 with per-row absmax scales
         (library convention, `ops.paged_attention.quantize_kv`). Halves the
@@ -439,10 +598,11 @@ class PagedBatcher(ContinuousBatcher):
         self.active = np.zeros(max_slots, bool)
         self.budget = np.zeros(max_slots, np.int64)
         self.slot_req: List[Optional[_Request]] = [None] * max_slots
-        # _activate (shared with the dense batcher) maintains these; the
-        # paged step decodes one token per step (speculative verify needs a
-        # multi-row paged append — dense batcher only for now).
-        self.lookahead = 0
+        # _activate (shared with the dense batcher) maintains these.
+        # `lookahead`: prompt-lookup speculation via the flash-structure
+        # kernel's multi-row verify shape (`_paged_verify_step`); greedy
+        # only, same contract as the dense batcher.
+        self.lookahead = lookahead if sampling.temperature <= 0.0 else 0
         self.slot_hist: List[list] = [[] for _ in range(max_slots)]
         self.slot_len = np.zeros(max_slots, np.int64)
         self.slot_pages: List[List[int]] = [[] for _ in range(max_slots)]
@@ -529,6 +689,21 @@ class PagedBatcher(ContinuousBatcher):
             self.page_table = _clear_row(self.page_table, jnp.int32(slot))
         super()._finish(slot)
 
+    def _verify_device(self, toks: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        """Paged verify append: all S rows are written to the pools (invalid
+        rows land above the accepted prefix, or on the trash page past a
+        slot's allocation) and rolled back by `_verify_rollback`; `valid`
+        only drives the host-side acceptance loop."""
+        greedy, self.kp, self.vp, (self.ksp, self.vsp) = _paged_verify_step(
+            self.params, self.kp, self.vp, (self.ksp, self.vsp),
+            self.page_table, self.lengths, jnp.asarray(toks),
+            jnp.asarray(self.active), self.cfg, mesh=self.mesh,
+        )
+        return np.asarray(jax.device_get(greedy))
+
+    def _verify_rollback(self) -> None:
+        self.lengths = jnp.asarray(self.slot_len.astype(np.int32))
+
     def step(self) -> int:
         if self.prefill_chunk:
             self._pump_prefill()
@@ -536,6 +711,8 @@ class PagedBatcher(ContinuousBatcher):
             self._admit_pending()
         if not self.active.any():
             return 0
+        if self.lookahead > 0:
+            return self._step_verify()
         self.rng, sub = jax.random.split(self.rng)
         self.token, self.kp, self.vp, (self.ksp, self.vsp), self.lengths = _paged_step(
             self.params, self.kp, self.vp, (self.ksp, self.vsp),
