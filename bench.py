@@ -239,7 +239,8 @@ def bench_decode_paged(cfg: VisZephyrConfig, steps: int = 64, slots: int = 32,
         state = run(params, *state, steps)
     _sync(state[-1])
     dt = (time.perf_counter() - t0) / reps
-    tag = ("pagedq" if kv_quant else "paged") if bits == 8 else "paged4"
+    tag = ("paged", "pagedq", "paged4", "paged4q")[
+        (2 if bits == 4 else 0) + int(kv_quant)]
     return {
         f"{tag}_decode_tokens_per_sec_batch{slots}": steps * slots / dt,
         f"{tag}_decode_ms_per_step_batch{slots}": dt / steps * 1e3,
@@ -393,6 +394,8 @@ def _headline(extras: dict) -> dict:
     pagedq = extras.get(f"pagedq_decode_tokens_per_sec_batch{pqslots}") if pqslots else None
     p4slots = extras.get("paged4_slots")
     paged4 = extras.get(f"paged4_decode_tokens_per_sec_batch{p4slots}") if p4slots else None
+    p4qslots = extras.get("paged4q_slots")
+    paged4q = extras.get(f"paged4q_decode_tokens_per_sec_batch{p4qslots}") if p4qslots else None
     single = extras.get("decode_tokens_per_sec_single")
 
     # Headline: best serving throughput measured (paged usually wins on
@@ -406,6 +409,8 @@ def _headline(extras: dict) -> dict:
         value, tag = pagedq, f"paged_int8kv_batch{pqslots}"
     if paged4 is not None and (value is None or paged4 > value):
         value, tag = paged4, f"paged_int4_batch{p4slots}"
+    if paged4q is not None and (value is None or paged4q > value):
+        value, tag = paged4q, f"paged_int4_int8kv_batch{p4qslots}"
 
     if value is not None:
         # vs_baseline is LIKE-FOR-LIKE: single-stream vs the estimated
@@ -475,14 +480,15 @@ def main():
     paged_steps = 2 if tiny else 64
     paged_prompt = 32 if tiny else 512
     # Headline first: the judged numbers land before any time pressure.
-    # int8 KV pools (--kv-quant serving mode) halve the dominant HBM
-    # traffic at high slot counts — the best-known configuration leads.
+    # int8 KV pools (--kv-quant serving mode) halve the pool HBM per slot;
+    # 128 slots is the best-known configuration (bf16 pools cannot hold
+    # it): measured 35.8 ms/step = 3576 tok/s/chip on v5e (selfterm step).
     h.run_phase(
         "pagedq",
         lambda slots: bench_decode_paged(
             cfg, slots=slots, steps=paged_steps, prompt_len=paged_prompt,
             bits=8, kv_quant=True),
-        [{"slots": 64}, {"slots": 32}],
+        [{"slots": 128}, {"slots": 64}, {"slots": 32}],
         min_time_s=150,
     )
     h.run_phase(
@@ -493,11 +499,18 @@ def main():
         min_time_s=150,
     )
     h.run_phase(
+        "paged4q",
+        # int4 weights + int8 pools at 64 slots (the int4 Pallas matvec
+        # requires m ≤ 64 — quant_matmul.py pallas_ok gate; above that the
+        # XLA dequant fallback is ~2.3× slower).
+        lambda slots: bench_decode_paged(
+            cfg, slots=slots, steps=paged_steps, prompt_len=paged_prompt,
+            bits=4, kv_quant=True),
+        [{"slots": 64}, {"slots": 32}],
+        min_time_s=120,
+    )
+    h.run_phase(
         "paged4",
-        # 64 slots first: the int4 Pallas matvec kernel requires m ≤ 64
-        # (quant_matmul.py pallas_ok gate); at 96 slots the XLA dequant
-        # fallback materializes bf16 weights and is ~2.3× slower (measured:
-        # 66.6 ms/step at 96 vs 28.5 ms int8 at 64).
         lambda slots: bench_decode_paged(
             cfg, slots=slots, steps=paged_steps, prompt_len=paged_prompt, bits=4),
         [{"slots": 64}, {"slots": 32}],
@@ -533,12 +546,12 @@ def run_phase_cli(phase: str, slots: int) -> None:
     elif phase == "decode":
         out = bench_decode(cfg, batch_slots=slots)
         out["decode_slots"] = slots
-    elif phase in ("paged", "paged4", "pagedq"):
+    elif phase in ("paged", "paged4", "pagedq", "paged4q"):
         out = bench_decode_paged(
             cfg, slots=slots, steps=2 if tiny else 64,
             prompt_len=32 if tiny else 512,
-            bits=4 if phase == "paged4" else 8,
-            kv_quant=phase == "pagedq",
+            bits=4 if phase.startswith("paged4") else 8,
+            kv_quant=phase.endswith("q"),
         )
     else:
         raise ValueError(f"unknown phase {phase!r}")
@@ -551,7 +564,7 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", choices=["vision", "prefill", "decode", "paged",
-                                        "paged4", "pagedq"])
+                                        "paged4", "pagedq", "paged4q"])
     ap.add_argument("--decode-slots", type=int, default=16)
     cli = ap.parse_args()
     if cli.phase:

@@ -264,21 +264,23 @@ def fa_reference(q, k_pages, v_pages, table, lengths, q_offs,
     return dot_product_attention(q, k, v, mask=mask)
 
 
+@pytest.mark.parametrize("fold", [False, True], ids=["grid-bh", "grid-b"])
 class TestFlashStructureKernel:
     """`paged_attention_fa`: the HBM-resident double-buffered kernel — S>1
-    verify rows, explicit q_offs, loop-bound sliding windows, int8 pools."""
+    verify rows, explicit q_offs, loop-bound sliding windows, int8 pools.
+    Both grids covered: per-(slot, head) cells and folded per-slot cells."""
 
-    def test_single_row_matches_dispatch_path(self, rng):
+    def test_single_row_matches_dispatch_path(self, rng, fold):
         from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
 
         q, kp, vp, table, lengths = make_case(rng)
         got = paged_attention_fa(q[:, None], kp, vp, table, lengths,
-                                 lengths - 1)[:, 0]
+                                 lengths - 1, fold_heads=fold)[:, 0]
         ref = paged_attention_reference(q, kp, vp, table, lengths)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
-    def test_multi_row_verify_shape(self, rng):
+    def test_multi_row_verify_shape(self, rng, fold):
         """S=3 speculative-verify rows: row j attends through position
         q_offs+j, including the candidate rows written just before it."""
         from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
@@ -290,13 +292,14 @@ class TestFlashStructureKernel:
             lengths = jnp.maximum(lengths, S)  # pools hold the S rows
             q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
             q_offs = lengths - S
-            got = paged_attention_fa(q, kp, vp, table, lengths, q_offs)
+            got = paged_attention_fa(q, kp, vp, table, lengths, q_offs,
+                                     fold_heads=fold)
             ref = fa_reference(q, kp, vp, table, lengths, q_offs)
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
                 err_msg=f"Hq={Hq} Hkv={Hkv}")
 
-    def test_multi_row_rows_differ(self, rng):
+    def test_multi_row_rows_differ(self, rng, fold):
         """Causality binds: row 0 (earlier position) != row S−1."""
         from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
 
@@ -304,10 +307,11 @@ class TestFlashStructureKernel:
         B, Hq, D = q1.shape
         lengths = jnp.asarray([40], jnp.int32)
         q = jnp.broadcast_to(q1[:, None], (B, 2, Hq, D))  # same query twice
-        got = paged_attention_fa(q, kp, vp, table, lengths, lengths - 2)
+        got = paged_attention_fa(q, kp, vp, table, lengths, lengths - 2,
+                                 fold_heads=fold)
         assert not np.allclose(np.asarray(got[:, 0]), np.asarray(got[:, 1]))
 
-    def test_windowed_multi_row(self, rng):
+    def test_windowed_multi_row(self, rng, fold):
         from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
 
         S = 2
@@ -318,14 +322,14 @@ class TestFlashStructureKernel:
         q_offs = lengths - S
         for w in (8, 16, 40):
             got = paged_attention_fa(q, kp, vp, table, lengths, q_offs,
-                                     sliding_window=w)
+                                     sliding_window=w, fold_heads=fold)
             ref = fa_reference(q, kp, vp, table, lengths, q_offs,
                                sliding_window=w)
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
                 err_msg=f"window={w}")
 
-    def test_quantized_multi_row(self, rng):
+    def test_quantized_multi_row(self, rng, fold):
         from vis_zephyr_tpu.ops.paged_attention import (
             dequant_kv_pool, paged_attention_fa, quantize_kv_pool,
         )
@@ -339,14 +343,14 @@ class TestFlashStructureKernel:
         kq, ks = quantize_kv_pool(kp)
         vq, vs = quantize_kv_pool(vp)
         got = paged_attention_fa(q, kq, vq, table, lengths, q_offs,
-                                 k_scales=ks, v_scales=vs)
+                                 k_scales=ks, v_scales=vs, fold_heads=fold)
         ref = fa_reference(q, dequant_kv_pool(kq, ks, jnp.float32),
                            dequant_kv_pool(vq, vs, jnp.float32),
                            table, lengths, q_offs)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-3, atol=2e-3)
 
-    def test_block_size_overshoot_clamps(self, rng):
+    def test_block_size_overshoot_clamps(self, rng, fold):
         """ppcb need not divide pages_per_seq: overshoot DMAs clamp to the
         row's last entry and their slots are masked."""
         from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
@@ -355,12 +359,13 @@ class TestFlashStructureKernel:
         ref = paged_attention_reference(q, kp, vp, table, lengths)
         for ppcb in (1, 2, 4, 6):
             got = paged_attention_fa(q[:, None], kp, vp, table, lengths,
-                                     lengths - 1, pages_per_block=ppcb)[:, 0]
+                                     lengths - 1, pages_per_block=ppcb,
+                                     fold_heads=fold)[:, 0]
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
                 err_msg=f"ppcb={ppcb}")
 
-    def test_empty_tail_slot(self, rng):
+    def test_empty_tail_slot(self, rng, fold):
         """A zero-length slot (empty block range) must not corrupt its
         neighbours' cross-cell prefetch chain, and its own output rows are
         all-masked (l=0 → zeros)."""
@@ -369,7 +374,8 @@ class TestFlashStructureKernel:
         q, kp, vp, table, _ = make_case(rng, B=3)
         lengths = jnp.asarray([9, 0, 23], jnp.int32)
         got = paged_attention_fa(q[:, None], kp, vp, table, lengths,
-                                 jnp.maximum(lengths - 1, 0))[:, 0]
+                                 jnp.maximum(lengths - 1, 0),
+                                 fold_heads=fold)[:, 0]
         ref = paged_attention_reference(
             q, kp, vp, table, jnp.asarray([9, 1, 23], jnp.int32))
         np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
@@ -377,6 +383,156 @@ class TestFlashStructureKernel:
         np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
                                    rtol=2e-5, atol=2e-5)
         assert float(jnp.abs(got[1]).max()) == 0.0
+
+
+class TestFlashSelfTerm:
+    """`paged_attention_fa(k_new=...)`: the folded grid's online-softmax
+    self-term — the selfterm decode mode's attention (pools read-only,
+    q_offs = lengths)."""
+
+    def test_matches_append_oracle(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
+
+        for Hq, Hkv in ((8, 2), (4, 4), (8, 1)):
+            q, kp, vp, table, lengths = make_case(rng, Hq=Hq, Hkv=Hkv)
+            B, _, D = q.shape
+            k_new = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+            v_new = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+            got = paged_attention_fa(q[:, None], kp, vp, table, lengths,
+                                     lengths, k_new=k_new, v_new=v_new)[:, 0]
+            ref = paged_attention_reference(q, kp, vp, table, lengths,
+                                            k_new, v_new)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5,
+                                       err_msg=f"Hq={Hq} Hkv={Hkv}")
+
+    def test_zero_length_attends_self_only(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
+
+        q, kp, vp, table, _ = make_case(rng, B=2)
+        B, Hq, D = q.shape
+        Hkv = kp.shape[0]
+        lengths = jnp.asarray([0, 3], jnp.int32)
+        k_new = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+        got = paged_attention_fa(q[:, None], kp, vp, table, lengths, lengths,
+                                 k_new=k_new, v_new=v_new)[:, 0]
+        # Length-0 slot: softmax over the self term alone == v_new per group.
+        G = Hq // Hkv
+        expect = np.repeat(np.asarray(v_new[0]), G, axis=0)
+        np.testing.assert_allclose(np.asarray(got[0]), expect,
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_quantized_pools_unquantized_self(self, rng):
+        """Self-term K/V stays float even over int8 pools."""
+        from vis_zephyr_tpu.ops.paged_attention import (
+            dequant_kv_pool, paged_attention_fa, quantize_kv_pool,
+        )
+
+        q, kp, vp, table, lengths = make_case(rng)
+        B, _, D = q.shape
+        Hkv = kp.shape[0]
+        k_new = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+        kq, ks = quantize_kv_pool(kp)
+        vq, vs = quantize_kv_pool(vp)
+        got = paged_attention_fa(q[:, None], kq, vq, table, lengths, lengths,
+                                 k_scales=ks, v_scales=vs,
+                                 k_new=k_new, v_new=v_new)[:, 0]
+        ref = paged_attention_reference(
+            q, dequant_kv_pool(kq, ks, jnp.float32),
+            dequant_kv_pool(vq, vs, jnp.float32), table, lengths,
+            k_new, v_new)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_windowed_self_term(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
+
+        q, kp, vp, table, _ = make_case(rng, B=2, pages_per_seq=6)
+        B, Hq, D = q.shape
+        Hkv = kp.shape[0]
+        lengths = jnp.asarray([80, 7], jnp.int32)
+        k_new = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+        for w in (8, 32):
+            got = paged_attention_fa(q[:, None], kp, vp, table, lengths,
+                                     lengths, sliding_window=w,
+                                     k_new=k_new, v_new=v_new)[:, 0]
+            ref = paged_attention_reference(q, kp, vp, table, lengths,
+                                            k_new, v_new, sliding_window=w)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5,
+                                       err_msg=f"window={w}")
+
+
+class TestBulkRowWrite:
+    """`paged_kv_update_rows{,_q}`: one strided DMA per slot writes every
+    layer's new row (the selfterm decode mode's post-scan write)."""
+
+    def _setup(self, rng, L=3, B=4, Hkv=2, D=32, ps=16, P=8):
+        kp = jnp.asarray(rng.standard_normal((Hkv, L * P, ps, D)), jnp.float32)
+        vp = jnp.asarray(rng.standard_normal((Hkv, L * P, ps, D)), jnp.float32)
+        ks = jnp.asarray(rng.standard_normal((L, B, Hkv, D)), jnp.float32)
+        vs = jnp.asarray(rng.standard_normal((L, B, Hkv, D)), jnp.float32)
+        pages = jnp.asarray(rng.permutation(P)[:B], jnp.int32)
+        offsets = jnp.asarray(rng.integers(0, ps, (B,)), jnp.int32)
+        return kp, vp, ks, vs, pages, offsets, (L, B, Hkv, D, ps, P)
+
+    def _oracle(self, pool, rows, pages, offsets, L, P):
+        # pool [Hkv, L*P, ps, D] viewed [Hkv, L, P, ps, D]; rows [L, B, Hkv, D]
+        out = np.asarray(pool).reshape(pool.shape[0], L, P, *pool.shape[2:]).copy()
+        B = rows.shape[1]
+        for b in range(B):
+            out[:, :, int(pages[b]), int(offsets[b])] = (
+                np.asarray(rows)[:, b].transpose(1, 0, 2))
+        return out.reshape(np.asarray(pool).shape)
+
+    def test_matches_scatter_oracle(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import paged_kv_update_rows
+
+        kp, vp, ks, vs, pages, offsets, (L, B, Hkv, D, ps, P) = self._setup(rng)
+        ko = self._oracle(kp, ks, pages, offsets, L, P)
+        vo = self._oracle(vp, vs, pages, offsets, L, P)
+        kp2, vp2 = paged_kv_update_rows(kp, vp, ks, vs, pages, offsets)
+        np.testing.assert_allclose(np.asarray(kp2), ko, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vp2), vo, rtol=1e-6, atol=1e-6)
+
+    def test_duplicate_trash_page_benign(self, rng):
+        """Inactive slots all write page 0 (trash): later slots win, real
+        pages untouched."""
+        from vis_zephyr_tpu.ops.paged_attention import paged_kv_update_rows
+
+        kp, vp, ks, vs, _, _, (L, B, Hkv, D, ps, P) = self._setup(rng)
+        pages = jnp.zeros((B,), jnp.int32)
+        offsets = jnp.zeros((B,), jnp.int32)
+        kp0 = np.asarray(kp).reshape(Hkv, L, P, ps, D).copy()
+        kp2, vp2 = paged_kv_update_rows(kp, vp, ks, vs, pages, offsets)
+        got = np.asarray(kp2).reshape(Hkv, L, P, ps, D)
+        np.testing.assert_allclose(got[:, :, 1:], kp0[:, :, 1:])
+
+    def test_quant_matches_quantize_kv(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import (
+            paged_kv_update_rows_q, quantize_kv,
+        )
+
+        kp, vp, ks, vs, pages, offsets, (L, B, Hkv, D, ps, P) = self._setup(rng)
+        kq = jnp.zeros(kp.shape, jnp.int8)
+        vq = jnp.zeros(vp.shape, jnp.int8)
+        ksp = jnp.zeros(kp.shape[:2] + (1, ps), jnp.float32)
+        vsp = jnp.zeros_like(ksp)
+        kq2, vq2, ksp2, vsp2 = paged_kv_update_rows_q(
+            kq, vq, ksp, vsp, ks, vs, pages, offsets)
+        want_q, want_s = quantize_kv(ks)   # [L, B, Hkv, D], [L, B, Hkv, 1]
+        got_q = np.asarray(kq2).reshape(Hkv, L, P, ps, D)
+        got_s = np.asarray(ksp2).reshape(Hkv, L, P, 1, ps)
+        for b in range(B):
+            np.testing.assert_array_equal(
+                got_q[:, :, int(pages[b]), int(offsets[b])],
+                np.asarray(want_q)[:, b].transpose(1, 0, 2))
+            np.testing.assert_allclose(
+                got_s[:, :, int(pages[b]), 0, int(offsets[b])],
+                np.asarray(want_s)[:, b, :, 0].T, rtol=1e-6)
 
 
 class TestPagedKVUpdateQuant:

@@ -14,17 +14,19 @@ Layout (head-major, matching the tuned library kernel
   lengths:           [B] int32                        (tokens per sequence)
   q:                 [B, Hq, D] (one decode step)     → out [B, Hq, D]
 
-The serving hot path (`serve/paged.py::_paged_step`) is write-first: each
-layer writes its K/V row in place via `paged_kv_update` (below) and then
-calls this function with `k_new=None`, which dispatches to the tuned
-library kernel on TPU. The custom kernel here additionally supports the
-current token's K/V as SEPARATE operands (`k_new`/`v_new` [B, Hkv, D])
-folded into the online softmax as a final self-term — the structure for
-callers that must keep the pools read-only. History that still matters:
-an in-place XLA *scatter* aliasing a Pallas consumer defeats XLA's
-buffer analysis and inserts a full pool copy per layer (measured 333
-ms/step vs 18 ms on v5e); a Pallas write with `input_output_aliases`
-does not.
+The serving hot path (`serve/paged.py::_paged_step` mode="selfterm")
+attends FIRST and writes ONCE: each layer calls the flash-structure
+kernel (`paged_attention_fa`, folded grid) over the read-only pools with
+the current token's K/V folded in as an online-softmax self-term, and
+after the layer scan every layer's rows bulk-write through ONE aligned
+row-tile RMW per slot (`paged_kv_update_rows`). Measured v5e B=64 int8
+weights: 22.6-24.0 ms/step vs 28.6 for the previous write-first
+structure (per-layer `paged_kv_update` page rewrites alone cost 5.3
+ms/step; library-kernel attention 16.5 vs 13.2 folded). History that
+still matters: an in-place XLA *scatter* aliasing a Pallas consumer
+defeats XLA's buffer analysis and inserts a full pool copy per layer
+(measured 333 ms/step vs 18 ms on v5e); a Pallas write with
+`input_output_aliases` does not.
 
 The kernel runs one (batch row, kv head) pair per grid cell and walks that
 sequence's pages sequentially with online softmax; the page table rides the
@@ -426,8 +428,10 @@ def _fa_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
         return copies
 
     def kernel(lengths_ref, pt_ref, qoffs_ref, buf_ref, init_ref, q_ref,
-               k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
+               kn_ref, vn_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
                kb, vb, ksb, vsb, ksem, vsem, m_s, l_s, acc_s):
+        # kn_ref/vn_ref are dummy operands on this grid (self-term decode is
+        # a folded-grid feature); they keep one pallas_call signature.
         b, h = pl.program_id(0), pl.program_id(1)
 
         def lo_blk(bb):
@@ -564,8 +568,188 @@ def _fa_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
     return kernel
 
 
+def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
+                  pages_per_seq: int, scale: float, quant: bool,
+                  window: Optional[int], batch_size: int,
+                  num_kv_heads: int, has_new: bool = False):
+    """One grid cell per SLOT, all kv heads folded in: grid (B,) instead of
+    (B, Hkv). At serving batch sizes the (B, Hkv) grid is per-cell-overhead
+    bound (B=64 × Hkv=8 = 512 cells/layer doing ~µs of work each); folding
+    heads cuts the cell count 8× and batches each page's per-head fetches
+    into ONE strided DMA (`k_hbm.at[:, pid]` — the head dim strides the
+    pool). Scratch is head-major (`[2, Hkv, ppcb, ps, D]`) so each head's
+    compute slice is contiguous."""
+
+    def make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb, ksb, vsb, ksem,
+                    vsem, pt_ref, b, i, slot):
+        base = b * pages_per_seq + i * ppcb
+        copies = []
+        for j in range(ppcb):
+            # Overshoot past the table row clamps to its last entry, same
+            # as `_fa_kernel`.
+            pid = pt_ref[base + jnp.minimum(j, pages_per_seq - 1 - i * ppcb)]
+            copies.append(pltpu.make_async_copy(
+                k_hbm.at[:, pid], kb.at[slot, :, j], ksem.at[slot]))
+            copies.append(pltpu.make_async_copy(
+                v_hbm.at[:, pid], vb.at[slot, :, j], vsem.at[slot]))
+            if quant:
+                copies.append(pltpu.make_async_copy(
+                    ks_hbm.at[:, pid], ksb.at[slot, :, j], ksem.at[slot]))
+                copies.append(pltpu.make_async_copy(
+                    vs_hbm.at[:, pid], vsb.at[slot, :, j], vsem.at[slot]))
+        return copies
+
+    SG = S * G
+
+    def kernel(lengths_ref, pt_ref, qoffs_ref, buf_ref, init_ref, q_ref,
+               kn_ref, vn_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
+               kb, vb, ksb, vsb, ksem, vsem, m_s, l_s, acc_s):
+        b = pl.program_id(0)
+
+        def lo_blk(bb):
+            if window is None:
+                return jnp.int32(0)
+            return jnp.maximum(qoffs_ref[bb] - (window - 1), 0) // bk
+
+        def hi_blk(bb):
+            return lax.div(lengths_ref[bb] + (bk - 1), bk)
+
+        def empty(bb):
+            bc = jnp.minimum(bb, batch_size - 1)
+            return hi_blk(bc) <= lo_blk(bc)
+
+        def next_indices(b, i):
+            # First block of the next slot with work; b == batch_size means
+            # done. (Cheap path when b+1 is non-empty — see `_fa_kernel`.)
+            def advance_b():
+                next_b = b + 1
+
+                def scan():
+                    found = lax.fori_loop(
+                        next_b + 1, batch_size,
+                        lambda bb, best: jnp.where(
+                            (best < 0) & ~empty(bb), bb, best),
+                        jnp.int32(-1),
+                    )
+                    return jnp.where(found < 0, batch_size, found)
+
+                nb = lax.cond(
+                    (next_b < batch_size) & empty(next_b), scan,
+                    lambda: next_b,
+                )
+                return nb, lo_blk(jnp.minimum(nb, batch_size - 1))
+
+            return lax.cond(i < hi_blk(b), lambda: (b, i), advance_b)
+
+        m_s[...] = jnp.full(m_s.shape, -jnp.inf, jnp.float32)
+        l_s[...] = jnp.zeros(l_s.shape, jnp.float32)
+        acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+
+        length = lengths_ref[b]
+        qoff = qoffs_ref[b]
+        lo = lo_blk(b)
+        hi = hi_blk(b)
+
+        def body(i, _):
+            buf = buf_ref[0]
+
+            @pl.when(init_ref[0] == 1)
+            def _first():
+                init_ref[0] = 0
+                for c in make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                                     ksb, vsb, ksem, vsem, pt_ref, b, i,
+                                     buf):
+                    c.start()
+
+            nb, ni = next_indices(b, i + 1)
+
+            @pl.when(nb < batch_size)
+            def _prefetch():
+                nbuf = 1 - buf
+                for c in make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                                     ksb, vsb, ksem, vsem, pt_ref, nb, ni,
+                                     nbuf):
+                    c.start()
+                buf_ref[0] = nbuf
+
+            for c in make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                                 ksb, vsb, ksem, vsem, pt_ref, b, i, buf):
+                c.wait()
+
+            # Mask geometry is shared by every head.
+            slot = i * bk + jax.lax.broadcasted_iota(jnp.int32, (SG, bk), 1)
+            qpos = qoff + jax.lax.broadcasted_iota(jnp.int32, (SG, bk), 0) // G
+            mask = (slot <= qpos) & (slot < length)
+            if window is not None:
+                mask &= slot > qpos - window
+
+            for h in range(num_kv_heads):
+                r = slice(h * SG, (h + 1) * SG)
+                q = q_ref[0, h]                             # [SG, D]
+                k = kb[buf, h].reshape(bk, -1)              # [bk, D]
+                v = vb[buf, h].reshape(bk, -1)
+                if quant:
+                    k = k.astype(q.dtype)
+                    v = v.astype(q.dtype)
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale                                   # [SG, bk]
+                if quant:
+                    ksc = ksb[buf, h].reshape(1, bk)
+                    s = s * (ksc * (1.0 / KV_QUANT_MAX))
+                s = jnp.where(mask, s, NEG_INF)
+
+                m_prev, l_prev = m_s[r], l_s[r]
+                m_curr = jnp.max(s, axis=1, keepdims=True)
+                m_next = jnp.maximum(
+                    m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+                alpha = jnp.exp(m_prev - m_next)
+                pexp = jnp.where(mask, jnp.exp(s - m_next[:, :1]), 0.0)
+                l_s[r] = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
+                m_s[r] = m_next
+                acc_s[r] *= alpha[:, :1]
+                if quant:
+                    vsc = vsb[buf, h].reshape(1, bk)
+                    pexp = pexp * (vsc * (1.0 / KV_QUANT_MAX))
+                acc_s[r] += jax.lax.dot(
+                    pexp.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+            return ()
+
+        lax.fori_loop(lo, hi, body, ())
+
+        for h in range(num_kv_heads):
+            r = slice(h * SG, (h + 1) * SG)
+            m_prev, l_prev, acc = m_s[r], l_s[r], acc_s[r]
+            if has_new:
+                # Fold the current token's (unquantized) K/V in as the final
+                # online-softmax term: attention covers pool slots
+                # [lo·bk, length) plus itself, so the hot decode path never
+                # has to write the pools before attending.
+                q = q_ref[0, h].astype(jnp.float32)        # [SG, D]
+                kn = kn_ref[0, h][None].astype(jnp.float32)  # [1, D]
+                vn = vn_ref[0, h][None].astype(jnp.float32)
+                s_self = jax.lax.dot_general(
+                    q, kn, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale                                  # [SG, 1]
+                m_next = jnp.maximum(
+                    m_prev, jnp.broadcast_to(s_self, m_prev.shape))
+                alpha = jnp.exp(m_prev - m_next)
+                p_self = jnp.exp(s_self - m_next[:, :1])
+                l_prev = alpha * l_prev + p_self
+                acc = acc * alpha[:, :1] + p_self * vn
+            l = l_prev[:, :1]
+            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            o_ref[0, h] = (acc * l_inv).astype(o_ref.dtype)
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "sliding_window",
-                                             "pages_per_block", "interpret"))
+                                             "pages_per_block", "fold_heads",
+                                             "interpret"))
 def paged_attention_fa(
     q: jnp.ndarray,              # [B, S, Hq, D]
     k_pages: jnp.ndarray,        # [Hkv, N, ps, D] (bf16 or int8)
@@ -577,7 +761,10 @@ def paged_attention_fa(
     sliding_window: Optional[int] = None,
     k_scales: Optional[jnp.ndarray] = None,  # [Hkv, N, 1, ps] f32
     v_scales: Optional[jnp.ndarray] = None,
+    k_new: Optional[jnp.ndarray] = None,     # [B, Hkv, D] self-term (S=1)
+    v_new: Optional[jnp.ndarray] = None,
     pages_per_block: Optional[int] = None,
+    fold_heads: Optional[bool] = None,
     interpret=None,
 ) -> jnp.ndarray:
     """Flash-structure paged attention (see section comment above).
@@ -586,7 +773,22 @@ def paged_attention_fa(
     slots `[max(0, pos−window+1), pos]` of the pool — S=1 with
     `q_offs = lengths − 1` reproduces single-token decode; S>1 is the
     speculative-verify shape (candidate rows must already be written to
-    the pools). Returns [B, S, Hq, D]."""
+    the pools). Returns [B, S, Hq, D].
+
+    `k_new`/`v_new` (S=1, folded grid only): the current token's K/V as a
+    final online-softmax self-term — attention covers pool slots
+    [0, lengths) PLUS the new token, with `q_offs = lengths`. The decode
+    step can then attend first and bulk-write all layers' rows once per
+    step (`paged_kv_update_rows`) instead of rewriting a page block per
+    (layer, slot). The self-term stays unquantized even over int8 pools.
+
+    `fold_heads`: one grid cell per slot covering all kv heads (default)
+    vs one per (slot, kv head). The folded grid is faster at serving
+    batch sizes (B·Hkv µs-scale cells are per-cell-overhead-bound;
+    measured v5e B=64, 640-token pools: 16.5 ms lib / 15.8 ms (b,h) grid
+    → 13.2 ms folded per 32-layer step-equiv) and its strided all-head
+    DMAs cost nothing extra; the (b, h) grid remains for VMEM-tight
+    shapes (its scratch is Hkv× smaller)."""
     B, S, Hq, D = q.shape
     Hkv, _, page_size, _ = k_pages.shape
     pages_per_seq = page_table.shape[1]
@@ -594,8 +796,14 @@ def paged_attention_fa(
     SG = S * G
     scale = D ** -0.5 if scale is None else scale
     quant = k_scales is not None
+    has_new = k_new is not None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if fold_heads is None:
+        fold_heads = True
+    if has_new and (S != 1 or not fold_heads):
+        raise ValueError("k_new/v_new self-term requires S == 1 and the "
+                         "folded grid")
 
     # [B, Hkv, S*G, D]: a kv head's query rows are its S positions × G
     # group heads; row r ↔ position q_offs + r // G.
@@ -605,19 +813,62 @@ def paged_attention_fa(
     if pages_per_block is None:
         # Biggest block wins (per-block overhead dominates bytes); overshoot
         # past a short table row clamps to the last entry in make_copies.
-        pages_per_block = min(8, pages_per_seq)
+        # The folded grid's scratch is Hkv× larger, so its default block is
+        # smaller to keep double-buffered K+V under ~4 MB of VMEM.
+        pages_per_block = min(4 if fold_heads else 8, pages_per_seq)
     ppcb = pages_per_block
     bk = ppcb * page_size
 
     if not quant:  # dummy HBM refs keep one kernel signature
-        k_scales = jnp.zeros((1, 1, 1, page_size), jnp.float32)
-        v_scales = jnp.zeros((1, 1, 1, page_size), jnp.float32)
+        k_scales = jnp.zeros((Hkv, 1, 1, page_size), jnp.float32)
+        v_scales = jnp.zeros((Hkv, 1, 1, page_size), jnp.float32)
+    if not has_new:  # dummy self-term operands likewise
+        k_new = jnp.zeros((1, Hkv, D), q.dtype)
+        v_new = jnp.zeros((1, Hkv, D), q.dtype)
 
-    grid = (B, Hkv)
-    kernel = _fa_kernel(
-        G, S, bk, ppcb, page_size, pages_per_seq, scale, quant,
-        sliding_window, B, Hkv,
-    )
+    if fold_heads:
+        grid = (B,)
+        kernel = _fa_mh_kernel(
+            G, S, bk, ppcb, page_size, pages_per_seq, scale, quant,
+            sliding_window, B, Hkv, has_new=has_new,
+        )
+        q_spec = pl.BlockSpec((1, Hkv, SG, D), lambda b, *_: (b, 0, 0, 0))
+        new_spec = pl.BlockSpec(
+            (1, Hkv, D),
+            (lambda b, *_: (b, 0, 0)) if has_new else (lambda b, *_: (0, 0, 0)))
+        scratch = [
+            pltpu.VMEM((2, Hkv, ppcb, page_size, D), k_pages.dtype),
+            pltpu.VMEM((2, Hkv, ppcb, page_size, D), v_pages.dtype),
+            pltpu.VMEM((2, Hkv, ppcb, 1, page_size), jnp.float32),
+            pltpu.VMEM((2, Hkv, ppcb, 1, page_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((Hkv * SG, 128), jnp.float32),
+            pltpu.VMEM((Hkv * SG, 128), jnp.float32),
+            pltpu.VMEM((Hkv * SG, D), jnp.float32),
+        ]
+        semantics = ("arbitrary",)
+    else:
+        grid = (B, Hkv)
+        kernel = _fa_kernel(
+            G, S, bk, ppcb, page_size, pages_per_seq, scale, quant,
+            sliding_window, B, Hkv,
+        )
+        q_spec = pl.BlockSpec((1, 1, SG, D), lambda b, h, *_: (b, h, 0, 0))
+        new_spec = pl.BlockSpec((1, Hkv, D), lambda b, h, *_: (0, 0, 0))
+        scratch = [
+            pltpu.VMEM((2, ppcb, page_size, D), k_pages.dtype),
+            pltpu.VMEM((2, ppcb, page_size, D), v_pages.dtype),
+            pltpu.VMEM((2, ppcb, 1, page_size), jnp.float32),
+            pltpu.VMEM((2, ppcb, 1, page_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((SG, 128), jnp.float32),
+            pltpu.VMEM((SG, 128), jnp.float32),
+            pltpu.VMEM((SG, D), jnp.float32),
+        ]
+        semantics = ("arbitrary", "arbitrary")
+
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, SG, D), q.dtype),
@@ -625,32 +876,25 @@ def paged_attention_fa(
             num_scalar_prefetch=5,  # lengths, flat table, q_offs, buf, init
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, SG, D), lambda b, h, *_: (b, h, 0, 0)),
+                q_spec,
+                new_spec,
+                new_spec,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, SG, D), lambda b, h, *_: (b, h, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, ppcb, page_size, D), k_pages.dtype),
-                pltpu.VMEM((2, ppcb, page_size, D), v_pages.dtype),
-                pltpu.VMEM((2, ppcb, 1, page_size), jnp.float32),
-                pltpu.VMEM((2, ppcb, 1, page_size), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((SG, 128), jnp.float32),
-                pltpu.VMEM((SG, 128), jnp.float32),
-                pltpu.VMEM((SG, D), jnp.float32),
-            ],
+            out_specs=q_spec,
+            scratch_shapes=scratch,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=semantics,
         ),
         interpret=interpret,
     )(lengths, page_table.reshape(-1), q_offs,
       jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
-      qg, k_pages, v_pages, k_scales, v_scales)
+      qg, k_new.astype(q.dtype), v_new.astype(q.dtype),
+      k_pages, v_pages, k_scales, v_scales)
     return (out.reshape(B, Hkv, S, G, D).transpose(0, 2, 1, 3, 4)
             .reshape(B, S, Hq, D))
 
@@ -802,6 +1046,198 @@ def paged_kv_update_q(
         ),
         interpret=interpret,
     )(flat_pids, offsets, ks, vs, k_pages, v_pages, k_scales, v_scales)
+
+
+def _kv_update_rows_kernel(quant: bool, L: int, row_tile: int):
+    """Each cell read-modify-writes the `row_tile`-row tile containing slot
+    b's row in every layer at once: HBM slices must be tile-aligned in the
+    minor-two dims (Mosaic rejects 1-row slices of a [.., ps, D] pool), so
+    the write granule is one aligned row tile, not one row."""
+
+    def kernel(pages_ref, offs_ref, k_ref, v_ref, k_hbm, v_hbm,
+               ks_hbm, vs_hbm, ko_hbm, vo_hbm, kso_hbm, vso_hbm,
+               kb, vb, ksb, vsb, sem):
+        b = pl.program_id(0)
+        page = pages_ref[b]
+        off = offs_ref[b]
+        base = pl.multiple_of((off // row_tile) * row_tile, row_tile)
+        tile = pl.ds(base, row_tile)
+
+        fetch = [
+            pltpu.make_async_copy(ko_hbm.at[:, :, page, tile], kb, sem),
+            pltpu.make_async_copy(vo_hbm.at[:, :, page, tile], vb, sem),
+        ]
+        if quant:
+            fetch.append(pltpu.make_async_copy(
+                kso_hbm.at[:, :, page], ksb, sem))
+            fetch.append(pltpu.make_async_copy(
+                vso_hbm.at[:, :, page], vsb, sem))
+        for c in fetch:
+            c.start()
+        for c in fetch:
+            c.wait()
+
+        k = k_ref[0]                                    # [Hkv, L, D]
+        v = v_ref[0]
+        row = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, row_tile, 1), 2)
+        sel = row == off - base
+        if quant:
+            kf = k.astype(jnp.float32)
+            vf = v.astype(jnp.float32)
+            ks = jnp.max(jnp.abs(kf), axis=-1, keepdims=True)   # [Hkv, L, 1]
+            vs = jnp.max(jnp.abs(vf), axis=-1, keepdims=True)
+            kq = jnp.rint(kf * (KV_QUANT_MAX / jnp.maximum(ks, 1e-9)))
+            vq = jnp.rint(vf * (KV_QUANT_MAX / jnp.maximum(vs, 1e-9)))
+            kb[...] = jnp.where(sel, kq.astype(jnp.int8)[:, :, None, :],
+                                kb[...])
+            vb[...] = jnp.where(sel, vq.astype(jnp.int8)[:, :, None, :],
+                                vb[...])
+            # Scale blocks [Hkv, L, 1, ps]: select lane `off`.
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, 1, ksb.shape[-1]), 3)
+            lsel = lane == off
+            ksb[...] = jnp.where(lsel, ks[:, :, None, :], ksb[...])
+            vsb[...] = jnp.where(lsel, vs[:, :, None, :], vsb[...])
+        else:
+            kb[...] = jnp.where(sel, k.astype(kb.dtype)[:, :, None, :],
+                                kb[...])
+            vb[...] = jnp.where(sel, v.astype(vb.dtype)[:, :, None, :],
+                                vb[...])
+
+        flush = [
+            pltpu.make_async_copy(kb, ko_hbm.at[:, :, page, tile], sem),
+            pltpu.make_async_copy(vb, vo_hbm.at[:, :, page, tile], sem),
+        ]
+        if quant:
+            flush.append(pltpu.make_async_copy(
+                ksb, kso_hbm.at[:, :, page], sem))
+            flush.append(pltpu.make_async_copy(
+                vsb, vso_hbm.at[:, :, page], sem))
+        for c in flush:
+            c.start()
+        # Wait before the cell ends: the next cell may touch the same page
+        # (trash-page collisions from inactive slots).
+        for c in flush:
+            c.wait()
+    return kernel
+
+
+def _kv_update_rows(k_pages, v_pages, k_scales, v_scales, ks, vs,
+                    pages, offsets, quant: bool, interpret):
+    """Shared body for `paged_kv_update_rows{,_q}` (see their docstrings)."""
+    Hkv, NP, ps, D = k_pages.shape
+    L, B, _, _ = ks.shape
+    P = NP // L
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    # [L, B, Hkv, D] → [B, Hkv, L, D] so one slot's rows are one block.
+    kt = jnp.transpose(ks, (1, 2, 0, 3))
+    vt = jnp.transpose(vs, (1, 2, 0, 3))
+    k5 = k_pages.reshape(Hkv, L, P, ps, D)
+    v5 = v_pages.reshape(Hkv, L, P, ps, D)
+    if quant:
+        ks5 = k_scales.reshape(Hkv, L, P, 1, ps)
+        vs5 = v_scales.reshape(Hkv, L, P, 1, ps)
+    else:  # dummies keep one kernel signature
+        ks5 = jnp.zeros((1, 1, 1, 1, ps), jnp.float32)
+        vs5 = jnp.zeros((1, 1, 1, 1, ps), jnp.float32)
+
+    row_block = pl.BlockSpec((1, Hkv, L, D), lambda b, *_: (b, 0, 0, 0))
+    pool_dtype = k_pages.dtype
+    row_tile = min(32, ps)  # aligned write granule for every pool dtype
+    out = pl.pallas_call(
+        _kv_update_rows_kernel(quant, L, row_tile),
+        out_shape=(jax.ShapeDtypeStruct(k5.shape, k5.dtype),
+                   jax.ShapeDtypeStruct(v5.shape, v5.dtype),
+                   jax.ShapeDtypeStruct(ks5.shape, ks5.dtype),
+                   jax.ShapeDtypeStruct(vs5.shape, vs5.dtype)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # pages, offsets
+            grid=(B,),
+            in_specs=[row_block, row_block,
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, L, row_tile, D), pool_dtype),
+                pltpu.VMEM((Hkv, L, row_tile, D), pool_dtype),
+                pltpu.VMEM((Hkv, L, 1, ps), jnp.float32),
+                pltpu.VMEM((Hkv, L, 1, ps), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        # Flattened args incl. scalar-prefetch: (pages, offs, kt, vt, k5,
+        # v5, ks5, vs5) → pools are 4..7.
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(pages.astype(jnp.int32), offsets.astype(jnp.int32),
+      kt, vt, k5, v5, ks5, vs5)
+    kp = out[0].reshape(Hkv, NP, ps, D)
+    vp = out[1].reshape(Hkv, NP, ps, D)
+    if quant:
+        return kp, vp, (out[2].reshape(Hkv, NP, 1, ps),
+                        out[3].reshape(Hkv, NP, 1, ps))
+    return kp, vp, None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",),
+                   donate_argnums=(0, 1))
+def paged_kv_update_rows(
+    k_pages: jnp.ndarray,   # [Hkv, L*P, ps, D] (donated, in place)
+    v_pages: jnp.ndarray,
+    ks: jnp.ndarray,        # [L, B, Hkv, D] — one step's rows, ALL layers
+    vs: jnp.ndarray,
+    pages: jnp.ndarray,     # [B] int32 logical (within-layer) page id
+    offsets: jnp.ndarray,   # [B] int32 row within the page
+    interpret=None,
+) -> tuple:
+    """Write one decode step's K/V rows for ALL layers in one kernel.
+
+    Every layer of slot b lands at the same logical page id and offset
+    (layer l's pages occupy pool segment [l·P, (l+1)·P)), so viewed as
+    [Hkv, L, P, ps, D] one aligned row tile `[:, :, page, base:base+32]`
+    covers the whole step's rows for that slot — one read-modify-write of
+    a 32-row tile per pool per slot (HBM DMA slices must be tile-aligned
+    in the minor-two dims, so single rows are not addressable). Replaces
+    L·B masked-select FULL-page rewrites (`paged_kv_update` per layer:
+    measured 5.3 ms/step at B=64 on v5e — ~19% of the whole decode step)
+    with B tile RMWs, 2·ps/32× less write traffic and 2048 → 64 grid
+    cells. Pairs with the attention self-term
+    (`paged_attention_fa(k_new=...)`): attend first, bulk-write after the
+    layer scan."""
+    kp, vp, _ = _kv_update_rows(k_pages, v_pages, None, None, ks, vs,
+                                pages, offsets, quant=False,
+                                interpret=interpret)
+    return kp, vp
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",),
+                   donate_argnums=(0, 1, 2, 3))
+def paged_kv_update_rows_q(
+    k_pages: jnp.ndarray,   # [Hkv, L*P, ps, D] int8 (donated, in place)
+    v_pages: jnp.ndarray,
+    k_scales: jnp.ndarray,  # [Hkv, L*P, 1, ps] f32 (donated)
+    v_scales: jnp.ndarray,
+    ks: jnp.ndarray,        # [L, B, Hkv, D] float
+    vs: jnp.ndarray,
+    pages: jnp.ndarray,     # [B] int32
+    offsets: jnp.ndarray,   # [B] int32
+    interpret=None,
+) -> tuple:
+    """`paged_kv_update_rows` for int8 pools: rows are absmax-quantized in
+    VMEM and written with their scales (scale pools viewed
+    [Hkv, L, P, 1, ps] take the rows' scales at `[:, :, page, :, off]`)."""
+    kp, vp, scales = _kv_update_rows(k_pages, v_pages, k_scales, v_scales,
+                                     ks, vs, pages, offsets, quant=True,
+                                     interpret=interpret)
+    return kp, vp, scales[0], scales[1]
 
 
 def paged_attention_reference(q, k_pages, v_pages, page_table, lengths,

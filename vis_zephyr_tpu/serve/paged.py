@@ -24,12 +24,18 @@ Layout (TPU-first):
 - page allocation is host-side (a free list): a request's full span
   (prompt pages + generation budget) is claimed at admit and released at
   finish. No per-step allocation, no fragmentation handling needed.
-- the decode step is write-first: each layer writes its new K/V row into
-  the pools IN PLACE (`ops/paged_attention.paged_kv_update`, aliased
-  through the scan carry) and then attends over cache+token with the
-  tuned library paged-attention kernel. Measured v5e decode steps:
-  19.5 ms at 32 slots (1645 tok/s/chip), 28.5 ms at 64 (2249 tok/s/chip),
-  512-token prompts, int8 weights.
+- the decode step attends FIRST and writes ONCE ("selfterm" mode): each
+  layer runs the flash-structure kernel over the READ-ONLY pools with the
+  current token's K/V as an online-softmax self-term, and after the layer
+  scan all layers' rows bulk-write in one aligned row-tile RMW per slot
+  (`ops/paged_attention.paged_kv_update_rows` — every layer of a slot
+  shares one page id + offset). Measured v5e decode steps (512-token
+  prompts, int8 weights): 24.0 ms at 64 slots bf16 pools (2671
+  tok/s/chip), 22.6 ms at 64 with int8 pools (2831), 35.8 ms at 128 with
+  int8 pools (3576 tok/s/chip — the slot count bf16 pools cannot hold).
+  The previous write-first structure (per-layer in-place page rewrite +
+  library kernel, 28.6 ms at 64) remains as `_paged_step(mode=
+  "writefirst")`.
 
 Multi-chip (model-axis TP mesh): params are TP-sharded, pools are sharded
 over kv heads (`[Hkv, ...]` axis 0), and the decode kernel runs per shard
@@ -76,6 +82,8 @@ from ..ops.paged_attention import (
     paged_attention_fa,
     paged_kv_update,
     paged_kv_update_q,
+    paged_kv_update_rows,
+    paged_kv_update_rows_q,
     quantize_kv,
 )
 from ..ops.quant_matmul import qdot
@@ -266,6 +274,96 @@ def _paged_attention_fa_tp(mesh, sliding_window=None, quant=False):
     return wrapper
 
 
+def _paged_attention_fa_selfterm_tp(mesh, sliding_window=None, quant=False):
+    """Self-term decode attention (`paged_attention_fa(k_new=...)`) under
+    the TP mesh: q/k_new/v_new shard over heads with the pools."""
+    from jax.experimental.shard_map import shard_map
+
+    if not quant:
+        def local(q, kp, vp, table, lengths, kn, vn):
+            return paged_attention_fa(q, kp, vp, table, lengths, lengths,
+                                      sliding_window=sliding_window,
+                                      k_new=kn, v_new=vn)
+
+        sm = shard_map(
+            local, mesh=mesh,
+            in_specs=(
+                P(None, None, "model", None),    # q [B, 1, Hq, D]
+                P("model", None, None, None),
+                P("model", None, None, None),
+                P(None, None),
+                P(None),
+                P(None, "model", None),          # k_new [B, Hkv, D]
+                P(None, "model", None),
+            ),
+            out_specs=P(None, None, "model", None),
+            check_rep=False,
+        )
+
+        def wrapper(q, kp, vp, table, lengths, *, k_new, v_new):
+            return sm(q, kp, vp, table, lengths, k_new, v_new)
+
+        return wrapper
+
+    def local_q(q, kp, vp, table, lengths, kn, vn, ksp, vsp):
+        return paged_attention_fa(q, kp, vp, table, lengths, lengths,
+                                  sliding_window=sliding_window,
+                                  k_new=kn, v_new=vn,
+                                  k_scales=ksp, v_scales=vsp)
+
+    sm = shard_map(
+        local_q, mesh=mesh,
+        in_specs=(
+            P(None, None, "model", None),
+            P("model", None, None, None),
+            P("model", None, None, None),
+            P(None, None),
+            P(None),
+            P(None, "model", None),
+            P(None, "model", None),
+            P("model", None, None, None),
+            P("model", None, None, None),
+        ),
+        out_specs=P(None, None, "model", None),
+        check_rep=False,
+    )
+
+    def wrapper(q, kp, vp, table, lengths, *, k_new, v_new, k_scales,
+                v_scales):
+        return sm(q, kp, vp, table, lengths, k_new, v_new, k_scales,
+                  v_scales)
+
+    return wrapper
+
+
+def _kv_rows_tp(mesh):
+    """paged_kv_update_rows under the TP mesh: rows shard over kv heads
+    with the pools (no collectives)."""
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map(
+        paged_kv_update_rows, mesh=mesh,
+        in_specs=(P("model"), P("model"),
+                  P(None, None, "model", None),
+                  P(None, None, "model", None), P(), P()),
+        out_specs=(P("model"), P("model")),
+        check_rep=False,
+    )
+
+
+def _kv_rows_q_tp(mesh):
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map(
+        paged_kv_update_rows_q, mesh=mesh,
+        in_specs=(P("model"), P("model"), P("model"), P("model"),
+                  P(None, None, "model", None),
+                  P(None, None, "model", None), P(), P()),
+        out_specs=(P("model"), P("model"), P("model"), P("model")),
+        check_rep=False,
+    )
+
+
 def _kv_update_tp(mesh):
     """paged_kv_update under the TP mesh: each shard writes its own kv
     heads' rows into its pool shard (no collectives)."""
@@ -298,17 +396,31 @@ def _kv_update_q_tp(mesh):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "sampling", "mesh"),
+    jax.jit, static_argnames=("cfg", "sampling", "mesh", "mode"),
     donate_argnums=(1, 2, 3, 5),
 )
 def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
-                cfg: VisZephyrConfig, sampling: SamplingConfig, mesh=None):
+                cfg: VisZephyrConfig, sampling: SamplingConfig, mesh=None,
+                mode: str = "selfterm"):
     """One decode step over all slots against the paged pools.
 
     `scales`: `(None, None)` for bf16 pools, or `(k_scales, v_scales)`
     [Hkv, L*P, 1, ps] f32 for int8-quantized pools (the kv_quant serving mode
-    — halves the dominant KV HBM traffic at high slot counts; new rows are
-    quantized in VMEM by `paged_kv_update_q`)."""
+    — halves the KV pool HBM per slot, nearly doubling the slot ceiling; new
+    rows are quantized in VMEM by the write kernel).
+
+    `mode`:
+    - "selfterm" (default): each layer attends the READ-ONLY pools with the
+      current token's K/V folded in as the flash-structure kernel's
+      online-softmax self-term; after the layer scan, ALL layers' rows are
+      bulk-written in one strided DMA per slot (`paged_kv_update_rows` —
+      every layer of a slot shares one page id + offset). Measured v5e
+      B=64: the per-layer page rewrite alone costs 5.3 ms/step; the bulk
+      write replaces it with B row DMAs.
+    - "writefirst": the previous structure — each layer writes its row in
+      place (`paged_kv_update`) and attends over cache+token with the
+      tuned library kernel (bf16) or the flash-structure kernel (int8/
+      windowed). Kept as the measured fallback."""
     dec = cfg.decoder
     L = dec.num_layers
     P = kp.shape[1] // L  # logical pages per layer segment
@@ -325,64 +437,104 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
     cur_page = jnp.take_along_axis(page_table, row_idx[:, None], axis=1)[:, 0]
     cur_page = jnp.where(active, cur_page, 0)
     offset = lengths_eff % ps
-    # Attention spans the cache plus the just-written token. Inactive slots
-    # attend one trash-page row (finite garbage; their token is replaced
-    # below) — never zero slots, so no 0/0 in the softmax.
-    lengths_next = lengths_eff + 1
 
     # Sliding-window only when a sequence can actually outgrow the window
-    # (cache_len > window): the masked kernel routes off the tuned library
-    # kernel, so short-sequence configs keep the fast path.
+    # (cache_len > window): short-sequence configs skip the mask entirely.
     cache_len = page_table.shape[1] * ps
     sw = dec.sliding_window
     window = sw if (sw is not None and cache_len > sw) else None
 
-    # Write-first structure: each layer writes its new K/V row into the
-    # pools IN PLACE (`paged_kv_update`, input_output_aliases through the
-    # scan carry — no pool copies), then attends with the tuned library
-    # paged-attention kernel over cache+token. Measured on v5e at B=32:
-    # 19.8 ms/step vs 28.5 for self-term + one post-scan write, and vs
-    # 333 ms for the naive XLA in-scan scatter (the library kernel is 2×
-    # the custom self-term kernel: 0.28 vs 0.56 ms/layer).
     ksp, vsp = scales
-    if mesh is None:
-        attn_fn = functools.partial(paged_attention, sliding_window=window)
-        kv_update = paged_kv_update
-        kv_update_q = paged_kv_update_q
-    else:
-        attn_fn = _paged_attention_tp(mesh, sliding_window=window,
-                                      quant=ksp is not None)
-        kv_update = _kv_update_tp(mesh)
-        kv_update_q = _kv_update_q_tp(mesh)
-
-    def body(carry, xs):
-        h, kp, vp, ksp, vsp = carry
-        layer_params, i = xs
-        hn = rms_norm(h, layer_params["input_ln"]["scale"], dec.rms_norm_eps)
-        q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin)
-        if ksp is None:
-            kp, vp = kv_update(
-                kp, vp, k[:, 0][None], v[:, 0][None],
-                (i * P + cur_page)[None], offset,
-            )
-            attn = attn_fn(q[:, 0], kp, vp, page_table + i * P, lengths_next)
-        else:
-            kp, vp, ksp, vsp = kv_update_q(
-                kp, vp, ksp, vsp, k[:, 0][None], v[:, 0][None],
-                (i * P + cur_page)[None], offset,
-            )
-            attn = attn_fn(q[:, 0], kp, vp, page_table + i * P, lengths_next,
-                           k_scales=ksp, v_scales=vsp)
-        attn = attn.reshape(B, 1, -1)
-        h = h + qdot(attn, layer_params["attn"]["out"])
-        hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], dec.rms_norm_eps)
-        h = h + _mlp(hn, layer_params["mlp"])
-        return (h, kp, vp, ksp, vsp), None
-
     dparams = params["decoder"]
-    (h, kp, vp, ksp, vsp), _ = jax.lax.scan(
-        body, (h, kp, vp, ksp, vsp), (dparams["layers"], jnp.arange(dec.num_layers))
-    )
+    layers_xs = (dparams["layers"], jnp.arange(dec.num_layers))
+
+    if mode == "selfterm":
+        if mesh is None:
+            attn_fn = functools.partial(
+                paged_attention_fa, sliding_window=window)
+        else:
+            attn_fn = _paged_attention_fa_selfterm_tp(
+                mesh, sliding_window=window, quant=ksp is not None)
+
+        def body(h, xs):
+            layer_params, i = xs
+            hn = rms_norm(h, layer_params["input_ln"]["scale"],
+                          dec.rms_norm_eps)
+            q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin)
+            k_new, v_new = k[:, 0], v[:, 0]
+            if mesh is None:
+                extra = ({} if ksp is None
+                         else {"k_scales": ksp, "v_scales": vsp})
+                attn = attn_fn(q, kp, vp, page_table + i * P, lengths_eff,
+                               lengths_eff, k_new=k_new, v_new=v_new,
+                               **extra)[:, 0]
+            else:
+                extra = ({} if ksp is None
+                         else {"k_scales": ksp, "v_scales": vsp})
+                attn = attn_fn(q, kp, vp, page_table + i * P, lengths_eff,
+                               k_new=k_new, v_new=v_new, **extra)[:, 0]
+            attn = attn.reshape(B, 1, -1)
+            h = h + qdot(attn, layer_params["attn"]["out"])
+            hn = rms_norm(h, layer_params["post_attn_ln"]["scale"],
+                          dec.rms_norm_eps)
+            h = h + _mlp(hn, layer_params["mlp"])
+            return h, (k_new, v_new)
+
+        h, (ks_rows, vs_rows) = jax.lax.scan(body, h, layers_xs)
+        if ksp is None:
+            rows_fn = paged_kv_update_rows if mesh is None else _kv_rows_tp(mesh)
+            kp, vp = rows_fn(kp, vp, ks_rows, vs_rows, cur_page, offset)
+        else:
+            rows_fn = (paged_kv_update_rows_q if mesh is None
+                       else _kv_rows_q_tp(mesh))
+            kp, vp, ksp, vsp = rows_fn(kp, vp, ksp, vsp, ks_rows, vs_rows,
+                                       cur_page, offset)
+    else:
+        # Attention spans the cache plus the just-written token. Inactive
+        # slots attend one trash-page row (finite garbage; their token is
+        # replaced below) — never zero slots, so no 0/0 in the softmax.
+        lengths_next = lengths_eff + 1
+        if mesh is None:
+            attn_fn = functools.partial(paged_attention,
+                                        sliding_window=window)
+            kv_update = paged_kv_update
+            kv_update_q = paged_kv_update_q
+        else:
+            attn_fn = _paged_attention_tp(mesh, sliding_window=window,
+                                          quant=ksp is not None)
+            kv_update = _kv_update_tp(mesh)
+            kv_update_q = _kv_update_q_tp(mesh)
+
+        def body(carry, xs):
+            h, kp, vp, ksp, vsp = carry
+            layer_params, i = xs
+            hn = rms_norm(h, layer_params["input_ln"]["scale"],
+                          dec.rms_norm_eps)
+            q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin)
+            if ksp is None:
+                kp, vp = kv_update(
+                    kp, vp, k[:, 0][None], v[:, 0][None],
+                    (i * P + cur_page)[None], offset,
+                )
+                attn = attn_fn(q[:, 0], kp, vp, page_table + i * P,
+                               lengths_next)
+            else:
+                kp, vp, ksp, vsp = kv_update_q(
+                    kp, vp, ksp, vsp, k[:, 0][None], v[:, 0][None],
+                    (i * P + cur_page)[None], offset,
+                )
+                attn = attn_fn(q[:, 0], kp, vp, page_table + i * P,
+                               lengths_next, k_scales=ksp, v_scales=vsp)
+            attn = attn.reshape(B, 1, -1)
+            h = h + qdot(attn, layer_params["attn"]["out"])
+            hn = rms_norm(h, layer_params["post_attn_ln"]["scale"],
+                          dec.rms_norm_eps)
+            h = h + _mlp(hn, layer_params["mlp"])
+            return (h, kp, vp, ksp, vsp), None
+
+        (h, kp, vp, ksp, vsp), _ = jax.lax.scan(
+            body, (h, kp, vp, ksp, vsp), layers_xs
+        )
     h = rms_norm(h, dparams["final_ln"]["scale"], dec.rms_norm_eps)
     logits = jnp.einsum(
         "btd,dv->btv", h[:, -1:], dparams["lm_head"]["kernel"]
