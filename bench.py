@@ -498,17 +498,11 @@ def main():
         [{"slots": 64}, {"slots": 32}, {"slots": 16}],
         min_time_s=150,
     )
-    h.run_phase(
-        "paged4q",
-        # int4 weights + int8 pools at 64 slots (the int4 Pallas matvec
-        # requires m ≤ 64 — quant_matmul.py pallas_ok gate; above that the
-        # XLA dequant fallback is ~2.3× slower).
-        lambda slots: bench_decode_paged(
-            cfg, slots=slots, steps=paged_steps, prompt_len=paged_prompt,
-            bits=4, kv_quant=True),
-        [{"slots": 64}, {"slots": 32}],
-        min_time_s=120,
-    )
+    # int4 weights are the FOOTPRINT option (3.5 GB vs 7 GB), not a
+    # throughput win: measured v5e selfterm step, int4+int8KV = 29.2
+    # ms/step at B=64 and 50.3 at B=128 vs int8 weights' 22.6 / 35.8 (the
+    # VPU nibble-unpack outweighs the saved bytes at decode batch sizes),
+    # so the paged4q combination runs only via `--phase paged4q`.
     h.run_phase(
         "paged4",
         lambda slots: bench_decode_paged(

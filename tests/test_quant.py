@@ -157,3 +157,22 @@ class TestInt4:
         np.testing.assert_allclose(
             np.asarray(got) / scale, expect / scale, atol=8e-3
         )
+
+    def test_pallas_int4_matmul_m128(self, rng):
+        """M=128 (the B=128 decode batch — the m-cap the serving path
+        relies on) through the same interpret-mode oracle."""
+        from vis_zephyr_tpu.ops.quant import quantize_kernel_int4
+        from vis_zephyr_tpu.ops.quant_matmul import quantized_matmul_int4
+
+        w = rng.standard_normal((256, 256)).astype(np.float32)
+        x = rng.standard_normal((128, 256)).astype(np.float32)
+        q = quantize_kernel_int4(jnp.asarray(w), group=128)
+        expect = x @ np.asarray(maybe_dequant(q, jnp.float32))
+        got = quantized_matmul_int4(
+            jnp.asarray(x), q["kernel_q4"], q["scale4"],
+            out_dtype=jnp.float32, interpret=True,
+        )
+        scale = np.abs(expect).max()
+        np.testing.assert_allclose(
+            np.asarray(got) / scale, expect / scale, atol=8e-3
+        )

@@ -273,7 +273,9 @@ def _base_dot(x: jnp.ndarray, p: dict, use_pallas: bool) -> jnp.ndarray:
             and group % 2 == 0
             and N % 128 == 0
             and group % 128 == 0
-            and m <= 64
+            and m <= 128  # decode batches; measured through B=128 (vmem_est
+                          # shrinks block_n as M grows). Prefill/training
+                          # (large M) take XLA's fused dot.
         )
         if pallas_ok:
             out = quantized_matmul_int4(
