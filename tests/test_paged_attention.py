@@ -385,6 +385,75 @@ class TestFlashStructureKernel:
         assert float(jnp.abs(got[1]).max()) == 0.0
 
 
+class TestRunFastPath:
+    """Contiguous-run table rows take the folded kernel's single-DMA fast
+    path; scattered rows take per-page copies. Same logical cache → same
+    output."""
+
+    def test_run_equals_scatter(self, rng):
+        from vis_zephyr_tpu.ops.paged_attention import paged_attention_fa
+
+        B, Hq, Hkv, D, ps, pps = 3, 8, 2, 64, 16, 4
+        num_pages = 1 + B * pps
+        q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)), jnp.float32)
+        lengths = jnp.asarray([ps * pps, 19, 37], jnp.int32)
+
+        # Contiguous layout: slot b owns run [1 + b*pps, 1 + (b+1)*pps).
+        run_table = np.zeros((B, pps), np.int32)
+        for b in range(B):
+            run_table[b] = 1 + b * pps + np.arange(pps)
+        kp_run = rng.standard_normal((Hkv, num_pages, ps, D)).astype(np.float32)
+        vp_run = rng.standard_normal((Hkv, num_pages, ps, D)).astype(np.float32)
+
+        # Scattered layout holding the SAME logical cache content.
+        perm = rng.permutation(num_pages - 1) + 1
+        scat_table = perm[run_table - 1].astype(np.int32)
+        kp_scat = np.empty_like(kp_run)
+        vp_scat = np.empty_like(vp_run)
+        kp_scat[:, perm] = kp_run[:, 1:]
+        vp_scat[:, perm] = vp_run[:, 1:]
+        kp_scat[:, 0] = kp_run[:, 0]
+        vp_scat[:, 0] = vp_run[:, 0]
+
+        for ppcb in (2, 4):
+            got_run = paged_attention_fa(
+                q, jnp.asarray(kp_run), jnp.asarray(vp_run),
+                jnp.asarray(run_table), lengths, lengths - 1,
+                pages_per_block=ppcb)
+            got_scat = paged_attention_fa(
+                q, jnp.asarray(kp_scat), jnp.asarray(vp_scat),
+                jnp.asarray(scat_table), lengths, lengths - 1,
+                pages_per_block=ppcb)
+            np.testing.assert_allclose(
+                np.asarray(got_run), np.asarray(got_scat),
+                rtol=2e-5, atol=2e-5, err_msg=f"ppcb={ppcb}")
+
+    def test_mixed_run_and_scatter_slots(self, rng):
+        """One slot contiguous, one scattered, in the same call."""
+        from vis_zephyr_tpu.ops.paged_attention import (
+            paged_attention_fa, paged_attention_reference,
+        )
+
+        B, Hq, Hkv, D, ps, pps = 2, 4, 2, 32, 16, 4
+        num_pages = 24
+        q1 = rng.standard_normal((B, Hq, D)).astype(np.float32)
+        kp = rng.standard_normal((Hkv, num_pages, ps, D)).astype(np.float32)
+        vp = rng.standard_normal((Hkv, num_pages, ps, D)).astype(np.float32)
+        table = np.asarray([[5, 6, 7, 8],       # run
+                            [11, 3, 17, 9]],    # scattered
+                           np.int32)
+        lengths = jnp.asarray([60, 55], jnp.int32)
+        got = paged_attention_fa(
+            jnp.asarray(q1[:, None]), jnp.asarray(kp), jnp.asarray(vp),
+            jnp.asarray(table), lengths, lengths - 1, pages_per_block=2
+        )[:, 0]
+        ref = paged_attention_reference(
+            jnp.asarray(q1), jnp.asarray(kp), jnp.asarray(vp),
+            jnp.asarray(table), lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
 class TestFlashSelfTerm:
     """`paged_attention_fa(k_new=...)`: the folded grid's online-softmax
     self-term — the selfterm decode mode's attention (pools read-only,

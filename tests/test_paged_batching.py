@@ -43,6 +43,28 @@ class TestPageAllocator:
         a.release(got)
         assert a.available == 3
 
+    def test_prefers_contiguous_runs(self):
+        """Fresh pool → ascending runs (the decode kernel's single-DMA fast
+        path); a later exact-fit hole is found first-fit."""
+        a = PageAllocator(16)
+        r1 = a.alloc(4)
+        r2 = a.alloc(4)
+        assert r1 == [1, 2, 3, 4] and r2 == [5, 6, 7, 8]
+        a.release(r1)
+        r3 = a.alloc(3)           # fits inside the released [1..4] hole
+        assert r3 == [1, 2, 3]
+        r4 = a.alloc(5)           # first run of 5 is [9..13]
+        assert r4 == [9, 10, 11, 12, 13]
+
+    def test_fragmented_fallback_allocates_scattered(self):
+        a = PageAllocator(8)      # free: 1..7
+        held = a.alloc(3)         # [1,2,3]
+        rest = a.alloc(4)         # [4,5,6,7]
+        a.release([held[0], held[2]])  # free: {1, 3} — no run of 2
+        got = a.alloc(2)
+        assert got == [1, 3]      # scattered, still served
+        assert a.available == 0
+
 
 class TestPagedBatcher:
     def test_matches_standalone_generate(self, setup, rng):

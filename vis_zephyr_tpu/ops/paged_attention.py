@@ -580,24 +580,73 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
     pool). Scratch is head-major (`[2, Hkv, ppcb, ps, D]`) so each head's
     compute slice is contiguous."""
 
-    def make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb, ksb, vsb, ksem,
-                    vsem, pt_ref, b, i, slot):
+    def process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb, ksb, vsb, ksem,
+                      vsem, pt_ref, b, i, slot, wait):
+        """Start (or wait on) compute block i of slot b in buffer `slot`.
+
+        Fast path: when the block's table entries are an ascending RUN of
+        pool ids (the allocator hands out contiguous runs when it can),
+        the whole block moves in ONE dynamic-slice DMA per operand.
+        Measured v5e B=64: the kernel is DMA-descriptor-bound (~0.5 µs
+        per descriptor; bytes and block count barely move the time), so
+        collapsing ppcb page descriptors into one is the main lever.
+        The predicate is pure scalar state — recomputed identically at
+        start and wait time, so starts and waits always pair."""
         base = b * pages_per_seq + i * ppcb
-        copies = []
-        for j in range(ppcb):
-            # Overshoot past the table row clamps to its last entry, same
-            # as `_fa_kernel`.
-            pid = pt_ref[base + jnp.minimum(j, pages_per_seq - 1 - i * ppcb)]
-            copies.append(pltpu.make_async_copy(
-                k_hbm.at[:, pid], kb.at[slot, :, j], ksem.at[slot]))
-            copies.append(pltpu.make_async_copy(
-                v_hbm.at[:, pid], vb.at[slot, :, j], vsem.at[slot]))
-            if quant:
+        pids = [pt_ref[base + jnp.minimum(j, pages_per_seq - 1 - i * ppcb)]
+                for j in range(ppcb)]
+
+        def go(copies):
+            for c in copies:
+                c.wait() if wait else c.start()
+
+        def scatter():
+            copies = []
+            for j in range(ppcb):
                 copies.append(pltpu.make_async_copy(
-                    ks_hbm.at[:, pid], ksb.at[slot, :, j], ksem.at[slot]))
+                    k_hbm.at[:, pids[j]], kb.at[slot, :, j], ksem.at[slot]))
                 copies.append(pltpu.make_async_copy(
-                    vs_hbm.at[:, pid], vsb.at[slot, :, j], vsem.at[slot]))
-        return copies
+                    v_hbm.at[:, pids[j]], vb.at[slot, :, j], vsem.at[slot]))
+                if quant:
+                    copies.append(pltpu.make_async_copy(
+                        ks_hbm.at[:, pids[j]], ksb.at[slot, :, j],
+                        ksem.at[slot]))
+                    copies.append(pltpu.make_async_copy(
+                        vs_hbm.at[:, pids[j]], vsb.at[slot, :, j],
+                        vsem.at[slot]))
+            go(copies)
+
+        if ppcb == 1:
+            scatter()
+            return
+
+        run_ok = pids[1] == pids[0] + 1
+        for j in range(2, ppcb):
+            run_ok &= pids[j] == pids[0] + j
+        pid0 = pids[0]
+        # Scratch is [2, Hkv, ppcb, ps, D]; the run slice matches the
+        # buffer's [Hkv, ppcb, ps, D] layout directly (page dim second).
+        run = [
+            pltpu.make_async_copy(
+                k_hbm.at[:, pl.ds(pid0, ppcb)], kb.at[slot], ksem.at[slot]),
+            pltpu.make_async_copy(
+                v_hbm.at[:, pl.ds(pid0, ppcb)], vb.at[slot], vsem.at[slot]),
+        ]
+        if quant:
+            run.append(pltpu.make_async_copy(
+                ks_hbm.at[:, pl.ds(pid0, ppcb)], ksb.at[slot],
+                ksem.at[slot]))
+            run.append(pltpu.make_async_copy(
+                vs_hbm.at[:, pl.ds(pid0, ppcb)], vsb.at[slot],
+                vsem.at[slot]))
+
+        @pl.when(run_ok)
+        def _run():
+            go(run)
+
+        @pl.when(jnp.logical_not(run_ok))
+        def _scatter():
+            scatter()
 
     SG = S * G
 
@@ -656,25 +705,23 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
             @pl.when(init_ref[0] == 1)
             def _first():
                 init_ref[0] = 0
-                for c in make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
-                                     ksb, vsb, ksem, vsem, pt_ref, b, i,
-                                     buf):
-                    c.start()
+                process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                              ksb, vsb, ksem, vsem, pt_ref, b, i, buf,
+                              wait=False)
 
             nb, ni = next_indices(b, i + 1)
 
             @pl.when(nb < batch_size)
             def _prefetch():
                 nbuf = 1 - buf
-                for c in make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
-                                     ksb, vsb, ksem, vsem, pt_ref, nb, ni,
-                                     nbuf):
-                    c.start()
+                process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                              ksb, vsb, ksem, vsem, pt_ref, nb, ni, nbuf,
+                              wait=False)
                 buf_ref[0] = nbuf
 
-            for c in make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
-                                 ksb, vsb, ksem, vsem, pt_ref, b, i, buf):
-                c.wait()
+            process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                          ksb, vsb, ksem, vsem, pt_ref, b, i, buf,
+                          wait=True)
 
             # Mask geometry is shared by every head.
             slot = i * bk + jax.lax.broadcasted_iota(jnp.int32, (SG, bk), 1)

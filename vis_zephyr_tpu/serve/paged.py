@@ -92,23 +92,49 @@ from .generate import SamplingConfig, _sample
 
 
 class PageAllocator:
-    """Free-list over pool pages. Page 0 is reserved (trash)."""
+    """Free-list over pool pages. Page 0 is reserved (trash).
+
+    `alloc` prefers a CONTIGUOUS ascending run: consecutive pool ids let
+    the decode kernel fetch a whole compute block with ONE dynamic-slice
+    DMA instead of one DMA per page (`ops/paged_attention._fa_mh_kernel`
+    run fast path) — the kernel is descriptor-bound at serving batch
+    sizes. Scattered pages remain fully supported (first-fit falls back
+    to arbitrary pages under fragmentation; the kernel detects runs per
+    block at runtime)."""
 
     def __init__(self, num_pages: int):
         self.num_pages = num_pages
-        self._free: List[int] = list(range(num_pages - 1, 0, -1))
+        self._free: List[int] = list(range(1, num_pages))  # sorted ascending
 
     @property
     def available(self) -> int:
         return len(self._free)
 
     def alloc(self, n: int) -> Optional[List[int]]:
-        if len(self._free) < n:
+        free = self._free
+        if len(free) < n:
             return None
-        return [self._free.pop() for _ in range(n)]
+        # First-fit contiguous run over the sorted free list.
+        run_start = 0
+        for i in range(1, len(free)):
+            if free[i] != free[i - 1] + 1:
+                run_start = i
+            if i - run_start + 1 == n:  # run length grows by 1 → first hit
+                pages = free[run_start:i + 1]
+                del free[run_start:i + 1]
+                return pages
+        if n == 1 and free:
+            return [free.pop(0)]
+        # Fragmented: hand out the lowest n pages (keeps future runs high).
+        pages = free[:n]
+        del free[:n]
+        return pages
 
     def release(self, pages: List[int]) -> None:
-        self._free.extend(pages)
+        import bisect
+
+        for p in pages:
+            bisect.insort(self._free, p)
 
 
 @functools.partial(jax.jit, static_argnames=("slot",),
