@@ -77,6 +77,10 @@ def quantized_matmul(
         block_n = next(d * 128 for d in range(N // 128, 0, -1)
                        if N % (d * 128) == 0)
     block_n = min(block_n, N)
+    if N % block_n:
+        # The grid would silently drop the last N % block_n columns.
+        raise ValueError(f"N={N} must tile by block_n={block_n} "
+                         f"(lane-aligned N, or N small enough for one block)")
 
     # Pad M up to the sublane quantum so tiny decode batches still map.
     M_pad = max(8, ((M + 7) // 8) * 8)

@@ -187,8 +187,8 @@ def main(args=None):
                         "aggregate histograms at GET /metrics")
     p.add_argument("--lookahead", type=int, default=0,
                    help="prompt-lookup speculative decoding span (greedy "
-                        "only; 0 disables): serialized path and the dense "
-                        "continuous batcher")
+                        "only; 0 disables): serialized path and both "
+                        "continuous batchers (dense and paged)")
     a = p.parse_args(args)
 
     tokenizer, params, cfg, _ = load_pretrained_model(

@@ -122,16 +122,12 @@ def _verify_step(params, cache, toks, valid, cfg: VisZephyrConfig,
     prefix per slot and OVERWRITES cache["length"] host-side — rejected
     slots hold garbage K/V above the accepted point that the next append
     overwrites (attention masks keys off `length`, so stale rows are never
-    attended). A verify step reads the same weight bytes as a single decode
-    step (both HBM-bound), so each accepted token is nearly free."""
-    positions = cache["length"][:, None] + jnp.cumsum(
-        valid.astype(jnp.int32), axis=1) - 1
-    embeds = embed(params["decoder"], toks)
-    logits, new_cache = mistral_forward(
-        params["decoder"], embeds, cfg.decoder, positions,
-        attn_valid=valid, cache=cache, logits_slice="all",
-        pallas_cache_update=pallas_cache,
-    )
+    attended). Wraps `generate.decode_verify` (one multi-token append)
+    with the batcher's greedy argmax and cache donation."""
+    from .generate import decode_verify
+
+    logits, new_cache = decode_verify(params, cache, toks, valid, cfg,
+                                      pallas_cache=pallas_cache)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_cache
 
 

@@ -191,173 +191,88 @@ def _clear_row(page_table, slot):
     return page_table.at[slot].set(jnp.zeros((page_table.shape[1],), page_table.dtype))
 
 
-def _paged_attention_tp(mesh, sliding_window=None, quant=False):
-    """paged_attention wrapped for a model-axis TP mesh: kv-head-sharded
-    pools, head-sharded queries. The kernel is a per-(batch, kv-head) grid —
-    each device runs it unchanged over its Hkv/m heads (GQA groups stay
-    intact because query heads are blocked per kv head), so TP needs zero
-    collectives inside attention; the row-parallel `attn/out` matmul after
-    it carries the layer's single psum, exactly like the dense TP path.
+# Shared TP sharding vocabulary: pools and per-row scale pools shard over
+# kv heads; queries over query heads (GQA groups stay whole per shard, so
+# attention needs zero collectives — the row-parallel `attn/out` matmul
+# after it carries the layer's single psum, like the dense TP path);
+# the page table and lengths are replicated.
+_POOL_SPEC = P("model", None, None, None)     # [Hkv, L*P, ps, D] / scales
+_Q3_SPEC = P(None, "model", None)             # [B, Hq, D] and k_new/v_new
+_Q4_SPEC = P(None, None, "model", None)       # [B, S, Hq, D]
 
-    `quant`: int8 pools — the per-row scale pools shard over kv heads
-    exactly like the pools themselves."""
+
+def _tp_attention(mesh, local, in_specs, out_spec):
     from jax.experimental.shard_map import shard_map
 
-    if not quant:
-        def local(q, kp, vp, table, lengths):
-            return paged_attention(q, kp, vp, table, lengths,
-                                   sliding_window=sliding_window)
+    return shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                     out_specs=out_spec, check_rep=False)
 
-        return shard_map(
-            local, mesh=mesh,
-            in_specs=(
-                P(None, "model", None),          # q [B, Hq, D]
-                P("model", None, None, None),    # k pools [Hkv, L*P, ps, D]
-                P("model", None, None, None),    # v pools
-                P(None, None),                   # page table (replicated)
-                P(None),                         # lengths (replicated)
-            ),
-            out_specs=P(None, "model", None),
-            check_rep=False,
-        )
 
-    def local_q(q, kp, vp, table, lengths, ksp, vsp):
+def _scale_kwargs(quant, scales):
+    return {"k_scales": scales[0], "v_scales": scales[1]} if quant else {}
+
+
+def _paged_attention_tp(mesh, sliding_window=None, quant=False):
+    """`paged_attention` (single-row dispatch, q [B, Hq, D]) under the
+    model-axis TP mesh (sharding story: see the spec vocabulary above).
+    `quant` appends the kv-head-sharded scale pools."""
+
+    def local(q, kp, vp, table, lengths, *scales):
         return paged_attention(q, kp, vp, table, lengths,
                                sliding_window=sliding_window,
-                               k_scales=ksp, v_scales=vsp)
+                               **_scale_kwargs(quant, scales))
 
-    sm = shard_map(
-        local_q, mesh=mesh,
-        in_specs=(
-            P(None, "model", None),
-            P("model", None, None, None),
-            P("model", None, None, None),
-            P(None, None),
-            P(None),
-            P("model", None, None, None),    # k scales [Hkv, L*P, 1, ps]
-            P("model", None, None, None),    # v scales
-        ),
-        out_specs=P(None, "model", None),
-        check_rep=False,
-    )
+    specs = [_Q3_SPEC, _POOL_SPEC, _POOL_SPEC, P(None, None), P(None)]
+    sm = _tp_attention(mesh, local,
+                       specs + [_POOL_SPEC, _POOL_SPEC] * quant, _Q3_SPEC)
 
-    def wrapper(q, kp, vp, table, lengths, *, k_scales, v_scales):
-        return sm(q, kp, vp, table, lengths, k_scales, v_scales)
+    def wrapper(q, kp, vp, table, lengths, **kw):
+        return sm(q, kp, vp, table, lengths,
+                  *((kw["k_scales"], kw["v_scales"]) if quant else ()))
 
     return wrapper
 
 
 def _paged_attention_fa_tp(mesh, sliding_window=None, quant=False):
-    """`paged_attention_fa` (multi-row verify shape, q [B, S, Hq, D]) under
-    the model-axis TP mesh — same sharding story as `_paged_attention_tp`:
-    kv-head-sharded pools, head-sharded queries, zero collectives (GQA
-    groups stay whole per shard)."""
-    from jax.experimental.shard_map import shard_map
+    """`paged_attention_fa` (multi-row verify shape, q [B, S, Hq, D],
+    explicit q_offs) under the TP mesh."""
 
-    if not quant:
-        def local(q, kp, vp, table, lengths, q_offs):
-            return paged_attention_fa(q, kp, vp, table, lengths, q_offs,
-                                      sliding_window=sliding_window)
-
-        return shard_map(
-            local, mesh=mesh,
-            in_specs=(
-                P(None, None, "model", None),    # q [B, S, Hq, D]
-                P("model", None, None, None),    # k pools [Hkv, L*P, ps, D]
-                P("model", None, None, None),
-                P(None, None),
-                P(None),
-                P(None),                         # q_offs
-            ),
-            out_specs=P(None, None, "model", None),
-            check_rep=False,
-        )
-
-    def local_q(q, kp, vp, table, lengths, q_offs, ksp, vsp):
+    def local(q, kp, vp, table, lengths, q_offs, *scales):
         return paged_attention_fa(q, kp, vp, table, lengths, q_offs,
                                   sliding_window=sliding_window,
-                                  k_scales=ksp, v_scales=vsp)
+                                  **_scale_kwargs(quant, scales))
 
-    sm = shard_map(
-        local_q, mesh=mesh,
-        in_specs=(
-            P(None, None, "model", None),
-            P("model", None, None, None),
-            P("model", None, None, None),
-            P(None, None),
-            P(None),
-            P(None),
-            P("model", None, None, None),
-            P("model", None, None, None),
-        ),
-        out_specs=P(None, None, "model", None),
-        check_rep=False,
-    )
+    specs = [_Q4_SPEC, _POOL_SPEC, _POOL_SPEC, P(None, None), P(None),
+             P(None)]
+    sm = _tp_attention(mesh, local,
+                       specs + [_POOL_SPEC, _POOL_SPEC] * quant, _Q4_SPEC)
 
-    def wrapper(q, kp, vp, table, lengths, q_offs, *, k_scales, v_scales):
-        return sm(q, kp, vp, table, lengths, q_offs, k_scales, v_scales)
+    def wrapper(q, kp, vp, table, lengths, q_offs, **kw):
+        return sm(q, kp, vp, table, lengths, q_offs,
+                  *((kw["k_scales"], kw["v_scales"]) if quant else ()))
 
     return wrapper
 
 
 def _paged_attention_fa_selfterm_tp(mesh, sliding_window=None, quant=False):
-    """Self-term decode attention (`paged_attention_fa(k_new=...)`) under
-    the TP mesh: q/k_new/v_new shard over heads with the pools."""
-    from jax.experimental.shard_map import shard_map
+    """Self-term decode attention (`paged_attention_fa(k_new=...)`,
+    q [B, 1, Hq, D], q_offs = lengths) under the TP mesh: k_new/v_new
+    shard over kv heads with the pools."""
 
-    if not quant:
-        def local(q, kp, vp, table, lengths, kn, vn):
-            return paged_attention_fa(q, kp, vp, table, lengths, lengths,
-                                      sliding_window=sliding_window,
-                                      k_new=kn, v_new=vn)
-
-        sm = shard_map(
-            local, mesh=mesh,
-            in_specs=(
-                P(None, None, "model", None),    # q [B, 1, Hq, D]
-                P("model", None, None, None),
-                P("model", None, None, None),
-                P(None, None),
-                P(None),
-                P(None, "model", None),          # k_new [B, Hkv, D]
-                P(None, "model", None),
-            ),
-            out_specs=P(None, None, "model", None),
-            check_rep=False,
-        )
-
-        def wrapper(q, kp, vp, table, lengths, *, k_new, v_new):
-            return sm(q, kp, vp, table, lengths, k_new, v_new)
-
-        return wrapper
-
-    def local_q(q, kp, vp, table, lengths, kn, vn, ksp, vsp):
+    def local(q, kp, vp, table, lengths, kn, vn, *scales):
         return paged_attention_fa(q, kp, vp, table, lengths, lengths,
                                   sliding_window=sliding_window,
                                   k_new=kn, v_new=vn,
-                                  k_scales=ksp, v_scales=vsp)
+                                  **_scale_kwargs(quant, scales))
 
-    sm = shard_map(
-        local_q, mesh=mesh,
-        in_specs=(
-            P(None, None, "model", None),
-            P("model", None, None, None),
-            P("model", None, None, None),
-            P(None, None),
-            P(None),
-            P(None, "model", None),
-            P(None, "model", None),
-            P("model", None, None, None),
-            P("model", None, None, None),
-        ),
-        out_specs=P(None, None, "model", None),
-        check_rep=False,
-    )
+    specs = [_Q4_SPEC, _POOL_SPEC, _POOL_SPEC, P(None, None), P(None),
+             _Q3_SPEC, _Q3_SPEC]
+    sm = _tp_attention(mesh, local,
+                       specs + [_POOL_SPEC, _POOL_SPEC] * quant, _Q4_SPEC)
 
-    def wrapper(q, kp, vp, table, lengths, *, k_new, v_new, k_scales,
-                v_scales):
-        return sm(q, kp, vp, table, lengths, k_new, v_new, k_scales,
-                  v_scales)
+    def wrapper(q, kp, vp, table, lengths, *, k_new, v_new, **kw):
+        return sm(q, kp, vp, table, lengths, k_new, v_new,
+                  *((kw["k_scales"], kw["v_scales"]) if quant else ()))
 
     return wrapper
 
@@ -701,10 +616,12 @@ class PagedBatcher(ContinuousBatcher):
     ):
         """`kv_quant`: store the pools int8 with per-row absmax scales
         (library convention, `ops.paged_attention.quantize_kv`). Halves the
-        KV bytes per decode step — the dominant HBM traffic at high slot
-        counts — and nearly doubles the slot ceiling per pool byte. New
-        rows are quantized in VMEM by the Pallas write kernel; decode
-        dequantizes in VMEM inside the tuned library kernel."""
+        KV pool bytes per slot — nearly doubling the slot ceiling per pool
+        byte (the B=128 headline configuration). New rows are quantized in
+        VMEM by the Pallas write kernels; decode folds the scales into
+        scores/probabilities inside the flash-structure kernel (the tuned
+        library kernel cannot take int8 pools — it broadcasts scales to
+        full f32 arrays host-side and OOMs)."""
         if mesh is not None:
             m = mesh.shape.get("model", 1)
             if cfg.decoder.num_kv_heads % max(m, 1):

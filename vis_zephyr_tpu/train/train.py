@@ -250,6 +250,7 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
         seen_samples = 0
         step = start_step
         losses = []
+        window_metrics = []  # last `accum` micro-steps' (loss, grad_norm)
         from ..data import prefetch as _prefetch
         from ..utils.metrics import MetricsLogger
         from .optimizer import learning_rates_at
@@ -301,9 +302,16 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                 step += 1
                 seen_samples += global_batch
                 opt_step, at_boundary = step // accum, step % accum == 0
+                # Device scalars, no host sync: averaged over the
+                # accumulation window at logging time (HF Trainer reports
+                # the window mean, not the last micro-batch).
+                window_metrics.append((metrics["loss"], metrics["grad_norm"]))
+                if len(window_metrics) > accum:
+                    window_metrics.pop(0)
 
                 if at_boundary and opt_step % args.logging_steps == 0:
-                    loss = float(jax.device_get(metrics["loss"]))
+                    loss = float(np.mean(jax.device_get(
+                        [m[0] for m in window_metrics])))
                     losses.append(loss)
                     if is_main:
                         print(f"step {opt_step}/{total_steps} loss {loss:.4f}", flush=True)
@@ -313,7 +321,11 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                         mlogger.log(
                             opt_step,
                             loss=loss,
-                            grad_norm=float(jax.device_get(metrics["grad_norm"])),
+                            # Mean micro-grad norm over the window (the norm
+                            # of the mean grads MultiSteps applies is not
+                            # separately materialized).
+                            grad_norm=float(np.mean(jax.device_get(
+                                [m[1] for m in window_metrics]))),
                             tokens=int(jax.device_get(metrics["tokens"])),
                             samples_per_s=round(
                                 d_steps * global_batch / max(now - last_log_t, 1e-9), 3
@@ -334,8 +346,15 @@ def train(args: TrainArguments, tokenizer, cfg: Optional[VisZephyrConfig] = None
                 # boundaries, but the checkpoint save below is a collective:
                 # all hosts must agree on the flag at the SAME step or the
                 # save hangs until hard eviction. `agree_flag` is an
-                # allgather-OR (identity when single-process).
-                preempted["agreed"] = distributed.agree_flag(preempted["flag"])
+                # allgather-OR — run it only at optimizer-step boundaries in
+                # multi-host runs (a per-micro-step allgather blocks host
+                # dispatch and destroys async prefetch; the boundary cadence
+                # is identical on every host, so the collective stays
+                # consistent and the save happens at a shared step).
+                if n_proc == 1:
+                    preempted["agreed"] = preempted["flag"]
+                elif at_boundary:
+                    preempted["agreed"] = distributed.agree_flag(preempted["flag"])
                 if preempted["agreed"]:
                     # Mid-accumulation is fine: the MultiSteps state carries
                     # the partial grads and resumes exactly.
