@@ -189,12 +189,22 @@ def main(args=None):
                    help="prompt-lookup speculative decoding span (greedy "
                         "only; 0 disables): serialized path and both "
                         "continuous batchers (dense and paged)")
+    p.add_argument("--draft-model", default=None,
+                   help="model dir of a SMALL draft model: its decoder "
+                        "proposes --lookahead tokens per step for the "
+                        "batchers (beats prompt lookup on non-copy text); "
+                        "requires --continuous-batching and --lookahead N")
     a = p.parse_args(args)
 
     tokenizer, params, cfg, _ = load_pretrained_model(
         a.model_path, model_base=a.model_base, vision_tower_path=a.vision_tower,
         load_8bit=a.load_8bit, load_4bit=a.load_4bit, dtype=jnp.bfloat16,
     )
+    draft_params = draft_cfg = None
+    if a.draft_model:
+        _, draft_params, draft_cfg, _ = load_pretrained_model(
+            a.draft_model, dtype=jnp.bfloat16,
+        )
     mesh = None
     if a.tp > 1:
         from ..parallel.mesh import create_mesh
@@ -211,7 +221,7 @@ def main(args=None):
         continuous_batching=a.continuous_batching, max_slots=a.max_slots,
         kv_cache=a.kv_cache, kv_quant=a.kv_quant, num_pages=a.num_pages, mesh=mesh,
         metrics=metrics, prefill_chunk=a.prefill_chunk or None,
-        lookahead=a.lookahead,
+        lookahead=a.lookahead, draft_params=draft_params, draft_cfg=draft_cfg,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

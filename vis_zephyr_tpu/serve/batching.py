@@ -180,6 +180,7 @@ class ContinuousBatcher:
         metrics=None,
         prefill_chunk: Optional[int] = None,
         lookahead: int = 0,
+        draft=None,
     ):
         """`mesh`: optional inference mesh (see `parallel.mesh.inference_mesh`).
         Params are TP-sharded over its model axis and the KV cache over the
@@ -191,15 +192,19 @@ class ContinuousBatcher:
         TTFT/TPOT recorded at finish.
         `prefill_chunk`: admit long prompts in chunks of this many tokens,
         interleaved with decode steps (no head-of-line blocking).
-        `lookahead`: per-slot prompt-lookup speculative decoding (greedy
-        only; silently off when sampling.temperature > 0): each scheduler
-        step proposes up to `lookahead` tokens per slot from the slot's own
-        n-gram structure and verifies all slots in ONE multi-token cache
-        append — token-identical to plain greedy, fewer device steps on
-        copy-heavy outputs. Acceptance recorded in `metrics`."""
+        `lookahead`: per-slot speculative decoding (greedy only; silently
+        off when sampling.temperature > 0): each scheduler step proposes up
+        to `lookahead` tokens per slot — from the slot's own n-gram
+        structure (prompt lookup, the default) or from `draft` — and
+        verifies all slots in ONE multi-token cache append — token-
+        identical to plain greedy, fewer device steps when proposals land.
+        Acceptance recorded in `metrics`.
+        `draft`: optional `serve.draft.DraftModel` proposer (requires
+        lookahead > 0); slots it declines fall back to prompt lookup."""
         self.metrics = metrics
         self.prefill_chunk = prefill_chunk
         self.lookahead = lookahead if sampling.temperature <= 0.0 else 0
+        self.draft = draft if self.lookahead > 0 else None
         self._prefilling = None
         self._reserved_slot = None
         if mesh is not None:
@@ -308,6 +313,8 @@ class ContinuousBatcher:
         # Lookup history: vocabulary tokens only (image sentinels < 0 are
         # placeholders; an n-gram crossing one is meaningless).
         self.slot_hist[slot] = [int(t) for t in req.input_ids if t >= 0] + [tok]
+        if self.draft is not None:
+            self.draft.admit(slot, self.slot_hist[slot])
         self.token = self.token.at[slot].set(tok)
         if tok == self.sampling.eos_token_id:
             self._finish(slot)
@@ -422,6 +429,8 @@ class ContinuousBatcher:
                 self.metrics.record_request(req.request_id, ttft, tpot, req.n_tokens)
         self.slot_req[slot] = None
         self.active[slot] = False
+        if self.draft is not None:
+            self.draft.release(slot)
 
     def _step_verify(self) -> int:
         """One speculative scheduler step: column 0 of the verify batch is
@@ -442,19 +451,30 @@ class ContinuousBatcher:
         valid = np.zeros((B, S), bool)
         valid[:, 0] = True
         token_host = np.array(jax.device_get(self.token))  # writable copy
+        caps = np.zeros(B, np.int64)
+        for slot in range(B):
+            if self.active[slot]:
+                caps[slot] = max(0, min(
+                    self.lookahead, int(self.budget[slot]) - 1,
+                    self.cache_len - int(self.slot_len[slot]) - 1))
+        draft_props = (
+            self.draft.propose(self.active, token_host, caps, self.lookahead)
+            if self.draft is not None else [None] * B
+        )
         props: List[Optional[np.ndarray]] = [None] * B
         for slot in range(B):
             if not self.active[slot]:
                 continue
             toks[slot, 0] = token_host[slot]
-            cap = int(min(self.lookahead, self.budget[slot] - 1,
-                          self.cache_len - self.slot_len[slot] - 1))
-            if cap <= 0:
+            if caps[slot] <= 0:
                 continue
-            prop = _propose_lookup(np.asarray(self.slot_hist[slot]), span=cap)
+            prop = draft_props[slot]
+            if prop is None or not len(prop):
+                prop = _propose_lookup(np.asarray(self.slot_hist[slot]),
+                                       span=int(caps[slot]))
             if prop is None or not len(prop):
                 continue
-            prop = np.asarray(prop[:cap], np.int32)
+            prop = np.asarray(prop[: caps[slot]], np.int32)
             n = len(prop)
             toks[slot, 1 : 1 + n] = prop
             valid[slot, 1 : 1 + n] = True
@@ -489,12 +509,19 @@ class ContinuousBatcher:
                     finished = True
                     break
             if finished:
-                self._finish(slot)
+                self._finish(slot)  # releases the draft slot too
             else:
                 token_host[slot] = emitted[-1]
+                if self.draft is not None:
+                    # Committed rows this round = pending + accepted
+                    # (the corrected token is the NEW pending and stays
+                    # out of the draft cache).
+                    self.draft.commit(slot, 1 + accepted)
         # Host is the source of truth for lengths: rolls every slot back to
         # its accepted prefix (and undoes the inactive slots' dummy row).
         self._verify_rollback()
+        if self.draft is not None:
+            self.draft.rollback()
         self.token = jnp.asarray(token_host)
         return stepped
 

@@ -47,6 +47,8 @@ class ChatEngine:
         metrics=None,
         prefill_chunk=None,
         lookahead: int = 0,
+        draft_params=None,
+        draft_cfg=None,
     ):
         """`mesh`: optional inference mesh (model-axis TP). Params are
         sharded once here; jitted prefill/decode partition via SPMD
@@ -87,6 +89,15 @@ class ChatEngine:
         self._pump_stop = False
         self._pump_lock = threading.Lock()
         if continuous_batching:
+            draft = None
+            if draft_params is not None and lookahead > 0:
+                from .draft import DraftModel
+
+                # The draft's own dense cache is tiny (a small decoder);
+                # it proposes for every slot regardless of the target's
+                # cache layout.
+                draft = DraftModel(draft_params, draft_cfg,
+                                   max_slots=max_slots, cache_len=cache_len)
             if kv_cache == "paged":
                 from .paged import PagedBatcher
 
@@ -94,7 +105,7 @@ class ChatEngine:
                     params, cfg, max_slots=max_slots, cache_len=cache_len,
                     sampling=self.sampling, num_pages=num_pages, mesh=mesh,
                     metrics=metrics, prefill_chunk=prefill_chunk,
-                    kv_quant=kv_quant, lookahead=lookahead,
+                    kv_quant=kv_quant, lookahead=lookahead, draft=draft,
                 )
             else:
                 from .batching import ContinuousBatcher
@@ -103,6 +114,7 @@ class ChatEngine:
                     params, cfg, max_slots=max_slots, cache_len=cache_len,
                     sampling=self.sampling, mesh=mesh, metrics=metrics,
                     prefill_chunk=prefill_chunk, lookahead=lookahead,
+                    draft=draft,
                 )
 
     def _ensure_pump(self) -> None:

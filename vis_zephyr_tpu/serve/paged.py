@@ -613,6 +613,7 @@ class PagedBatcher(ContinuousBatcher):
         prefill_chunk: Optional[int] = None,
         kv_quant: bool = False,
         lookahead: int = 0,
+        draft=None,
     ):
         """`kv_quant`: store the pools int8 with per-row absmax scales
         (library convention, `ops.paged_attention.quantize_kv`). Halves the
@@ -694,10 +695,13 @@ class PagedBatcher(ContinuousBatcher):
         self.budget = np.zeros(max_slots, np.int64)
         self.slot_req: List[Optional[_Request]] = [None] * max_slots
         # _activate (shared with the dense batcher) maintains these.
-        # `lookahead`: prompt-lookup speculation via the flash-structure
-        # kernel's multi-row verify shape (`_paged_verify_step`); greedy
-        # only, same contract as the dense batcher.
+        # `lookahead`: speculation via the flash-structure kernel's
+        # multi-row verify shape (`_paged_verify_step`); greedy only,
+        # same contract as the dense batcher. `draft`: optional
+        # `serve.draft.DraftModel` proposer (its cache is dense
+        # regardless of the target's paged pools).
         self.lookahead = lookahead if sampling.temperature <= 0.0 else 0
+        self.draft = draft if self.lookahead > 0 else None
         self.slot_hist: List[list] = [[] for _ in range(max_slots)]
         self.slot_len = np.zeros(max_slots, np.int64)
         self.slot_pages: List[List[int]] = [[] for _ in range(max_slots)]
