@@ -152,6 +152,7 @@ def mistral_forward(
     remat: bool = False,
     return_kv: bool = False,
     use_flash: Optional[bool] = None,
+    attn_mesh=None,
     pallas_cache_update: Optional[bool] = None,
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
@@ -178,6 +179,9 @@ def mistral_forward(
     h = inputs_embeds
 
     if cache is None:
+        if attn_mesh is not None and cfg.num_kv_heads % attn_mesh.shape.get(
+                "model", 1):
+            attn_mesh = None  # GQA groups must stay whole per shard
         if use_flash is None:
             use_flash = (
                 jax.default_backend() != "cpu"
@@ -193,7 +197,10 @@ def mistral_forward(
             )
 
             def attend(q, k, v):
-                return flash_attention(q, k, v, kv_valid=kv_valid, causal=True)
+                # attn_mesh: run the Pallas kernel per TP shard over its
+                # heads (custom calls can't be auto-partitioned).
+                return flash_attention(q, k, v, kv_valid=kv_valid,
+                                       causal=True, mesh=attn_mesh)
         else:
             mask = attention_mask(
                 positions, positions, kv_valid=attn_valid, causal=True,

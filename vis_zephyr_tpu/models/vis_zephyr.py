@@ -237,6 +237,7 @@ def vis_zephyr_forward(
     return_kv: bool = False,
     pad_to_multiple: Optional[int] = None,
     use_flash: Optional[bool] = None,
+    attn_mesh=None,
     merge_info: Optional[jnp.ndarray] = None,
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
@@ -279,6 +280,7 @@ def vis_zephyr_forward(
         remat=remat,
         return_kv=return_kv,
         use_flash=use_flash,
+        attn_mesh=attn_mesh,
         lora_dropout=lora_dropout,
         dropout_rng=dropout_rng,
     )

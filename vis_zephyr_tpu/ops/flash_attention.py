@@ -446,20 +446,42 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = 256,
     block_k: int = 256,
+    mesh=None,
 ) -> jnp.ndarray:
     """Blockwise attention. q: [B, T, Hq, D]; k/v: [B, S, Hkv, D];
     kv_valid: bool [B, S] (None = all valid). Returns [B, T, Hq, D].
 
     Requires T % block_q == 0 and S % block_k == 0 (callers pad to length
-    buckets); positions are row indices (causality in slot order)."""
+    buckets); positions are row indices (causality in slot order).
+
+    `mesh`: a model-axis TP mesh — the kernel runs per shard over its
+    heads via shard_map (a Pallas custom call can't be auto-partitioned;
+    heads are embarrassingly parallel, zero collectives). The mesh's
+    model axis must divide Hkv so GQA groups stay whole per shard."""
     B, T, Hq, D = q.shape
     S = k.shape[1]
     scale = D ** -0.5 if scale is None else scale
     if T % 128 or S % 128:
         raise ValueError(f"T={T}, S={S} must be multiples of 128 (pad to a bucket)")
+    if kv_valid is None:
+        kv_valid = jnp.ones((B, S), bool)
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        heads = P(None, None, "model", None)
+
+        def local(q, k, v, kv_valid):
+            return flash_attention(q, k, v, kv_valid=kv_valid, causal=causal,
+                                   scale=scale, block_q=block_q,
+                                   block_k=block_k)
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(heads, heads, heads, P(None, None)),
+            out_specs=heads, check_rep=False,
+        )(q, k, v, kv_valid)
     # Largest block ≤ requested that divides the sequence exactly.
     block_q = next(b for b in (block_q, 256, 128) if b <= T and T % b == 0)
     block_k = next(b for b in (block_k, 256, 128) if b <= S and S % b == 0)
-    if kv_valid is None:
-        kv_valid = jnp.ones((B, S), bool)
     return _flash(q, k, v, kv_valid, causal, scale, block_q, block_k)

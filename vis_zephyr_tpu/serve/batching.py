@@ -40,14 +40,17 @@ from ..models.vis_zephyr import vis_zephyr_forward
 from .generate import SamplingConfig, _sample
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash", "attn_mesh"))
 def _prefill_kv(params, input_ids, images, patch_valid, cfg: VisZephyrConfig,
-                use_flash: Optional[bool] = None):
-    """Single-request prefill → (last_logits [1,V], k/v [L,T,Hkv,D], length)."""
+                use_flash: Optional[bool] = None, attn_mesh=None):
+    """Single-request prefill → (last_logits [1,V], k/v [L,T,Hkv,D], length).
+    `attn_mesh`: TP mesh — the Pallas flash prefill runs per shard over its
+    heads (previously TP admission fell back to XLA attention)."""
     pad_mult = 128 if jax.default_backend() != "cpu" else None
     logits, aux = vis_zephyr_forward(
         params, input_ids, images, patch_valid, cfg,
         return_kv=True, pad_to_multiple=pad_mult, use_flash=use_flash,
+        attn_mesh=attn_mesh,
     )
     k, v = aux["kv"]
     length = aux["lengths"][0]
@@ -214,7 +217,9 @@ class ContinuousBatcher:
         self.params = params
         self.cfg = cfg
         self.mesh = mesh
-        self.use_flash = False if mesh is not None else None
+        # Flash prefill runs under a mesh too (shard_map over heads via
+        # `attn_mesh` — see _prefill_kv); the auto-gate still applies.
+        self.use_flash = None
         self.max_slots = max_slots
         self.cache_len = cache_len
         self.sampling = sampling
@@ -288,7 +293,8 @@ class ContinuousBatcher:
             images = None if req.images is None else jnp.asarray(req.images[None])
             pv = None if req.patch_valid is None else jnp.asarray(req.patch_valid[None])
             last_logits, k, v, length = _prefill_kv(
-                self.params, ids, images, pv, self.cfg, use_flash=self.use_flash
+                self.params, ids, images, pv, self.cfg,
+                use_flash=self.use_flash, attn_mesh=self.mesh,
             )
             if int(length) + req.max_new_tokens > self.cache_len:
                 req.out.put(None)  # too long; reject

@@ -66,7 +66,8 @@ class ChatEngine:
             from ..parallel.sharding import shard_params
 
             params = shard_params(params, mesh)
-            self._use_flash = False  # Pallas prefill not auto-partitionable
+            # Flash prefill runs under the mesh too (shard_map over heads
+            # via attn_mesh); the per-shape auto-gate still applies.
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -266,6 +267,7 @@ class ChatEngine:
                 self.cfg,
                 self.sampling,
                 use_flash=self._use_flash,
+                attn_mesh=self.mesh,
                 lookahead=self.lookahead,
                 # Mesh-sharded cache → the Pallas cache-update custom call
                 # can't be auto-partitioned; use the XLA scatter (same rule

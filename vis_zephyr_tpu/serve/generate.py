@@ -60,7 +60,8 @@ def _sample(logits: jnp.ndarray, key, sampling: SamplingConfig) -> jnp.ndarray:
     return jax.random.categorical(key, logits, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cache_len", "use_flash"))
+@functools.partial(jax.jit, static_argnames=("cfg", "cache_len", "use_flash",
+                                              "attn_mesh"))
 def prefill(
     params,
     input_ids: jnp.ndarray,
@@ -70,6 +71,7 @@ def prefill(
     cache_len: int,
     text_valid: Optional[jnp.ndarray] = None,
     use_flash: Optional[bool] = None,
+    attn_mesh=None,
     merge_info: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict, jnp.ndarray]:
     """Run the multimodal prefill and return greedy-ready last-token logits.
@@ -85,7 +87,7 @@ def prefill(
     logits, aux = vis_zephyr_forward(
         params, input_ids, images, patch_valid, cfg,
         text_valid=text_valid, return_kv=True, pad_to_multiple=pad_mult,
-        use_flash=use_flash, merge_info=merge_info,
+        use_flash=use_flash, attn_mesh=attn_mesh, merge_info=merge_info,
     )
     lengths = aux["lengths"]
     k, v = aux["kv"]  # [L, B, T, Hkv, D]
@@ -161,6 +163,7 @@ def generate(
     rng: Optional[jax.Array] = None,
     cache_len: Optional[int] = None,
     use_flash: Optional[bool] = None,
+    attn_mesh=None,
     merge_info: Optional[jnp.ndarray] = None,
     pallas_cache: bool = True,
 ) -> np.ndarray:
@@ -176,7 +179,8 @@ def generate(
 
     last_logits, cache, _ = prefill(
         params, input_ids, images, patch_valid, cfg, cache_len,
-        text_valid=text_valid, use_flash=use_flash, merge_info=merge_info,
+        text_valid=text_valid, use_flash=use_flash, attn_mesh=attn_mesh,
+        merge_info=merge_info,
     )
     rng, sub = jax.random.split(rng)
     first = _sample(last_logits, sub, sampling)
@@ -245,6 +249,7 @@ def generate_stream(
     rng: Optional[jax.Array] = None,
     cache_len: Optional[int] = None,
     use_flash: Optional[bool] = None,
+    attn_mesh=None,
     merge_info: Optional[jnp.ndarray] = None,
     lookahead: int = 0,
     pallas_cache: bool = True,
@@ -266,7 +271,8 @@ def generate_stream(
 
     last_logits, cache, _ = prefill(
         params, input_ids, images, patch_valid, cfg, cache_len,
-        text_valid=text_valid, use_flash=use_flash, merge_info=merge_info,
+        text_valid=text_valid, use_flash=use_flash, attn_mesh=attn_mesh,
+        merge_info=merge_info,
     )
     speculate = lookahead > 0 and sampling.temperature <= 0.0
     # Image sentinels (< 0) are placeholders, not vocabulary: keep them out

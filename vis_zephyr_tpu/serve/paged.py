@@ -635,9 +635,9 @@ class PagedBatcher(ContinuousBatcher):
 
             params = shard_params(params, mesh)
         self.mesh = mesh
-        # Pallas prefill can't be auto-partitioned; XLA attention shards
-        # cleanly head-parallel (same rule as the dense TP batcher).
-        self.use_flash = False if mesh is not None else None
+        # Flash prefill runs under a mesh too (shard_map over heads via
+        # `attn_mesh` in _prefill_kv); the auto-gate still applies.
+        self.use_flash = None
         self.metrics = metrics
         self.prefill_chunk = prefill_chunk
         self._prefilling = None
@@ -737,7 +737,8 @@ class PagedBatcher(ContinuousBatcher):
             images = None if req.images is None else jnp.asarray(req.images[None])
             pv = None if req.patch_valid is None else jnp.asarray(req.patch_valid[None])
             last_logits, k, v, length = _prefill_kv(
-                self.params, ids, images, pv, self.cfg, use_flash=self.use_flash
+                self.params, ids, images, pv, self.cfg,
+                use_flash=self.use_flash, attn_mesh=self.mesh,
             )
             if int(length) + req.max_new_tokens > self.cache_len:
                 req.out.put(None)  # exceeds a sequence's page span; reject
