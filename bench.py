@@ -471,10 +471,34 @@ def main():
     tiny = os.environ.get("VZT_BENCH_PRESET") == "tiny"
 
     # First device touch, timed (a wedged acquisition shows up here and is
-    # bounded by the watchdog, not by any kill).
+    # bounded by the watchdog, not by any kill). A DOWN backend (tunnel
+    # outage: init raises UNAVAILABLE immediately) is retried within the
+    # budget — jax caches failed backend init, so clear between attempts —
+    # and, if it never comes up, recorded as `device_error` in a final
+    # rc=0 JSON line: an outage degrades to "zero phases, explicit error",
+    # never to an empty tail.
     t0 = time.monotonic()
-    h.extras["device"] = str(jax.devices()[0])
-    _sync(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
+    attempt = 0
+    while True:
+        try:
+            h.extras["device"] = str(jax.devices()[0])
+            _sync(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
+            h.extras.pop("device_error", None)
+            break
+        except Exception as e:
+            attempt += 1
+            h.extras["device_error"] = (
+                f"attempt {attempt}: {type(e).__name__}: {e}"[:300])
+            if h.remaining() < 240:
+                h.emit(final=True)
+                watchdog.cancel()
+                return
+            h.emit()  # progress line per failed attempt
+            try:
+                jax.clear_backends()
+            except Exception:
+                pass
+            time.sleep(45)
     h.extras["device_acquire_s"] = round(time.monotonic() - t0, 1)
 
     paged_steps = 2 if tiny else 64
