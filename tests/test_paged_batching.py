@@ -200,6 +200,54 @@ class TestSlidingWindowServing:
         np.testing.assert_array_equal(list(batcher.stream(h)), solo)
 
 
+class TestKitchenSink:
+    """Every serving feature at once: paged pools + int8 KV + chunked
+    prefill + speculation + draft model + sliding window + slot churn.
+    The interaction surface is where bugs hide; output must still be
+    token-exact vs solo generate."""
+
+    def test_all_features_exact(self, rng):
+        import dataclasses
+
+        from vis_zephyr_tpu.serve.draft import DraftModel
+
+        base = tiny_config()
+        cfg = dataclasses.replace(
+            base, decoder=dataclasses.replace(base.decoder, sliding_window=16)
+        )
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        sampling = SamplingConfig(max_new_tokens=12, temperature=0.0,
+                                  eos_token_id=-1)
+        draft = DraftModel(params, cfg, max_slots=3, cache_len=64)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=3, cache_len=64, page_size=16,
+            num_pages=14, sampling=sampling, kv_quant=True,
+            prefill_chunk=16, lookahead=3, draft=draft,
+        )
+        # More requests than slots/pages hold at once → churn + requeue;
+        # mixed text/multimodal; one copy-heavy prompt for real proposals.
+        reqs = [
+            make_request(cfg, rng, 6, with_image=False),
+            make_request(cfg, rng, 9, with_image=True),
+            (np.tile(rng.integers(5, 40, (5,)), 4), None, None),
+            make_request(cfg, rng, 21, with_image=False),
+            make_request(cfg, rng, 7, with_image=False),
+        ]
+        handles = [batcher.submit(ids, im, pv) for ids, im, pv in reqs]
+        batcher.run_until_drained()
+        for (ids, im, pv), h in zip(reqs, handles):
+            got = list(batcher.stream(h))
+            solo = generate(
+                params, jnp.asarray(ids[None]),
+                None if im is None else jnp.asarray(im[None]),
+                None if pv is None else jnp.asarray(pv[None]),
+                cfg, sampling, cache_len=64,
+            )[0]
+            np.testing.assert_array_equal(got, solo)
+        assert not batcher.active.any()
+        assert batcher.allocator.available == 13  # all pages released
+
+
 class TestSpeculativePagedBatcher:
     """Prompt-lookup speculation on the PAGED batcher: per-slot proposals
     verified through the flash-structure kernel's multi-row shape
