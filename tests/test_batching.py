@@ -98,6 +98,40 @@ class TestContinuousBatcher:
         assert list(batcher.stream(h)) == []
 
 
+class TestMultiStepDense:
+    def test_matches_single_step(self, setup, rng):
+        """multi_step=4 bursts are token-exact with the single-step batcher
+        across staggered budgets (slots freeze mid-burst at their own
+        budget)."""
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=6, temperature=0.0,
+                                  eos_token_id=-1)
+        batcher = ContinuousBatcher(
+            params, cfg, max_slots=4, cache_len=256, sampling=sampling,
+            multi_step=4,
+        )
+        requests = [make_request(cfg, rng, T, with_image=(T == 5))
+                    for T in (5, 8, 6)]
+        handles = [
+            batcher.submit(ids, im, pv, max_new_tokens=m)
+            for (ids, im, pv), m in zip(requests, (6, 3, 5))
+        ]
+        batcher.run_until_drained()
+        assert not batcher.active.any()
+        for (ids, im, pv), h, m in zip(requests, handles, (6, 3, 5)):
+            got = list(batcher.stream(h))
+            assert len(got) == m
+            solo = generate(
+                params, jnp.asarray(ids[None]),
+                None if im is None else jnp.asarray(im[None]),
+                None if pv is None else jnp.asarray(pv[None]), cfg,
+                SamplingConfig(max_new_tokens=m, temperature=0.0,
+                               eos_token_id=-1),
+                cache_len=256,
+            )[0]
+            np.testing.assert_array_equal(got, solo)
+
+
 class TestSpeculativeBatcher:
     """VERDICT r2 #5: prompt-lookup speculation inside the continuous
     batcher — per-slot proposals, one batched multi-token verify step,

@@ -171,6 +171,97 @@ class TestPagedBatcher:
             np.testing.assert_array_equal(list(batcher.stream(h)), solo)
 
 
+class TestMultiStepPaged:
+    """Multi-step bursts (`multi_step=n`: n decode steps per dispatch) must
+    be token-exact with single-stepping: the scan's alive/steps_left carry
+    freezes slots at EOS/budget exhaustion mid-burst exactly where the host
+    would have finished them."""
+
+    @pytest.mark.parametrize("kv_quant", [False, True])
+    def test_matches_standalone_generate(self, setup, rng, kv_quant):
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=6, temperature=0.0,
+                                  eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=4, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=32, multi_step=4,
+            kv_quant=kv_quant,
+        )
+        requests = [make_request(cfg, rng, T, with_image=not kv_quant)
+                    for T in (5, 8, 6)]
+        handles = [batcher.submit(ids, im, pv) for ids, im, pv in requests]
+        batcher.run_until_drained()
+        for (ids, im, pv), handle in zip(requests, handles):
+            got = list(batcher.stream(handle))
+            im_j = None if im is None else jnp.asarray(im[None])
+            pv_j = None if pv is None else jnp.asarray(pv[None])
+            solo = generate(
+                params, jnp.asarray(ids[None]), im_j, pv_j, cfg, sampling,
+                cache_len=64,
+            )[0]
+            np.testing.assert_array_equal(got, solo)
+
+    def test_budget_exhausts_mid_burst(self, setup, rng):
+        """Staggered per-request budgets (3, 6, 9) against multi_step=4:
+        slots freeze mid-burst at their own budget, not the burst boundary,
+        and outputs stay exact."""
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=6, temperature=0.0,
+                                  eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=4, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=32, multi_step=4,
+        )
+        requests = [make_request(cfg, rng, T, with_image=False)
+                    for T in (5, 8, 6)]
+        handles = [
+            batcher.submit(ids, im, pv, max_new_tokens=m)
+            for (ids, im, pv), m in zip(requests, (3, 6, 9))
+        ]
+        batcher.run_until_drained()
+        assert not batcher.active.any()
+        for (ids, im, pv), h, m in zip(requests, handles, (3, 6, 9)):
+            got = list(batcher.stream(h))
+            assert len(got) == m
+            solo = generate(
+                params, jnp.asarray(ids[None]), None, None, cfg,
+                SamplingConfig(max_new_tokens=m, temperature=0.0,
+                               eos_token_id=-1),
+                cache_len=64,
+            )[0]
+            np.testing.assert_array_equal(got, solo)
+        # Everything released: no slot leaked pages past its budget freeze.
+        assert batcher.allocator.available == 31
+
+    def test_eos_mid_burst(self, setup, rng):
+        """Pick the solo run's 3rd token as EOS: the burst must stop the
+        stream exactly where single-stepping would (and match a solo
+        generate under the same EOS)."""
+        cfg, params = setup
+        ids, im, pv = make_request(cfg, rng, 7, with_image=False)
+        free_run = generate(
+            params, jnp.asarray(ids[None]), None, None, cfg,
+            SamplingConfig(max_new_tokens=8, temperature=0.0,
+                           eos_token_id=-1),
+            cache_len=64,
+        )[0]
+        eos = int(free_run[2])
+        sampling = SamplingConfig(max_new_tokens=8, temperature=0.0,
+                                  eos_token_id=eos)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=32, multi_step=4,
+        )
+        h = batcher.submit(ids, im, pv)
+        batcher.run_until_drained()
+        # The batcher's stream excludes the EOS token itself: expect the
+        # unconstrained run's prefix before its first EOS occurrence.
+        first = next(i for i, t in enumerate(free_run) if int(t) == eos)
+        np.testing.assert_array_equal(list(batcher.stream(h)),
+                                      free_run[:first])
+        assert not batcher.active.any()
+
+
 class TestSlidingWindowServing:
     """cache_len beyond decoder.sliding_window: the paged decode must match
     the dense path (whose attention_mask applies the same window)."""

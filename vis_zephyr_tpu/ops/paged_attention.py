@@ -404,28 +404,39 @@ def _fa_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
     fori_loop over compute blocks of `ppcb` pages (bk = ppcb·page_size
     slots per block)."""
 
-    def make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb, ksb, vsb, ksem,
-                    vsem, pt_ref, b, h, i, slot):
-        """Async copies for compute block i of slot b into buffer `slot`."""
+    def process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb, ksb, vsb, ksem,
+                      vsem, pt_ref, lengths_ref, b, h, i, slot, wait):
+        """Start (or wait on) the copies for compute block i of slot b in
+        buffer `slot`. Only the `npg` pages that hold tokens are fetched
+        (tail partial fetch — see `_fa_mh_kernel.process_block`); stale
+        buffer pages beyond npg are masked by slot<length and the V
+        buffer is zeroed once at init so stale VMEM can't be NaN."""
         base = b * pages_per_seq + i * ppcb
-        copies = []
+        npg = jnp.clip(
+            lax.div(lengths_ref[b] + (page_size - 1), page_size) - i * ppcb,
+            1, ppcb)
         for j in range(ppcb):
-            # ppcb need not divide pages_per_seq: overshoot reads clamp to
-            # the row's last entry (their slots are masked; the duplicate
-            # DMAs hit a just-fetched page). Big blocks beat exact ones —
-            # per-block overhead dominates bytes (measured v5e, 6-page
-            # tables: ppcb=2 exact 1.06 ms vs ppcb=6 one-block 0.74).
             pid = pt_ref[base + jnp.minimum(j, pages_per_seq - 1 - i * ppcb)]
-            copies.append(pltpu.make_async_copy(
-                k_hbm.at[h, pid], kb.at[slot, j], ksem.at[slot]))
-            copies.append(pltpu.make_async_copy(
-                v_hbm.at[h, pid], vb.at[slot, j], vsem.at[slot]))
+            copies = [
+                pltpu.make_async_copy(
+                    k_hbm.at[h, pid], kb.at[slot, j], ksem.at[slot]),
+                pltpu.make_async_copy(
+                    v_hbm.at[h, pid], vb.at[slot, j], vsem.at[slot]),
+            ]
             if quant:
                 copies.append(pltpu.make_async_copy(
                     ks_hbm.at[h, pid], ksb.at[slot, j], ksem.at[slot]))
                 copies.append(pltpu.make_async_copy(
                     vs_hbm.at[h, pid], vsb.at[slot, j], vsem.at[slot]))
-        return copies
+
+            if j == 0:  # npg ≥ 1: page 0 is always live
+                for c in copies:
+                    c.wait() if wait else c.start()
+            else:
+                @pl.when(j < npg)
+                def _page(copies=copies):
+                    for c in copies:
+                        c.wait() if wait else c.start()
 
     def kernel(lengths_ref, pt_ref, qoffs_ref, buf_ref, init_ref, q_ref,
                kn_ref, vn_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
@@ -497,10 +508,12 @@ def _fa_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
             @pl.when(init_ref[0] == 1)
             def _first():
                 init_ref[0] = 0
-                for c in make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
-                                     ksb, vsb, ksem, vsem, pt_ref, b, h, i,
-                                     buf):
-                    c.start()
+                # See `_fa_mh_kernel`: stale VMEM past a tail partial fetch
+                # must be finite before it can feed the P·V matmul.
+                vb[...] = jnp.zeros(vb.shape, vb.dtype)
+                process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                              ksb, vsb, ksem, vsem, pt_ref, lengths_ref,
+                              b, h, i, buf, wait=False)
 
             # Issue the next block's DMAs (possibly the next grid cell's
             # first block) before waiting on this one.
@@ -509,18 +522,18 @@ def _fa_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
             @pl.when(nb < batch_size)
             def _prefetch():
                 nbuf = 1 - buf
-                for c in make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
-                                     ksb, vsb, ksem, vsem, pt_ref, nb, nh,
-                                     ni, nbuf):
-                    c.start()
+                process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                              ksb, vsb, ksem, vsem, pt_ref, lengths_ref,
+                              nb, nh, ni, nbuf, wait=False)
                 buf_ref[0] = nbuf
 
-            # Wait on this block's copies (identical descriptors to the
-            # ones started by _first or the previous iteration's prefetch —
-            # each wait dequeues its own copy's completion).
-            for c in make_copies(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
-                                 ksb, vsb, ksem, vsem, pt_ref, b, h, i, buf):
-                c.wait()
+            # Wait on this block's copies (identical predicates and
+            # descriptors to the ones started by _first or the previous
+            # iteration's prefetch — each wait dequeues its own copy's
+            # completion).
+            process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                          ksb, vsb, ksem, vsem, pt_ref, lengths_ref,
+                          b, h, i, buf, wait=True)
 
             q = q_ref[0, 0]                                   # [S*G, D]
             k = kb[buf].reshape(bk, -1)                       # [bk, D]
@@ -552,8 +565,11 @@ def _fa_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
             m_s[...] = m_next
             acc_s[...] *= alpha[:, :1]
             if quant:
+                # Masked re-select: stale scale lanes past the tail partial
+                # fetch may be non-finite, and 0·NaN = NaN.
                 vsc = vsb[buf].reshape(1, bk)
-                pexp = pexp * (vsc * (1.0 / KV_QUANT_MAX))
+                pexp = jnp.where(
+                    mask, pexp * (vsc * (1.0 / KV_QUANT_MAX)), 0.0)
             acc_s[...] += jax.lax.dot(
                 pexp.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
@@ -581,18 +597,31 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
     compute slice is contiguous."""
 
     def process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb, ksb, vsb, ksem,
-                      vsem, pt_ref, b, i, slot, wait):
+                      vsem, pt_ref, lengths_ref, b, i, slot, wait):
         """Start (or wait on) compute block i of slot b in buffer `slot`.
 
-        Fast path: when the block's table entries are an ascending RUN of
-        pool ids (the allocator hands out contiguous runs when it can),
-        the whole block moves in ONE dynamic-slice DMA per operand.
-        Measured v5e B=64: the kernel is DMA-descriptor-bound (~0.5 µs
-        per descriptor; bytes and block count barely move the time), so
-        collapsing ppcb page descriptors into one is the main lever.
-        The predicate is pure scalar state — recomputed identically at
+        Two descriptor-count levers (measured v5e B=64: the kernel is
+        DMA-descriptor-bound, ~0.5 µs per descriptor; bytes and block
+        count barely move the time):
+        · RUN fast path — when a block's table entries are an ascending
+          run of pool ids (the allocator hands out contiguous runs when
+          it can), the whole block moves in ONE dynamic-slice DMA per
+          operand instead of ppcb.
+        · TAIL partial fetch — only the `npg` pages that actually hold
+          tokens are fetched; overshoot pages past ceil(length/ps) are
+          never touched (they used to be clamped-duplicate DMAs, which
+          still cost descriptors). Stale buffer contents beyond npg are
+          masked out by the slot<length test; the V buffers are zeroed
+          once at kernel init so never-written VMEM can't feed NaNs into
+          the P·V matmul (0·NaN = NaN even in masked-out columns).
+        All predicates are pure scalar state — recomputed identically at
         start and wait time, so starts and waits always pair."""
         base = b * pages_per_seq + i * ppcb
+        # Pages of this block that hold tokens of slot b (≥ 1: the body
+        # only runs for blocks below hi_blk).
+        npg = jnp.clip(
+            lax.div(lengths_ref[b] + (page_size - 1), page_size) - i * ppcb,
+            1, ppcb)
         pids = [pt_ref[base + jnp.minimum(j, pages_per_seq - 1 - i * ppcb)]
                 for j in range(ppcb)]
 
@@ -600,9 +629,9 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
             for c in copies:
                 c.wait() if wait else c.start()
 
-        def scatter():
+        def scatter(T):
             copies = []
-            for j in range(ppcb):
+            for j in range(T):
                 copies.append(pltpu.make_async_copy(
                     k_hbm.at[:, pids[j]], kb.at[slot, :, j], ksem.at[slot]))
                 copies.append(pltpu.make_async_copy(
@@ -616,37 +645,49 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
                         vsem.at[slot]))
             go(copies)
 
+        def run(T):
+            # Scratch is [2, Hkv, ppcb, ps, D]; the run slice matches the
+            # buffer's [Hkv, ppcb, ps, D] layout directly (page dim second).
+            pid0 = pids[0]
+            copies = [
+                pltpu.make_async_copy(
+                    k_hbm.at[:, pl.ds(pid0, T)], kb.at[slot, :, pl.ds(0, T)],
+                    ksem.at[slot]),
+                pltpu.make_async_copy(
+                    v_hbm.at[:, pl.ds(pid0, T)], vb.at[slot, :, pl.ds(0, T)],
+                    vsem.at[slot]),
+            ]
+            if quant:
+                copies.append(pltpu.make_async_copy(
+                    ks_hbm.at[:, pl.ds(pid0, T)],
+                    ksb.at[slot, :, pl.ds(0, T)], ksem.at[slot]))
+                copies.append(pltpu.make_async_copy(
+                    vs_hbm.at[:, pl.ds(pid0, T)],
+                    vsb.at[slot, :, pl.ds(0, T)], vsem.at[slot]))
+            go(copies)
+
         if ppcb == 1:
-            scatter()
+            scatter(1)
             return
 
-        run_ok = pids[1] == pids[0] + 1
-        for j in range(2, ppcb):
-            run_ok &= pids[j] == pids[0] + j
-        pid0 = pids[0]
-        # Scratch is [2, Hkv, ppcb, ps, D]; the run slice matches the
-        # buffer's [Hkv, ppcb, ps, D] layout directly (page dim second).
-        run = [
-            pltpu.make_async_copy(
-                k_hbm.at[:, pl.ds(pid0, ppcb)], kb.at[slot], ksem.at[slot]),
-            pltpu.make_async_copy(
-                v_hbm.at[:, pl.ds(pid0, ppcb)], vb.at[slot], vsem.at[slot]),
-        ]
-        if quant:
-            run.append(pltpu.make_async_copy(
-                ks_hbm.at[:, pl.ds(pid0, ppcb)], ksb.at[slot],
-                ksem.at[slot]))
-            run.append(pltpu.make_async_copy(
-                vs_hbm.at[:, pl.ds(pid0, ppcb)], vsb.at[slot],
-                vsem.at[slot]))
+        for T in range(1, ppcb + 1):
+            is_T = npg == T
+            if T == 1:
+                @pl.when(is_T)
+                def _one():
+                    scatter(1)
+            else:
+                run_ok = pids[1] == pids[0] + 1
+                for j in range(2, T):
+                    run_ok &= pids[j] == pids[0] + j
 
-        @pl.when(run_ok)
-        def _run():
-            go(run)
+                @pl.when(is_T & run_ok)
+                def _run(T=T):
+                    run(T)
 
-        @pl.when(jnp.logical_not(run_ok))
-        def _scatter():
-            scatter()
+                @pl.when(is_T & jnp.logical_not(run_ok))
+                def _scatter(T=T):
+                    scatter(T)
 
     SG = S * G
 
@@ -705,9 +746,16 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
             @pl.when(init_ref[0] == 1)
             def _first():
                 init_ref[0] = 0
+                # Never-written VMEM may hold non-finite bit patterns; the
+                # tail partial fetch leaves pages ≥ npg stale, and a NaN in
+                # V reaches the output through the P·V matmul even where
+                # P's columns are masked to 0 (0·NaN = NaN). One zero fill
+                # before any DMA makes every future stale byte finite
+                # (fetched pool data is always finite).
+                vb[...] = jnp.zeros(vb.shape, vb.dtype)
                 process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
-                              ksb, vsb, ksem, vsem, pt_ref, b, i, buf,
-                              wait=False)
+                              ksb, vsb, ksem, vsem, pt_ref, lengths_ref,
+                              b, i, buf, wait=False)
 
             nb, ni = next_indices(b, i + 1)
 
@@ -715,13 +763,13 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
             def _prefetch():
                 nbuf = 1 - buf
                 process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
-                              ksb, vsb, ksem, vsem, pt_ref, nb, ni, nbuf,
-                              wait=False)
+                              ksb, vsb, ksem, vsem, pt_ref, lengths_ref,
+                              nb, ni, nbuf, wait=False)
                 buf_ref[0] = nbuf
 
             process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
-                          ksb, vsb, ksem, vsem, pt_ref, b, i, buf,
-                          wait=True)
+                          ksb, vsb, ksem, vsem, pt_ref, lengths_ref,
+                          b, i, buf, wait=True)
 
             # Mask geometry is shared by every head.
             slot = i * bk + jax.lax.broadcasted_iota(jnp.int32, (SG, bk), 1)
@@ -757,8 +805,11 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
                 m_s[r] = m_next
                 acc_s[r] *= alpha[:, :1]
                 if quant:
+                    # Masked re-select: stale scale lanes past the tail
+                    # partial fetch may be non-finite, and 0·NaN = NaN.
                     vsc = vsb[buf, h].reshape(1, bk)
-                    pexp = pexp * (vsc * (1.0 / KV_QUANT_MAX))
+                    pexp = jnp.where(
+                        mask, pexp * (vsc * (1.0 / KV_QUANT_MAX)), 0.0)
                 acc_s[r] += jax.lax.dot(
                     pexp.astype(v.dtype), v,
                     preferred_element_type=jnp.float32)

@@ -194,6 +194,12 @@ def main(args=None):
                         "proposes --lookahead tokens per step for the "
                         "batchers (beats prompt lookup on non-copy text); "
                         "requires --continuous-batching and --lookahead N")
+    p.add_argument("--multi-step", type=int, default=1,
+                   help="decode steps per dispatch for the batchers (vLLM-"
+                        "style multi-step scheduling): amortizes host "
+                        "scheduling + dispatch latency over N tokens when "
+                        "no admission work waits; token-exact under greedy. "
+                        "Ignored with --lookahead")
     a = p.parse_args(args)
 
     tokenizer, params, cfg, _ = load_pretrained_model(
@@ -222,6 +228,7 @@ def main(args=None):
         kv_cache=a.kv_cache, kv_quant=a.kv_quant, num_pages=a.num_pages, mesh=mesh,
         metrics=metrics, prefill_chunk=a.prefill_chunk or None,
         lookahead=a.lookahead, draft_params=draft_params, draft_cfg=draft_cfg,
+        multi_step=a.multi_step,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

@@ -152,6 +152,47 @@ def _batch_step(params, cache, token, active, key, cfg: VisZephyrConfig,
     return next_token, new_cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "sampling", "n",
+                                              "pallas_cache"),
+                   donate_argnums=(1,))
+def _batch_multi_step(params, cache, token, active, steps_left, key,
+                      cfg: VisZephyrConfig, sampling: SamplingConfig,
+                      n: int, pallas_cache: bool = True):
+    """`n` chained decode steps in ONE dispatch (multi-step scheduling,
+    the vLLM-style host-overhead amortization): the per-step host work —
+    Python scheduling, dispatch latency, one device_get per step — is paid
+    once per burst instead of once per token.
+
+    The burst is TOKEN-EXACT with single-stepping: the scan carries an
+    `alive` mask and per-slot `steps_left` (the host's remaining budget),
+    so a slot that emits EOS or exhausts its budget mid-burst is frozen by
+    the very next iteration — its lengths stop growing and nothing is
+    written (inactive slots write the trash page / are masked), exactly as
+    if the host had finished it between steps. (Sampled decoding draws the
+    burst's keys from one split rather than n sequential splits, so
+    temperature > 0 sequences differ from the single-step path — both are
+    valid samples.)
+
+    Returns (toks [n, B], entry_alive [n, B], cache, token): the host
+    processes token (j, b) iff entry_alive[j, b]."""
+    eos = sampling.eos_token_id
+
+    def body(carry, sub):
+        cache, token, alive, left = carry
+        tok, cache = _batch_step(params, cache, token, alive, sub, cfg,
+                                 sampling, pallas_cache=pallas_cache)
+        entry_alive = alive
+        left = left - 1
+        alive = alive & (tok != eos) & (left > 0)
+        return (cache, tok, alive, left), (tok, entry_alive)
+
+    keys = jax.random.split(key, n)
+    (cache, token, _, _), (toks, alive) = jax.lax.scan(
+        body, (cache, token, active, steps_left), keys
+    )
+    return toks, alive, cache, token
+
+
 @dataclasses.dataclass
 class _Request:
     request_id: int
@@ -184,6 +225,7 @@ class ContinuousBatcher:
         prefill_chunk: Optional[int] = None,
         lookahead: int = 0,
         draft=None,
+        multi_step: int = 1,
     ):
         """`mesh`: optional inference mesh (see `parallel.mesh.inference_mesh`).
         Params are TP-sharded over its model axis and the KV cache over the
@@ -203,10 +245,17 @@ class ContinuousBatcher:
         identical to plain greedy, fewer device steps when proposals land.
         Acceptance recorded in `metrics`.
         `draft`: optional `serve.draft.DraftModel` proposer (requires
-        lookahead > 0); slots it declines fall back to prompt lookup."""
+        lookahead > 0); slots it declines fall back to prompt lookup.
+        `multi_step`: run this many decode steps per dispatch when no
+        admission work is waiting (`_batch_multi_step`) — amortizes host
+        scheduling + dispatch latency over n tokens, token-exact with
+        single-stepping under greedy decoding. Mutually exclusive with
+        `lookahead` (the verify step already advances multiple tokens per
+        dispatch); ignored when lookahead > 0."""
         self.metrics = metrics
         self.prefill_chunk = prefill_chunk
         self.lookahead = lookahead if sampling.temperature <= 0.0 else 0
+        self.multi_step = max(1, int(multi_step)) if self.lookahead == 0 else 1
         self.draft = draft if self.lookahead > 0 else None
         self._prefilling = None
         self._reserved_slot = None
@@ -548,11 +597,39 @@ class ContinuousBatcher:
             self.cache, length=jnp.asarray(self.slot_len.astype(np.int32))
         )
 
+    def _has_admission_work(self) -> bool:
+        """True when a request is waiting to be admitted — the multi-step
+        burst yields to single-stepping so admission latency stays one
+        decode step, not `multi_step`."""
+        return self._prefilling is not None or not self.pending.empty()
+
+    def _process_burst(self, toks: np.ndarray, alive: np.ndarray) -> int:
+        """Host-side processing of a multi-step burst: toks/alive [n, B],
+        token (j, slot) is live iff the slot was alive entering step j.
+        Applies the same emit/EOS/budget transitions as single-stepping —
+        the device's alive/steps_left carry mirrors them exactly."""
+        stepped = 0
+        for j in range(toks.shape[0]):
+            for slot in range(self.max_slots):
+                if not (self.active[slot] and alive[j, slot]):
+                    continue
+                stepped += 1
+                tok = int(toks[j, slot])
+                if tok == self.sampling.eos_token_id:
+                    self._finish(slot)
+                    continue
+                self._emit(self.slot_req[slot], tok)
+                self.budget[slot] -= 1
+                if self.budget[slot] <= 0:
+                    self._finish(slot)
+        return stepped
+
     def step(self) -> int:
         """Admit pending requests (one chunk's worth under chunked prefill),
         then advance every active slot by one token (or by a speculative
-        verify span with `lookahead`). Returns the number of active slots
-        stepped."""
+        verify span with `lookahead`, or by up to `multi_step` tokens in one
+        dispatch when no admission work waits). Returns the number of active
+        slots stepped."""
         if self.prefill_chunk:
             self._pump_prefill()
         else:
@@ -561,6 +638,17 @@ class ContinuousBatcher:
             return 0
         if self.lookahead > 0:
             return self._step_verify()
+        if self.multi_step > 1 and not self._has_admission_work():
+            self.rng, sub = jax.random.split(self.rng)
+            toks, alive, self.cache, self.token = _batch_multi_step(
+                self.params, self.cache, self.token,
+                jnp.asarray(self.active),
+                jnp.asarray(self.budget.astype(np.int32)), sub,
+                self.cfg, self.sampling, n=self.multi_step,
+                pallas_cache=self.mesh is None,
+            )
+            return self._process_burst(np.asarray(jax.device_get(toks)),
+                                       np.asarray(jax.device_get(alive)))
         self.rng, sub = jax.random.split(self.rng)
         self.token, self.cache = _batch_step(
             self.params, self.cache, self.token, jnp.asarray(self.active), sub,

@@ -49,6 +49,7 @@ class ChatEngine:
         lookahead: int = 0,
         draft_params=None,
         draft_cfg=None,
+        multi_step: int = 1,
     ):
         """`mesh`: optional inference mesh (model-axis TP). Params are
         sharded once here; jitted prefill/decode partition via SPMD
@@ -107,6 +108,7 @@ class ChatEngine:
                     sampling=self.sampling, num_pages=num_pages, mesh=mesh,
                     metrics=metrics, prefill_chunk=prefill_chunk,
                     kv_quant=kv_quant, lookahead=lookahead, draft=draft,
+                    multi_step=multi_step,
                 )
             else:
                 from .batching import ContinuousBatcher
@@ -115,7 +117,7 @@ class ChatEngine:
                     params, cfg, max_slots=max_slots, cache_len=cache_len,
                     sampling=self.sampling, mesh=mesh, metrics=metrics,
                     prefill_chunk=prefill_chunk, lookahead=lookahead,
-                    draft=draft,
+                    draft=draft, multi_step=multi_step,
                 )
 
     def _ensure_pump(self) -> None:

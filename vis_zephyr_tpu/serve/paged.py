@@ -487,6 +487,48 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sampling", "mesh", "mode", "n"),
+    donate_argnums=(1, 2, 3, 5),
+)
+def _paged_multi_step(params, kp, vp, scales, page_table, lengths, token,
+                      active, steps_left, key, cfg: VisZephyrConfig,
+                      sampling: SamplingConfig, mesh=None,
+                      mode: str = "selfterm", n: int = 4):
+    """`n` chained `_paged_step`s in ONE dispatch (multi-step scheduling):
+    host scheduling + dispatch latency + the per-step device_get are paid
+    once per burst instead of once per token.
+
+    Token-exact with single-stepping: the scan carries `alive` and
+    per-slot `steps_left` (the host's remaining budget), so a slot that
+    emits EOS or runs out of budget mid-burst is frozen by the next
+    iteration — lengths stop growing and its writes land on the trash
+    page, exactly as if the host had finished it between steps. (See
+    `batching._batch_multi_step` for the temperature > 0 rng caveat.)
+
+    Returns (toks [n, B], entry_alive [n, B], kp, vp, scales, lengths,
+    token)."""
+    eos = sampling.eos_token_id
+
+    def body(carry, sub):
+        kp, vp, scales, lengths, token, alive, left = carry
+        tok, kp, vp, scales, lengths = _paged_step(
+            params, kp, vp, scales, page_table, lengths, token, alive, sub,
+            cfg, sampling, mesh=mesh, mode=mode,
+        )
+        entry_alive = alive
+        left = left - 1
+        alive = alive & (tok != eos) & (left > 0)
+        return (kp, vp, scales, lengths, tok, alive, left), (tok, entry_alive)
+
+    keys = jax.random.split(key, n)
+    (kp, vp, scales, lengths, token, _, _), (toks, alive) = jax.lax.scan(
+        body, (kp, vp, scales, lengths, token, active, steps_left), keys
+    )
+    return toks, alive, kp, vp, scales, lengths, token
+
+
+@functools.partial(
     jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1, 2, 3),
 )
 def _paged_verify_step(params, kp, vp, scales, page_table, lengths, toks,
@@ -614,6 +656,7 @@ class PagedBatcher(ContinuousBatcher):
         kv_quant: bool = False,
         lookahead: int = 0,
         draft=None,
+        multi_step: int = 1,
     ):
         """`kv_quant`: store the pools int8 with per-row absmax scales
         (library convention, `ops.paged_attention.quantize_kv`). Halves the
@@ -702,6 +745,9 @@ class PagedBatcher(ContinuousBatcher):
         # regardless of the target's paged pools).
         self.lookahead = lookahead if sampling.temperature <= 0.0 else 0
         self.draft = draft if self.lookahead > 0 else None
+        # Multi-step bursts (`_paged_multi_step`): n decode steps per
+        # dispatch when no admission work waits; exclusive with lookahead.
+        self.multi_step = max(1, int(multi_step)) if self.lookahead == 0 else 1
         self.slot_hist: List[list] = [[] for _ in range(max_slots)]
         self.slot_len = np.zeros(max_slots, np.int64)
         self.slot_pages: List[List[int]] = [[] for _ in range(max_slots)]
@@ -804,6 +850,10 @@ class PagedBatcher(ContinuousBatcher):
     def _verify_rollback(self) -> None:
         self.lengths = jnp.asarray(self.slot_len.astype(np.int32))
 
+    def _has_admission_work(self) -> bool:
+        return (self._prefilling is not None or not self.pending.empty()
+                or bool(self._requeued))
+
     def step(self) -> int:
         if self.prefill_chunk:
             self._pump_prefill()
@@ -813,6 +863,18 @@ class PagedBatcher(ContinuousBatcher):
             return 0
         if self.lookahead > 0:
             return self._step_verify()
+        if self.multi_step > 1 and not self._has_admission_work():
+            self.rng, sub = jax.random.split(self.rng)
+            (toks, alive, self.kp, self.vp, (self.ksp, self.vsp),
+             self.lengths, self.token) = _paged_multi_step(
+                self.params, self.kp, self.vp, (self.ksp, self.vsp),
+                self.page_table, self.lengths, self.token,
+                jnp.asarray(self.active),
+                jnp.asarray(self.budget.astype(np.int32)), sub,
+                self.cfg, self.sampling, mesh=self.mesh, n=self.multi_step,
+            )
+            return self._process_burst(np.asarray(jax.device_get(toks)),
+                                       np.asarray(jax.device_get(alive)))
         self.rng, sub = jax.random.split(self.rng)
         self.token, self.kp, self.vp, (self.ksp, self.vsp), self.lengths = _paged_step(
             self.params, self.kp, self.vp, (self.ksp, self.vsp),
