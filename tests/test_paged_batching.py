@@ -313,7 +313,7 @@ class TestKitchenSink:
         batcher = PagedBatcher(
             params, cfg, max_slots=3, cache_len=64, page_size=16,
             num_pages=14, sampling=sampling, kv_quant=True,
-            prefill_chunk=16, lookahead=3, draft=draft,
+            prefill_chunk=16, lookahead=3, draft=draft, kv_fused=True,
         )
         # More requests than slots/pages hold at once → churn + requeue;
         # mixed text/multimodal; one copy-heavy prompt for real proposals.

@@ -263,6 +263,22 @@ def paged_attention(
     arrays host-side (4× the int8 pool in HBM — OOM).
     """
     B, Hq, D = q.shape
+    if v_pages is None:
+        # KV-fused pool (see `paged_attention_fa`): every shape rides the
+        # flash-structure kernel — the library kernel and the block-spec
+        # walk below only know split pools.
+        if k_new is None:
+            return paged_attention_fa(
+                q[:, None], k_pages, None, page_table, lengths, lengths - 1,
+                scale=scale, sliding_window=sliding_window,
+                k_scales=k_scales, interpret=interpret,
+            )[:, 0]
+        return paged_attention_fa(
+            q[:, None], k_pages, None, page_table, lengths, lengths,
+            scale=scale, sliding_window=sliding_window,
+            k_scales=k_scales, k_new=k_new, v_new=v_new,
+            interpret=interpret,
+        )[:, 0]
     Hkv, _, page_size, _ = k_pages.shape
     pages_per_seq = page_table.shape[1]
     group = Hq // Hkv
@@ -587,14 +603,23 @@ def _fa_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
 def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
                   pages_per_seq: int, scale: float, quant: bool,
                   window: Optional[int], batch_size: int,
-                  num_kv_heads: int, has_new: bool = False):
+                  num_kv_heads: int, has_new: bool = False,
+                  fused: bool = False):
     """One grid cell per SLOT, all kv heads folded in: grid (B,) instead of
     (B, Hkv). At serving batch sizes the (B, Hkv) grid is per-cell-overhead
     bound (B=64 × Hkv=8 = 512 cells/layer doing ~µs of work each); folding
     heads cuts the cell count 8× and batches each page's per-head fetches
     into ONE strided DMA (`k_hbm.at[:, pid]` — the head dim strides the
     pool). Scratch is head-major (`[2, Hkv, ppcb, ps, D]`) so each head's
-    compute slice is contiguous."""
+    compute slice is contiguous.
+
+    `fused`: the KV-FUSED pool layout — `k_hbm` is one [Hkv, N, 2·ps, D]
+    pool holding a page's K rows then its V rows ([Hkv, N, 1, 2·ps]
+    scales likewise), so each page (or run) moves in ONE DMA instead of
+    two (four with scales): the third descriptor-count lever on a
+    descriptor-bound kernel. `v_hbm`/`vs_hbm` and the v/vs buffers are
+    dummies in this mode; compute slices K and V out of the fused buffer
+    rows (static offsets — free)."""
 
     def process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb, ksb, vsb, ksem,
                       vsem, pt_ref, lengths_ref, b, i, slot, wait):
@@ -634,15 +659,18 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
             for j in range(T):
                 copies.append(pltpu.make_async_copy(
                     k_hbm.at[:, pids[j]], kb.at[slot, :, j], ksem.at[slot]))
-                copies.append(pltpu.make_async_copy(
-                    v_hbm.at[:, pids[j]], vb.at[slot, :, j], vsem.at[slot]))
+                if not fused:
+                    copies.append(pltpu.make_async_copy(
+                        v_hbm.at[:, pids[j]], vb.at[slot, :, j],
+                        vsem.at[slot]))
                 if quant:
                     copies.append(pltpu.make_async_copy(
                         ks_hbm.at[:, pids[j]], ksb.at[slot, :, j],
                         ksem.at[slot]))
-                    copies.append(pltpu.make_async_copy(
-                        vs_hbm.at[:, pids[j]], vsb.at[slot, :, j],
-                        vsem.at[slot]))
+                    if not fused:
+                        copies.append(pltpu.make_async_copy(
+                            vs_hbm.at[:, pids[j]], vsb.at[slot, :, j],
+                            vsem.at[slot]))
             go(copies)
 
         def run(T):
@@ -653,17 +681,19 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
                 pltpu.make_async_copy(
                     k_hbm.at[:, pl.ds(pid0, T)], kb.at[slot, :, pl.ds(0, T)],
                     ksem.at[slot]),
-                pltpu.make_async_copy(
-                    v_hbm.at[:, pl.ds(pid0, T)], vb.at[slot, :, pl.ds(0, T)],
-                    vsem.at[slot]),
             ]
+            if not fused:
+                copies.append(pltpu.make_async_copy(
+                    v_hbm.at[:, pl.ds(pid0, T)], vb.at[slot, :, pl.ds(0, T)],
+                    vsem.at[slot]))
             if quant:
                 copies.append(pltpu.make_async_copy(
                     ks_hbm.at[:, pl.ds(pid0, T)],
                     ksb.at[slot, :, pl.ds(0, T)], ksem.at[slot]))
-                copies.append(pltpu.make_async_copy(
-                    vs_hbm.at[:, pl.ds(pid0, T)],
-                    vsb.at[slot, :, pl.ds(0, T)], vsem.at[slot]))
+                if not fused:
+                    copies.append(pltpu.make_async_copy(
+                        vs_hbm.at[:, pl.ds(pid0, T)],
+                        vsb.at[slot, :, pl.ds(0, T)], vsem.at[slot]))
             go(copies)
 
         if ppcb == 1:
@@ -751,8 +781,12 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
                 # V reaches the output through the P·V matmul even where
                 # P's columns are masked to 0 (0·NaN = NaN). One zero fill
                 # before any DMA makes every future stale byte finite
-                # (fetched pool data is always finite).
-                vb[...] = jnp.zeros(vb.shape, vb.dtype)
+                # (fetched pool data is always finite). In fused mode the
+                # V rows live inside kb, so the fused buffer is zeroed.
+                if fused:
+                    kb[...] = jnp.zeros(kb.shape, kb.dtype)
+                else:
+                    vb[...] = jnp.zeros(vb.shape, vb.dtype)
                 process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
                               ksb, vsb, ksem, vsem, pt_ref, lengths_ref,
                               b, i, buf, wait=False)
@@ -781,8 +815,15 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
             for h in range(num_kv_heads):
                 r = slice(h * SG, (h + 1) * SG)
                 q = q_ref[0, h]                             # [SG, D]
-                k = kb[buf, h].reshape(bk, -1)              # [bk, D]
-                v = vb[buf, h].reshape(bk, -1)
+                if fused:
+                    # Fused buffer [ppcb, 2·ps, D]: rows [0, ps) are K,
+                    # [ps, 2·ps) are V — static slices, no data movement.
+                    kv = kb[buf, h]
+                    k = kv[:, :page_size].reshape(bk, -1)   # [bk, D]
+                    v = kv[:, page_size:].reshape(bk, -1)
+                else:
+                    k = kb[buf, h].reshape(bk, -1)          # [bk, D]
+                    v = vb[buf, h].reshape(bk, -1)
                 if quant:
                     k = k.astype(q.dtype)
                     v = v.astype(q.dtype)
@@ -791,7 +832,10 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
                     preferred_element_type=jnp.float32,
                 ) * scale                                   # [SG, bk]
                 if quant:
-                    ksc = ksb[buf, h].reshape(1, bk)
+                    if fused:
+                        ksc = ksb[buf, h][:, :, :page_size].reshape(1, bk)
+                    else:
+                        ksc = ksb[buf, h].reshape(1, bk)
                     s = s * (ksc * (1.0 / KV_QUANT_MAX))
                 s = jnp.where(mask, s, NEG_INF)
 
@@ -807,7 +851,10 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
                 if quant:
                     # Masked re-select: stale scale lanes past the tail
                     # partial fetch may be non-finite, and 0·NaN = NaN.
-                    vsc = vsb[buf, h].reshape(1, bk)
+                    if fused:
+                        vsc = ksb[buf, h][:, :, page_size:].reshape(1, bk)
+                    else:
+                        vsc = vsb[buf, h].reshape(1, bk)
                     pexp = jnp.where(
                         mask, pexp * (vsc * (1.0 / KV_QUANT_MAX)), 0.0)
                 acc_s[r] += jax.lax.dot(
@@ -886,9 +933,21 @@ def paged_attention_fa(
     measured v5e B=64, 640-token pools: 16.5 ms lib / 15.8 ms (b,h) grid
     → 13.2 ms folded per 32-layer step-equiv) and its strided all-head
     DMAs cost nothing extra; the (b, h) grid remains for VMEM-tight
-    shapes (its scratch is Hkv× smaller)."""
+    shapes (its scratch is Hkv× smaller).
+
+    KV-FUSED pools (`v_pages=None`): `k_pages` is one
+    [Hkv, N, 2·page_size, D] pool holding each page's K rows then its V
+    rows (`k_scales` likewise [Hkv, N, 1, 2·page_size], K lanes then V
+    lanes; `v_scales=None`) — each page block moves in ONE DMA instead
+    of two (four with scales), halving descriptors again on a
+    descriptor-bound kernel. Folded grid only."""
     B, S, Hq, D = q.shape
-    Hkv, _, page_size, _ = k_pages.shape
+    fused = v_pages is None
+    if fused:
+        Hkv, _, two_ps, _ = k_pages.shape
+        page_size = two_ps // 2
+    else:
+        Hkv, _, page_size, _ = k_pages.shape
     pages_per_seq = page_table.shape[1]
     G = Hq // Hkv
     SG = S * G
@@ -902,6 +961,8 @@ def paged_attention_fa(
     if has_new and (S != 1 or not fold_heads):
         raise ValueError("k_new/v_new self-term requires S == 1 and the "
                          "folded grid")
+    if fused and not fold_heads:
+        raise ValueError("KV-fused pools require the folded grid")
 
     # [B, Hkv, S*G, D]: a kv head's query rows are its S positions × G
     # group heads; row r ↔ position q_offs + r // G.
@@ -917,9 +978,14 @@ def paged_attention_fa(
     ppcb = pages_per_block
     bk = ppcb * page_size
 
+    if fused:  # dummy v-side HBM refs keep one kernel signature
+        v_pages = jnp.zeros((1, 1, 8, 128), k_pages.dtype)
+        v_scales = jnp.zeros((1, 1, 1, page_size), jnp.float32)
     if not quant:  # dummy HBM refs keep one kernel signature
-        k_scales = jnp.zeros((Hkv, 1, 1, page_size), jnp.float32)
-        v_scales = jnp.zeros((Hkv, 1, 1, page_size), jnp.float32)
+        k_scales = jnp.zeros(
+            (Hkv, 1, 1, 2 * page_size if fused else page_size), jnp.float32)
+        if not fused:
+            v_scales = jnp.zeros((Hkv, 1, 1, page_size), jnp.float32)
     if not has_new:  # dummy self-term operands likewise
         k_new = jnp.zeros((1, Hkv, D), q.dtype)
         v_new = jnp.zeros((1, Hkv, D), q.dtype)
@@ -928,17 +994,20 @@ def paged_attention_fa(
         grid = (B,)
         kernel = _fa_mh_kernel(
             G, S, bk, ppcb, page_size, pages_per_seq, scale, quant,
-            sliding_window, B, Hkv, has_new=has_new,
+            sliding_window, B, Hkv, has_new=has_new, fused=fused,
         )
         q_spec = pl.BlockSpec((1, Hkv, SG, D), lambda b, *_: (b, 0, 0, 0))
         new_spec = pl.BlockSpec(
             (1, Hkv, D),
             (lambda b, *_: (b, 0, 0)) if has_new else (lambda b, *_: (0, 0, 0)))
+        kv_rows = 2 * page_size if fused else page_size
         scratch = [
-            pltpu.VMEM((2, Hkv, ppcb, page_size, D), k_pages.dtype),
-            pltpu.VMEM((2, Hkv, ppcb, page_size, D), v_pages.dtype),
-            pltpu.VMEM((2, Hkv, ppcb, 1, page_size), jnp.float32),
-            pltpu.VMEM((2, Hkv, ppcb, 1, page_size), jnp.float32),
+            pltpu.VMEM((2, Hkv, ppcb, kv_rows, D), k_pages.dtype),
+            (pltpu.VMEM((2, 1, 1, 8, 128), k_pages.dtype) if fused else
+             pltpu.VMEM((2, Hkv, ppcb, page_size, D), v_pages.dtype)),
+            pltpu.VMEM((2, Hkv, ppcb, 1, kv_rows), jnp.float32),
+            (pltpu.VMEM((2, 1, 1, 1, 128), jnp.float32) if fused else
+             pltpu.VMEM((2, Hkv, ppcb, 1, page_size), jnp.float32)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((Hkv * SG, 128), jnp.float32),
@@ -997,11 +1066,22 @@ def paged_attention_fa(
             .reshape(B, S, Hq, D))
 
 
-def _kv_update_kernel(page_size: int):
+def _kv_update_kernel(page_size: int, fused: bool = False):
     def kernel(pids_ref, offs_ref, k_ref, v_ref, kold_ref, vold_ref,
                kout_ref, vout_ref):
         b = pl.program_id(1)
         off = offs_ref[b]
+        if fused:
+            # One [Hkv, 1, 2·ps, D] fused page: K row at `off`, V row at
+            # `ps + off`.
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, 2 * page_size, 1), 2)
+            kout_ref[...] = jnp.where(
+                row == off, k_ref[0, 0][:, None, None, :],
+                jnp.where(row == page_size + off,
+                          v_ref[0, 0][:, None, None, :], kold_ref[...]))
+            vout_ref[...] = vold_ref[...]
+            return
         row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, page_size, 1), 2)
         sel = row == off
         kout_ref[...] = jnp.where(sel, k_ref[0, 0][:, None, None, :], kold_ref[...])
@@ -1031,8 +1111,18 @@ def paged_kv_update(
 
     The caller passes trash-page ids (0) for inactive slots; repeated
     writes to page 0 are benign (it is never attended).
+
+    KV-FUSED pools (`v_pages=None`): `k_pages` is the fused
+    [Hkv, N, 2·ps, D] pool; the K row lands at `off`, the V row at
+    `ps + off` of the same page block. Returns `(pool, None)`.
     """
-    Hkv, N, ps, D = k_pages.shape
+    fused = v_pages is None
+    if fused:
+        Hkv, N, two_ps, D = k_pages.shape
+        ps = two_ps // 2
+        v_pages = jnp.zeros((1, 1, 8, 128), k_pages.dtype)  # dummy
+    else:
+        Hkv, N, ps, D = k_pages.shape
     L, B, _, _ = ks.shape
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1040,18 +1130,21 @@ def paged_kv_update(
     flat_pids = page_ids.reshape(-1)
     grid = (L, B)
     page_block = pl.BlockSpec(
-        (Hkv, 1, ps, D), lambda l, b, pids, offs: (0, pids[l * B + b], 0, 0)
+        (Hkv, 1, 2 * ps if fused else ps, D),
+        lambda l, b, pids, offs: (0, pids[l * B + b], 0, 0)
     )
+    v_block = (pl.BlockSpec((1, 1, 8, 128), lambda l, b, pids, offs: (0, 0, 0, 0))
+               if fused else page_block)
     new_block = pl.BlockSpec((1, 1, Hkv, D), lambda l, b, pids, offs: (l, b, 0, 0))
     kp, vp = pl.pallas_call(
-        _kv_update_kernel(ps),
+        _kv_update_kernel(ps, fused=fused),
         out_shape=(jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
                    jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # page ids, offsets
             grid=grid,
-            in_specs=[new_block, new_block, page_block, page_block],
-            out_specs=[page_block, page_block],
+            in_specs=[new_block, new_block, page_block, v_block],
+            out_specs=[page_block, v_block],
         ),
         # Operand indices count flattened args INCLUDING the scalar-prefetch
         # ones (cf. megablox gmm's {6: 0}): pools are args 4 and 5.
@@ -1060,12 +1153,12 @@ def paged_kv_update(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(flat_pids, offsets, ks.astype(k_pages.dtype), vs.astype(v_pages.dtype),
+    )(flat_pids, offsets, ks.astype(k_pages.dtype), vs.astype(k_pages.dtype),
       k_pages, v_pages)
-    return kp, vp
+    return (kp, None) if fused else (kp, vp)
 
 
-def _kv_update_quant_kernel(page_size: int):
+def _kv_update_quant_kernel(page_size: int, fused: bool = False):
     def kernel(pids_ref, offs_ref, k_ref, v_ref,
                kold_ref, vold_ref, ksold_ref, vsold_ref,
                kout_ref, vout_ref, ksout_ref, vsout_ref):
@@ -1079,6 +1172,25 @@ def _kv_update_quant_kernel(page_size: int):
         vs = jnp.max(jnp.abs(v), axis=-1, keepdims=True)
         kq = jnp.rint(k * (KV_QUANT_MAX / jnp.maximum(ks, 1e-9)))
         vq = jnp.rint(v * (KV_QUANT_MAX / jnp.maximum(vs, 1e-9)))
+        if fused:
+            # Fused page [Hkv, 1, 2·ps, D]: K row at `off`, V at `ps+off`;
+            # fused scales [Hkv, 1, 1, 2·ps]: K lane `off`, V lane `ps+off`.
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, 2 * page_size, 1), 2)
+            kout_ref[...] = jnp.where(
+                row == off, kq.astype(jnp.int8)[:, None, None, :],
+                jnp.where(row == page_size + off,
+                          vq.astype(jnp.int8)[:, None, None, :],
+                          kold_ref[...]))
+            vout_ref[...] = vold_ref[...]
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, 1, 2 * page_size), 3)
+            ksout_ref[...] = jnp.where(
+                lane == off, ks[:, None, None, :],
+                jnp.where(lane == page_size + off, vs[:, None, None, :],
+                          ksold_ref[...]))
+            vsout_ref[...] = vsold_ref[...]
+            return
         row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, page_size, 1), 2)
         sel = row == off
         kout_ref[...] = jnp.where(sel, kq.astype(jnp.int8)[:, None, None, :],
@@ -1108,8 +1220,19 @@ def paged_kv_update_q(
     interpret=None,
 ) -> tuple:
     """`paged_kv_update` for int8-quantized pools: quantizes each new row
-    in VMEM and writes the int8 row + its scale in place."""
-    Hkv, N, ps, D = k_pages.shape
+    in VMEM and writes the int8 row + its scale in place.
+
+    KV-FUSED pools (`v_pages=None`, `v_scales=None`): the fused pool and
+    fused scale pool are updated at `off` (K) and `ps + off` (V); returns
+    `(pool, None, scales, None)`."""
+    fused = v_pages is None
+    if fused:
+        Hkv, N, two_ps, D = k_pages.shape
+        ps = two_ps // 2
+        v_pages = jnp.zeros((1, 1, 8, 128), k_pages.dtype)    # dummies
+        v_scales = jnp.zeros((1, 1, 1, 128), k_scales.dtype)
+    else:
+        Hkv, N, ps, D = k_pages.shape
     L, B, _, _ = ks.shape
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1117,14 +1240,19 @@ def paged_kv_update_q(
     flat_pids = page_ids.reshape(-1)
     grid = (L, B)
     page_block = pl.BlockSpec(
-        (Hkv, 1, ps, D), lambda l, b, pids, offs: (0, pids[l * B + b], 0, 0)
+        (Hkv, 1, 2 * ps if fused else ps, D),
+        lambda l, b, pids, offs: (0, pids[l * B + b], 0, 0)
     )
     scale_block = pl.BlockSpec(
-        (Hkv, 1, 1, ps), lambda l, b, pids, offs: (0, pids[l * B + b], 0, 0)
+        (Hkv, 1, 1, 2 * ps if fused else ps),
+        lambda l, b, pids, offs: (0, pids[l * B + b], 0, 0)
     )
+    zero4 = lambda l, b, pids, offs: (0, 0, 0, 0)
+    v_block = (pl.BlockSpec((1, 1, 8, 128), zero4) if fused else page_block)
+    vs_block = (pl.BlockSpec((1, 1, 1, 128), zero4) if fused else scale_block)
     new_block = pl.BlockSpec((1, 1, Hkv, D), lambda l, b, pids, offs: (l, b, 0, 0))
-    return pl.pallas_call(
-        _kv_update_quant_kernel(ps),
+    out = pl.pallas_call(
+        _kv_update_quant_kernel(ps, fused=fused),
         out_shape=(jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
                    jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
                    jax.ShapeDtypeStruct(k_scales.shape, k_scales.dtype),
@@ -1133,8 +1261,8 @@ def paged_kv_update_q(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[new_block, new_block,
-                      page_block, page_block, scale_block, scale_block],
-            out_specs=[page_block, page_block, scale_block, scale_block],
+                      page_block, v_block, scale_block, vs_block],
+            out_specs=[page_block, v_block, scale_block, vs_block],
         ),
         # Flattened args incl. scalar-prefetch: (pids, offs, k, v, kp, vp,
         # ksp, vsp) → pools are 4..7.
@@ -1144,13 +1272,20 @@ def paged_kv_update_q(
         ),
         interpret=interpret,
     )(flat_pids, offsets, ks, vs, k_pages, v_pages, k_scales, v_scales)
+    return (out[0], None, out[2], None) if fused else out
 
 
-def _kv_update_rows_kernel(quant: bool, L: int, row_tile: int):
+def _kv_update_rows_kernel(quant: bool, L: int, row_tile: int,
+                           page_size: int, fused: bool = False):
     """Each cell read-modify-writes the `row_tile`-row tile containing slot
     b's row in every layer at once: HBM slices must be tile-aligned in the
     minor-two dims (Mosaic rejects 1-row slices of a [.., ps, D] pool), so
-    the write granule is one aligned row tile, not one row."""
+    the write granule is one aligned row tile, not one row.
+
+    `fused`: the pools are KV-fused ([.., 2·ps, D] pages, K rows then V
+    rows; scales [.., 1, 2·ps]) — the K tile sits at `base`, the V tile at
+    `ps + base` of the SAME pool ref, and one fused scale RMW replaces
+    two."""
 
     def kernel(pages_ref, offs_ref, k_ref, v_ref, k_hbm, v_hbm,
                ks_hbm, vs_hbm, ko_hbm, vo_hbm, kso_hbm, vso_hbm,
@@ -1160,16 +1295,24 @@ def _kv_update_rows_kernel(quant: bool, L: int, row_tile: int):
         off = offs_ref[b]
         base = pl.multiple_of((off // row_tile) * row_tile, row_tile)
         tile = pl.ds(base, row_tile)
+        if fused:
+            # ps is a multiple of row_tile (row_tile = min(32, ps)), so the
+            # V tile keeps the alignment guarantee.
+            tile_v = pl.ds(pl.multiple_of(page_size + base, row_tile),
+                           row_tile)
 
         fetch = [
             pltpu.make_async_copy(ko_hbm.at[:, :, page, tile], kb, sem),
-            pltpu.make_async_copy(vo_hbm.at[:, :, page, tile], vb, sem),
+            pltpu.make_async_copy(
+                ko_hbm.at[:, :, page, tile_v] if fused
+                else vo_hbm.at[:, :, page, tile], vb, sem),
         ]
         if quant:
             fetch.append(pltpu.make_async_copy(
                 kso_hbm.at[:, :, page], ksb, sem))
-            fetch.append(pltpu.make_async_copy(
-                vso_hbm.at[:, :, page], vsb, sem))
+            if not fused:
+                fetch.append(pltpu.make_async_copy(
+                    vso_hbm.at[:, :, page], vsb, sem))
         for c in fetch:
             c.start()
         for c in fetch:
@@ -1191,12 +1334,20 @@ def _kv_update_rows_kernel(quant: bool, L: int, row_tile: int):
                                 kb[...])
             vb[...] = jnp.where(sel, vq.astype(jnp.int8)[:, :, None, :],
                                 vb[...])
-            # Scale blocks [Hkv, L, 1, ps]: select lane `off`.
+            # Scale blocks [Hkv, L, 1, ps]: select lane `off` (fused: the
+            # K scale lands at lane `off`, the V scale at `ps + off` of the
+            # one fused block).
             lane = jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, 1, ksb.shape[-1]), 3)
-            lsel = lane == off
-            ksb[...] = jnp.where(lsel, ks[:, :, None, :], ksb[...])
-            vsb[...] = jnp.where(lsel, vs[:, :, None, :], vsb[...])
+            if fused:
+                ksb[...] = jnp.where(
+                    lane == off, ks[:, :, None, :],
+                    jnp.where(lane == page_size + off, vs[:, :, None, :],
+                              ksb[...]))
+            else:
+                lsel = lane == off
+                ksb[...] = jnp.where(lsel, ks[:, :, None, :], ksb[...])
+                vsb[...] = jnp.where(lsel, vs[:, :, None, :], vsb[...])
         else:
             kb[...] = jnp.where(sel, k.astype(kb.dtype)[:, :, None, :],
                                 kb[...])
@@ -1205,13 +1356,16 @@ def _kv_update_rows_kernel(quant: bool, L: int, row_tile: int):
 
         flush = [
             pltpu.make_async_copy(kb, ko_hbm.at[:, :, page, tile], sem),
-            pltpu.make_async_copy(vb, vo_hbm.at[:, :, page, tile], sem),
+            pltpu.make_async_copy(
+                vb, ko_hbm.at[:, :, page, tile_v] if fused
+                else vo_hbm.at[:, :, page, tile], sem),
         ]
         if quant:
             flush.append(pltpu.make_async_copy(
                 ksb, kso_hbm.at[:, :, page], sem))
-            flush.append(pltpu.make_async_copy(
-                vsb, vso_hbm.at[:, :, page], sem))
+            if not fused:
+                flush.append(pltpu.make_async_copy(
+                    vsb, vso_hbm.at[:, :, page], sem))
         for c in flush:
             c.start()
         # Wait before the cell ends: the next cell may touch the same page
@@ -1223,8 +1377,15 @@ def _kv_update_rows_kernel(quant: bool, L: int, row_tile: int):
 
 def _kv_update_rows(k_pages, v_pages, k_scales, v_scales, ks, vs,
                     pages, offsets, quant: bool, interpret):
-    """Shared body for `paged_kv_update_rows{,_q}` (see their docstrings)."""
-    Hkv, NP, ps, D = k_pages.shape
+    """Shared body for `paged_kv_update_rows{,_q}` (see their docstrings).
+    `v_pages=None` → KV-fused pools (pages [.., 2·ps, D], scales
+    [.., 1, 2·ps]); returns the fused pool with `vp`/v-scales None."""
+    fused = v_pages is None
+    if fused:
+        Hkv, NP, two_ps, D = k_pages.shape
+        ps = two_ps // 2
+    else:
+        Hkv, NP, ps, D = k_pages.shape
     L, B, _, _ = ks.shape
     P = NP // L
     if interpret is None:
@@ -1233,11 +1394,13 @@ def _kv_update_rows(k_pages, v_pages, k_scales, v_scales, ks, vs,
     # [L, B, Hkv, D] → [B, Hkv, L, D] so one slot's rows are one block.
     kt = jnp.transpose(ks, (1, 2, 0, 3))
     vt = jnp.transpose(vs, (1, 2, 0, 3))
-    k5 = k_pages.reshape(Hkv, L, P, ps, D)
-    v5 = v_pages.reshape(Hkv, L, P, ps, D)
+    k5 = k_pages.reshape(Hkv, L, P, 2 * ps if fused else ps, D)
+    v5 = (jnp.zeros((1, 1, 1, 8, 128), k_pages.dtype) if fused
+          else v_pages.reshape(Hkv, L, P, ps, D))
     if quant:
-        ks5 = k_scales.reshape(Hkv, L, P, 1, ps)
-        vs5 = v_scales.reshape(Hkv, L, P, 1, ps)
+        ks5 = k_scales.reshape(Hkv, L, P, 1, 2 * ps if fused else ps)
+        vs5 = (jnp.zeros((1, 1, 1, 1, ps), jnp.float32) if fused
+               else v_scales.reshape(Hkv, L, P, 1, ps))
     else:  # dummies keep one kernel signature
         ks5 = jnp.zeros((1, 1, 1, 1, ps), jnp.float32)
         vs5 = jnp.zeros((1, 1, 1, 1, ps), jnp.float32)
@@ -1246,7 +1409,7 @@ def _kv_update_rows(k_pages, v_pages, k_scales, v_scales, ks, vs,
     pool_dtype = k_pages.dtype
     row_tile = min(32, ps)  # aligned write granule for every pool dtype
     out = pl.pallas_call(
-        _kv_update_rows_kernel(quant, L, row_tile),
+        _kv_update_rows_kernel(quant, L, row_tile, ps, fused=fused),
         out_shape=(jax.ShapeDtypeStruct(k5.shape, k5.dtype),
                    jax.ShapeDtypeStruct(v5.shape, v5.dtype),
                    jax.ShapeDtypeStruct(ks5.shape, ks5.dtype),
@@ -1263,7 +1426,8 @@ def _kv_update_rows(k_pages, v_pages, k_scales, v_scales, ks, vs,
             scratch_shapes=[
                 pltpu.VMEM((Hkv, L, row_tile, D), pool_dtype),
                 pltpu.VMEM((Hkv, L, row_tile, D), pool_dtype),
-                pltpu.VMEM((Hkv, L, 1, ps), jnp.float32),
+                pltpu.VMEM((Hkv, L, 1, 2 * ps if fused and quant else ps),
+                           jnp.float32),
                 pltpu.VMEM((Hkv, L, 1, ps), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
@@ -1277,9 +1441,11 @@ def _kv_update_rows(k_pages, v_pages, k_scales, v_scales, ks, vs,
         interpret=interpret,
     )(pages.astype(jnp.int32), offsets.astype(jnp.int32),
       kt, vt, k5, v5, ks5, vs5)
-    kp = out[0].reshape(Hkv, NP, ps, D)
-    vp = out[1].reshape(Hkv, NP, ps, D)
+    kp = out[0].reshape(k_pages.shape)
+    vp = None if fused else out[1].reshape(Hkv, NP, ps, D)
     if quant:
+        if fused:
+            return kp, None, (out[2].reshape(Hkv, NP, 1, 2 * ps), None)
         return kp, vp, (out[2].reshape(Hkv, NP, 1, ps),
                         out[3].reshape(Hkv, NP, 1, ps))
     return kp, vp, None

@@ -200,6 +200,11 @@ def main(args=None):
                         "scheduling + dispatch latency over N tokens when "
                         "no admission work waits; token-exact under greedy. "
                         "Ignored with --lookahead")
+    p.add_argument("--kv-fused", action="store_true",
+                   help="fused KV pool layout (paged only): K and V rows "
+                        "share one page block so the decode kernel moves "
+                        "each block in one DMA instead of two (four with "
+                        "--kv-quant); token-exact with the split layout")
     a = p.parse_args(args)
 
     tokenizer, params, cfg, _ = load_pretrained_model(
@@ -228,7 +233,7 @@ def main(args=None):
         kv_cache=a.kv_cache, kv_quant=a.kv_quant, num_pages=a.num_pages, mesh=mesh,
         metrics=metrics, prefill_chunk=a.prefill_chunk or None,
         lookahead=a.lookahead, draft_params=draft_params, draft_cfg=draft_cfg,
-        multi_step=a.multi_step,
+        multi_step=a.multi_step, kv_fused=a.kv_fused,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

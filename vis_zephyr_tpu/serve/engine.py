@@ -50,6 +50,7 @@ class ChatEngine:
         draft_params=None,
         draft_cfg=None,
         multi_step: int = 1,
+        kv_fused: bool = False,
     ):
         """`mesh`: optional inference mesh (model-axis TP). Params are
         sharded once here; jitted prefill/decode partition via SPMD
@@ -108,7 +109,7 @@ class ChatEngine:
                     sampling=self.sampling, num_pages=num_pages, mesh=mesh,
                     metrics=metrics, prefill_chunk=prefill_chunk,
                     kv_quant=kv_quant, lookahead=lookahead, draft=draft,
-                    multi_step=multi_step,
+                    multi_step=multi_step, kv_fused=kv_fused,
                 )
             else:
                 from .batching import ContinuousBatcher

@@ -59,6 +59,15 @@ below `length − window` masked and their page blocks skipped) — sequences
 beyond 4096 tokens serve correctly under the backbone's 32K positions.
 Configs whose sequences cannot outgrow the window keep the tuned library
 kernel.
+
+KV-fused pools (`kv_fused=True` / `--kv-fused`): K and V (and their
+scales) interleave in ONE pool array — each page holds its K rows then
+its V rows ([Hkv, L·P, 2·ps, D]; scales [Hkv, L·P, 1, 2·ps]) — so the
+descriptor-bound decode kernel moves every page block (or contiguous
+run) in one DMA instead of two (four with kv_quant). Everywhere in this
+module `vp is None` / `vsp is None` signals the fused layout; the kernels
+accept the same convention, so the step/verify/admit code is layout-
+agnostic. Token-exact with the split layout (tests/test_paged_fused.py).
 """
 
 from __future__ import annotations
@@ -142,9 +151,12 @@ class PageAllocator:
 def _admit_paged_q(kp, vp, ksp, vsp, page_table, lengths, k, v, length, row,
                    *, slot: int):
     """`_admit_paged` for int8-quantized pools: per-row quantize the
-    prefilled K/V, write int8 blocks + scale blocks."""
+    prefilled K/V, write int8 blocks + scale blocks. KV-fused pools
+    (`vp=None`, `vsp=None`): the fused page gets K rows then V rows, the
+    fused scale block K lanes then V lanes."""
+    fused = vp is None
     L, T, Hkv, D = k.shape
-    ps = kp.shape[2]
+    ps = kp.shape[2] // 2 if fused else kp.shape[2]
     P = kp.shape[1] // L
     n = T // ps
     kq, ks = quantize_kv(k)   # [L, T, Hkv, D] int8, [L, T, Hkv, 1]
@@ -155,6 +167,16 @@ def _admit_paged_q(kp, vp, ksp, vsp, page_table, lengths, k, v, length, row,
     ksb = ks[..., 0].reshape(L, n, ps, Hkv).transpose(3, 0, 1, 2)[:, :, :, None, :]
     vsb = vs[..., 0].reshape(L, n, ps, Hkv).transpose(3, 0, 1, 2)[:, :, :, None, :]
     pages = row[:n]
+    if fused:
+        kvb = jnp.concatenate([kb, vb], axis=3)          # [Hkv, L, n, 2ps, D]
+        kvsb = jnp.concatenate([ksb, vsb], axis=4)       # [Hkv, L, n, 1, 2ps]
+        kp = (kp.reshape(Hkv, L, P, 2 * ps, D).at[:, :, pages].set(kvb)
+              .reshape(Hkv, L * P, 2 * ps, D))
+        ksp = (ksp.reshape(Hkv, L, P, 1, 2 * ps).at[:, :, pages].set(kvsb)
+               .reshape(Hkv, L * P, 1, 2 * ps))
+        page_table = page_table.at[slot].set(row)
+        lengths = lengths.at[slot].set(length.astype(jnp.int32))
+        return kp, None, ksp, None, page_table, lengths
     kp = kp.reshape(Hkv, L, P, ps, D).at[:, :, pages].set(kb).reshape(Hkv, L * P, ps, D)
     vp = vp.reshape(Hkv, L, P, ps, D).at[:, :, pages].set(vb).reshape(Hkv, L * P, ps, D)
     ksp = ksp.reshape(Hkv, L, P, 1, ps).at[:, :, pages].set(ksb).reshape(Hkv, L * P, 1, ps)
@@ -170,15 +192,24 @@ def _admit_paged(kp, vp, page_table, lengths, k, v, length, row, *, slot: int):
     its page-table row. k/v: [L, T, Hkv, D] with T a page-size multiple
     (prefill pads to 128 on TPU; padded host-side otherwise).
     Pools are [Hkv, L*P, ps, D]; viewed as [Hkv, L, P, ps, D] the same
-    logical page id is written in every layer's segment."""
+    logical page id is written in every layer's segment. KV-fused pools
+    (`vp=None`): pages are [2·ps, D], K rows then V rows."""
+    fused = vp is None
     L, T, Hkv, D = k.shape
-    ps = kp.shape[2]
+    ps = kp.shape[2] // 2 if fused else kp.shape[2]
     P = kp.shape[1] // L
     n = T // ps
     # [L, T, Hkv, D] → [Hkv, L, n, ps, D] page blocks.
     kb = k.reshape(L, n, ps, Hkv, D).transpose(3, 0, 1, 2, 4).astype(kp.dtype)
-    vb = v.reshape(L, n, ps, Hkv, D).transpose(3, 0, 1, 2, 4).astype(vp.dtype)
+    vb = v.reshape(L, n, ps, Hkv, D).transpose(3, 0, 1, 2, 4).astype(kp.dtype)
     pages = row[:n]
+    if fused:
+        kvb = jnp.concatenate([kb, vb], axis=3)          # [Hkv, L, n, 2ps, D]
+        kp = (kp.reshape(Hkv, L, P, 2 * ps, D).at[:, :, pages].set(kvb)
+              .reshape(Hkv, L * P, 2 * ps, D))
+        page_table = page_table.at[slot].set(row)
+        lengths = lengths.at[slot].set(length.astype(jnp.int32))
+        return kp, None, page_table, lengths
     kp = kp.reshape(Hkv, L, P, ps, D).at[:, :, pages].set(kb).reshape(Hkv, L * P, ps, D)
     vp = vp.reshape(Hkv, L, P, ps, D).at[:, :, pages].set(vb).reshape(Hkv, L * P, ps, D)
     page_table = page_table.at[slot].set(row)
@@ -212,10 +243,31 @@ def _scale_kwargs(quant, scales):
     return {"k_scales": scales[0], "v_scales": scales[1]} if quant else {}
 
 
-def _paged_attention_tp(mesh, sliding_window=None, quant=False):
+# KV-FUSED pools under TP: the fused pool/scale arrays shard over kv heads
+# exactly like the split ones (axis 0), and the wrappers below keep the
+# callers' (q, kp, vp, ...) convention with vp/vsp = None — only the
+# shard_map operand lists shrink (None can't ride a shard_map spec).
+
+
+def _paged_attention_tp(mesh, sliding_window=None, quant=False, fused=False):
     """`paged_attention` (single-row dispatch, q [B, Hq, D]) under the
     model-axis TP mesh (sharding story: see the spec vocabulary above).
     `quant` appends the kv-head-sharded scale pools."""
+    if fused:
+        def local(q, kp, table, lengths, *scales):
+            return paged_attention(q, kp, None, table, lengths,
+                                   sliding_window=sliding_window,
+                                   **({"k_scales": scales[0]} if quant else {}))
+
+        specs = [_Q3_SPEC, _POOL_SPEC, P(None, None), P(None)]
+        sm = _tp_attention(mesh, local, specs + [_POOL_SPEC] * quant,
+                           _Q3_SPEC)
+
+        def wrapper(q, kp, vp, table, lengths, **kw):
+            return sm(q, kp, table, lengths,
+                      *((kw["k_scales"],) if quant else ()))
+
+        return wrapper
 
     def local(q, kp, vp, table, lengths, *scales):
         return paged_attention(q, kp, vp, table, lengths,
@@ -233,9 +285,26 @@ def _paged_attention_tp(mesh, sliding_window=None, quant=False):
     return wrapper
 
 
-def _paged_attention_fa_tp(mesh, sliding_window=None, quant=False):
+def _paged_attention_fa_tp(mesh, sliding_window=None, quant=False,
+                           fused=False):
     """`paged_attention_fa` (multi-row verify shape, q [B, S, Hq, D],
     explicit q_offs) under the TP mesh."""
+    if fused:
+        def local(q, kp, table, lengths, q_offs, *scales):
+            return paged_attention_fa(q, kp, None, table, lengths, q_offs,
+                                      sliding_window=sliding_window,
+                                      **({"k_scales": scales[0]} if quant
+                                         else {}))
+
+        specs = [_Q4_SPEC, _POOL_SPEC, P(None, None), P(None), P(None)]
+        sm = _tp_attention(mesh, local, specs + [_POOL_SPEC] * quant,
+                           _Q4_SPEC)
+
+        def wrapper(q, kp, vp, table, lengths, q_offs, **kw):
+            return sm(q, kp, table, lengths, q_offs,
+                      *((kw["k_scales"],) if quant else ()))
+
+        return wrapper
 
     def local(q, kp, vp, table, lengths, q_offs, *scales):
         return paged_attention_fa(q, kp, vp, table, lengths, q_offs,
@@ -254,10 +323,29 @@ def _paged_attention_fa_tp(mesh, sliding_window=None, quant=False):
     return wrapper
 
 
-def _paged_attention_fa_selfterm_tp(mesh, sliding_window=None, quant=False):
+def _paged_attention_fa_selfterm_tp(mesh, sliding_window=None, quant=False,
+                                    fused=False):
     """Self-term decode attention (`paged_attention_fa(k_new=...)`,
     q [B, 1, Hq, D], q_offs = lengths) under the TP mesh: k_new/v_new
     shard over kv heads with the pools."""
+    if fused:
+        def local(q, kp, table, lengths, kn, vn, *scales):
+            return paged_attention_fa(q, kp, None, table, lengths, lengths,
+                                      sliding_window=sliding_window,
+                                      k_new=kn, v_new=vn,
+                                      **({"k_scales": scales[0]} if quant
+                                         else {}))
+
+        specs = [_Q4_SPEC, _POOL_SPEC, P(None, None), P(None),
+                 _Q3_SPEC, _Q3_SPEC]
+        sm = _tp_attention(mesh, local, specs + [_POOL_SPEC] * quant,
+                           _Q4_SPEC)
+
+        def wrapper(q, kp, vp, table, lengths, *, k_new, v_new, **kw):
+            return sm(q, kp, table, lengths, k_new, v_new,
+                      *((kw["k_scales"],) if quant else ()))
+
+        return wrapper
 
     def local(q, kp, vp, table, lengths, kn, vn, *scales):
         return paged_attention_fa(q, kp, vp, table, lengths, lengths,
@@ -277,10 +365,22 @@ def _paged_attention_fa_selfterm_tp(mesh, sliding_window=None, quant=False):
     return wrapper
 
 
-def _kv_rows_tp(mesh):
+def _kv_rows_tp(mesh, fused=False):
     """paged_kv_update_rows under the TP mesh: rows shard over kv heads
     with the pools (no collectives)."""
     from jax.experimental.shard_map import shard_map
+
+    if fused:
+        inner = shard_map(
+            lambda kp, ks, vs, pg, off:
+                paged_kv_update_rows(kp, None, ks, vs, pg, off)[0],
+            mesh=mesh,
+            in_specs=(P("model"), P(None, None, "model", None),
+                      P(None, None, "model", None), P(), P()),
+            out_specs=P("model"), check_rep=False,
+        )
+        return lambda kp, vp, ks, vs, pg, off: (inner(kp, ks, vs, pg, off),
+                                                None)
 
     return shard_map(
         paged_kv_update_rows, mesh=mesh,
@@ -292,8 +392,27 @@ def _kv_rows_tp(mesh):
     )
 
 
-def _kv_rows_q_tp(mesh):
+def _kv_rows_q_tp(mesh, fused=False):
     from jax.experimental.shard_map import shard_map
+
+    if fused:
+        def local(kp, ksp, ks, vs, pg, off):
+            o = paged_kv_update_rows_q(kp, None, ksp, None, ks, vs, pg, off)
+            return o[0], o[2]
+
+        inner = shard_map(
+            local, mesh=mesh,
+            in_specs=(P("model"), P("model"),
+                      P(None, None, "model", None),
+                      P(None, None, "model", None), P(), P()),
+            out_specs=(P("model"), P("model")), check_rep=False,
+        )
+
+        def wrapper(kp, vp, ksp, vsp, ks, vs, pg, off):
+            kp, ksp = inner(kp, ksp, ks, vs, pg, off)
+            return kp, None, ksp, None
+
+        return wrapper
 
     return shard_map(
         paged_kv_update_rows_q, mesh=mesh,
@@ -305,10 +424,22 @@ def _kv_rows_q_tp(mesh):
     )
 
 
-def _kv_update_tp(mesh):
+def _kv_update_tp(mesh, fused=False):
     """paged_kv_update under the TP mesh: each shard writes its own kv
     heads' rows into its pool shard (no collectives)."""
     from jax.experimental.shard_map import shard_map
+
+    if fused:
+        inner = shard_map(
+            lambda kp, k, v, pids, off:
+                paged_kv_update(kp, None, k, v, pids, off)[0],
+            mesh=mesh,
+            in_specs=(P("model"), P(None, None, "model", None),
+                      P(None, None, "model", None), P(), P()),
+            out_specs=P("model"), check_rep=False,
+        )
+        return lambda kp, vp, k, v, pids, off: (inner(kp, k, v, pids, off),
+                                                None)
 
     return shard_map(
         paged_kv_update, mesh=mesh,
@@ -320,11 +451,30 @@ def _kv_update_tp(mesh):
     )
 
 
-def _kv_update_q_tp(mesh):
+def _kv_update_q_tp(mesh, fused=False):
     """paged_kv_update_q under the TP mesh: int8 pools AND their per-row
     scale pools are kv-head-sharded; each shard quantizes and writes its own
     heads' rows (no collectives)."""
     from jax.experimental.shard_map import shard_map
+
+    if fused:
+        def local(kp, ksp, k, v, pids, off):
+            o = paged_kv_update_q(kp, None, ksp, None, k, v, pids, off)
+            return o[0], o[2]
+
+        inner = shard_map(
+            local, mesh=mesh,
+            in_specs=(P("model"), P("model"),
+                      P(None, None, "model", None),
+                      P(None, None, "model", None), P(), P()),
+            out_specs=(P("model"), P("model")), check_rep=False,
+        )
+
+        def wrapper(kp, vp, ksp, vsp, k, v, pids, off):
+            kp, ksp = inner(kp, ksp, k, v, pids, off)
+            return kp, None, ksp, None
+
+        return wrapper
 
     return shard_map(
         paged_kv_update_q, mesh=mesh,
@@ -365,7 +515,8 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
     dec = cfg.decoder
     L = dec.num_layers
     P = kp.shape[1] // L  # logical pages per layer segment
-    ps = kp.shape[2]
+    # KV-fused pools carry 2·ps rows per page (K rows then V rows).
+    ps = kp.shape[2] // 2 if vp is None else kp.shape[2]
     B = token.shape[0]
 
     lengths_eff = jnp.where(active, lengths, 0)
@@ -389,13 +540,15 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
     dparams = params["decoder"]
     layers_xs = (dparams["layers"], jnp.arange(dec.num_layers))
 
+    fused = vp is None  # KV-fused pools (kv_fused=True serving mode)
     if mode == "selfterm":
         if mesh is None:
             attn_fn = functools.partial(
                 paged_attention_fa, sliding_window=window)
         else:
             attn_fn = _paged_attention_fa_selfterm_tp(
-                mesh, sliding_window=window, quant=ksp is not None)
+                mesh, sliding_window=window, quant=ksp is not None,
+                fused=fused)
 
         def body(h, xs):
             layer_params, i = xs
@@ -423,11 +576,12 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
 
         h, (ks_rows, vs_rows) = jax.lax.scan(body, h, layers_xs)
         if ksp is None:
-            rows_fn = paged_kv_update_rows if mesh is None else _kv_rows_tp(mesh)
+            rows_fn = (paged_kv_update_rows if mesh is None
+                       else _kv_rows_tp(mesh, fused=fused))
             kp, vp = rows_fn(kp, vp, ks_rows, vs_rows, cur_page, offset)
         else:
             rows_fn = (paged_kv_update_rows_q if mesh is None
-                       else _kv_rows_q_tp(mesh))
+                       else _kv_rows_q_tp(mesh, fused=fused))
             kp, vp, ksp, vsp = rows_fn(kp, vp, ksp, vsp, ks_rows, vs_rows,
                                        cur_page, offset)
     else:
@@ -442,9 +596,9 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
             kv_update_q = paged_kv_update_q
         else:
             attn_fn = _paged_attention_tp(mesh, sliding_window=window,
-                                          quant=ksp is not None)
-            kv_update = _kv_update_tp(mesh)
-            kv_update_q = _kv_update_q_tp(mesh)
+                                          quant=ksp is not None, fused=fused)
+            kv_update = _kv_update_tp(mesh, fused=fused)
+            kv_update_q = _kv_update_q_tp(mesh, fused=fused)
 
         def body(carry, xs):
             h, kp, vp, ksp, vsp = carry
@@ -555,7 +709,8 @@ def _paged_verify_step(params, kp, vp, scales, page_table, lengths, toks,
     dec = cfg.decoder
     L = dec.num_layers
     Pn = kp.shape[1] // L
-    ps = kp.shape[2]
+    # KV-fused pools carry 2·ps rows per page (K rows then V rows).
+    ps = kp.shape[2] // 2 if vp is None else kp.shape[2]
     B, S = toks.shape
 
     lengths_eff = jnp.where(active, lengths, 0)
@@ -582,15 +737,16 @@ def _paged_verify_step(params, kp, vp, scales, page_table, lengths, toks,
     window = sw if (sw is not None and cache_len > sw) else None
 
     ksp, vsp = scales
+    fused = kp is not None and vp is None  # KV-fused pools
     if mesh is None:
         attn_fn = functools.partial(paged_attention_fa, sliding_window=window)
         kv_update = paged_kv_update
         kv_update_q = paged_kv_update_q
     else:
         attn_fn = _paged_attention_fa_tp(mesh, sliding_window=window,
-                                         quant=ksp is not None)
-        kv_update = _kv_update_tp(mesh)
-        kv_update_q = _kv_update_q_tp(mesh)
+                                         quant=ksp is not None, fused=fused)
+        kv_update = _kv_update_tp(mesh, fused=fused)
+        kv_update_q = _kv_update_q_tp(mesh, fused=fused)
 
     def body(carry, xs):
         h, kp, vp, ksp, vsp = carry
@@ -657,6 +813,7 @@ class PagedBatcher(ContinuousBatcher):
         lookahead: int = 0,
         draft=None,
         multi_step: int = 1,
+        kv_fused: bool = False,
     ):
         """`kv_quant`: store the pools int8 with per-row absmax scales
         (library convention, `ops.paged_attention.quantize_kv`). Halves the
@@ -665,7 +822,14 @@ class PagedBatcher(ContinuousBatcher):
         VMEM by the Pallas write kernels; decode folds the scales into
         scores/probabilities inside the flash-structure kernel (the tuned
         library kernel cannot take int8 pools — it broadcasts scales to
-        full f32 arrays host-side and OOMs)."""
+        full f32 arrays host-side and OOMs).
+
+        `kv_fused`: ONE pool array holds each page's K rows then its V
+        rows ([Hkv, L·P, 2·ps, D]; fused scales [Hkv, L·P, 1, 2·ps]), so
+        the decode kernel moves every page block in one DMA instead of
+        two (four with scales) — the third descriptor lever on a
+        descriptor-bound kernel. Same bytes, same numerics: token-exact
+        with the split layout (pinned in tests/test_paged_fused.py)."""
         if mesh is not None:
             m = mesh.shape.get("model", 1)
             if cfg.decoder.num_kv_heads % max(m, 1):
@@ -706,31 +870,37 @@ class PagedBatcher(ContinuousBatcher):
         dec = cfg.decoder
         dtype = params["decoder"]["embed_tokens"].dtype
         self.kv_quant = kv_quant
+        self.kv_fused = kv_fused
         pool_dtype = jnp.int8 if kv_quant else dtype
-        pool_shape = (dec.num_kv_heads, dec.num_layers * num_pages, page_size, dec.head_dim)
-        self.ksp = self.vsp = None
+        # KV-fused layout: one pool, 2·ps rows per page (K rows then V).
+        rows = 2 * page_size if kv_fused else page_size
+        pool_shape = (dec.num_kv_heads, dec.num_layers * num_pages, rows, dec.head_dim)
+        scale_shape = pool_shape[:2] + (1, rows)
+        self.vp = self.ksp = self.vsp = None
         if mesh is not None:
             # kv-head-sharded pools: each chip holds Hkv/m heads of every
             # page, so pool HBM scales down with the mesh — the aggregate
             # pool (slot ceiling) scales UP with chips.
             pool_sh = NamedSharding(mesh, P("model", None, None, None))
             self.kp = jnp.zeros(pool_shape, pool_dtype, device=pool_sh)
-            self.vp = jnp.zeros(pool_shape, pool_dtype, device=pool_sh)
+            if not kv_fused:
+                self.vp = jnp.zeros(pool_shape, pool_dtype, device=pool_sh)
             if kv_quant:
                 # [Hkv, N, 1, ps]: row scales along lanes (the ps-trailing
                 # layout tile-pads 128× on TPU and OOMs — see
                 # ops/paged_attention.py module comment).
                 scale_sh = NamedSharding(mesh, P("model", None, None, None))
-                scale_shape = pool_shape[:2] + (1, pool_shape[2])
                 self.ksp = jnp.zeros(scale_shape, jnp.float32, device=scale_sh)
-                self.vsp = jnp.zeros(scale_shape, jnp.float32, device=scale_sh)
+                if not kv_fused:
+                    self.vsp = jnp.zeros(scale_shape, jnp.float32, device=scale_sh)
         else:
             self.kp = jnp.zeros(pool_shape, pool_dtype)
-            self.vp = jnp.zeros(pool_shape, pool_dtype)
+            if not kv_fused:
+                self.vp = jnp.zeros(pool_shape, pool_dtype)
             if kv_quant:
-                scale_shape = pool_shape[:2] + (1, pool_shape[2])
                 self.ksp = jnp.zeros(scale_shape, jnp.float32)
-                self.vsp = jnp.zeros(scale_shape, jnp.float32)
+                if not kv_fused:
+                    self.vsp = jnp.zeros(scale_shape, jnp.float32)
         self.page_table = jnp.zeros((max_slots, self.pages_per_seq), jnp.int32)
         self.lengths = jnp.zeros((max_slots,), jnp.int32)
         self.token = jnp.full((max_slots,), dec.pad_token_id, jnp.int32)
