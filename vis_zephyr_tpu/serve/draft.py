@@ -31,6 +31,7 @@ Design notes:
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import numpy as np
@@ -41,6 +42,33 @@ import jax.numpy as jnp
 from ..config import VisZephyrConfig
 from ..models.mistral import init_cache
 from .generate import SamplingConfig
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n"), donate_argnums=(1,))
+def _draft_propose_steps(params, cache, token, active, cfg: VisZephyrConfig,
+                         n: int):
+    """`n` greedy draft decode steps + one final feed in ONE dispatch.
+
+    The naive loop paid (n+1) dispatches and n device_gets per scheduler
+    round — on a tunneled link that dwarfs the draft's actual compute.
+    A lax.scan chains the steps on device (the `_paged_multi_step`
+    pattern); the final feed writes the last candidate's row so the
+    draft cache holds every proposable row and `commit()` only ever
+    rolls BACK. Returns (toks [n, B], cache)."""
+    from .batching import _batch_step
+
+    sampling = SamplingConfig(temperature=0.0, eos_token_id=-1)
+    key = jax.random.PRNGKey(0)  # unused at temperature 0
+
+    def step(carry, _):
+        cache, token = carry
+        tok, cache = _batch_step(params, cache, token, active, key, cfg,
+                                 sampling)
+        return (cache, tok), tok
+
+    (cache, token), toks = jax.lax.scan(step, (cache, token), None, length=n)
+    _, cache = _batch_step(params, cache, token, active, key, cfg, sampling)
+    return toks, cache
 
 
 class DraftModel:
@@ -64,8 +92,6 @@ class DraftModel:
         # between rounds; 0 = slot not draftable).
         self.len = np.zeros(max_slots, np.int64)
         self._drafted = np.zeros(max_slots, bool)  # fed this round
-        self._greedy = SamplingConfig(temperature=0.0, eos_token_id=-1)
-        self._rng = jax.random.PRNGKey(0)
 
     # -- slot lifecycle -------------------------------------------------------
 
@@ -102,8 +128,6 @@ class DraftModel:
         `pending`: the batcher's pending token per slot; `caps`: per-slot
         proposal budget (0 = don't propose). Returns per-slot proposal
         arrays (None where not drafting)."""
-        from .batching import _batch_step
-
         drafting = (active & (self.len > 0) & (caps > 0)
                     & (self.len + span + 2 <= self.cache_len))
         self._drafted = drafting
@@ -111,26 +135,17 @@ class DraftModel:
             return [None] * self.max_slots
 
         # Align device lengths with the committed mirror before decoding
-        # (rolls back any rejected rows from the previous round).
+        # (rolls back any rejected rows from the previous round), then run
+        # all span+1 draft steps in ONE dispatch with ONE device_get.
         self.cache = dict(
             self.cache, length=jnp.asarray(self.len.astype(np.int32))
         )
         token = jnp.asarray(np.where(drafting, pending, 0).astype(np.int32))
         act = jnp.asarray(drafting)
-        out = np.zeros((self.max_slots, span), np.int32)
-        for j in range(span):
-            self._rng, sub = jax.random.split(self._rng)
-            token, self.cache = _batch_step(
-                self.params, self.cache, token, act, sub, self.cfg,
-                self._greedy,
-            )
-            out[:, j] = np.asarray(jax.device_get(token))
-        # Feed the final candidate (output unused) so the draft cache holds
-        # every proposable row; commit() then only ever rolls BACK.
-        self._rng, sub = jax.random.split(self._rng)
-        _, self.cache = _batch_step(
-            self.params, self.cache, token, act, sub, self.cfg, self._greedy,
+        toks, self.cache = _draft_propose_steps(
+            self.params, self.cache, token, act, self.cfg, span,
         )
+        out = np.asarray(jax.device_get(toks)).T  # [slots, span]
         return [out[s, : caps[s]] if drafting[s] else None
                 for s in range(self.max_slots)]
 
