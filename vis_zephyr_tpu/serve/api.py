@@ -205,6 +205,12 @@ def main(args=None):
                         "share one page block so the decode kernel moves "
                         "each block in one DMA instead of two (four with "
                         "--kv-quant); token-exact with the split layout")
+    p.add_argument("--prefix-cache", action="store_true",
+                   help="automatic prefix caching (paged only): requests "
+                        "sharing a page-aligned prompt prefix (system "
+                        "prompts, multi-turn continuations) reuse its pool "
+                        "pages and prefill only the suffix; needs "
+                        "--prefill-chunk (on by default)")
     a = p.parse_args(args)
 
     tokenizer, params, cfg, _ = load_pretrained_model(
@@ -234,6 +240,7 @@ def main(args=None):
         metrics=metrics, prefill_chunk=a.prefill_chunk or None,
         lookahead=a.lookahead, draft_params=draft_params, draft_cfg=draft_cfg,
         multi_step=a.multi_step, kv_fused=a.kv_fused,
+        prefix_cache=a.prefix_cache,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

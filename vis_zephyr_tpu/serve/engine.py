@@ -51,6 +51,7 @@ class ChatEngine:
         draft_cfg=None,
         multi_step: int = 1,
         kv_fused: bool = False,
+        prefix_cache: bool = False,
     ):
         """`mesh`: optional inference mesh (model-axis TP). Params are
         sharded once here; jitted prefill/decode partition via SPMD
@@ -110,6 +111,7 @@ class ChatEngine:
                     metrics=metrics, prefill_chunk=prefill_chunk,
                     kv_quant=kv_quant, lookahead=lookahead, draft=draft,
                     multi_step=multi_step, kv_fused=kv_fused,
+                    prefix_cache=prefix_cache,
                 )
             else:
                 from .batching import ContinuousBatcher

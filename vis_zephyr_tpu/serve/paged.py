@@ -109,11 +109,17 @@ class PageAllocator:
     run fast path) — the kernel is descriptor-bound at serving batch
     sizes. Scattered pages remain fully supported (first-fit falls back
     to arbitrary pages under fragmentation; the kernel detects runs per
-    block at runtime)."""
+    block at runtime).
+
+    Pages are REFCOUNTED so the prefix cache can share read-only prompt
+    pages across requests: `alloc` hands out pages at count 1, `retain`
+    adds a holder, and `release` decrements — a page returns to the free
+    list only when its last holder releases it."""
 
     def __init__(self, num_pages: int):
         self.num_pages = num_pages
         self._free: List[int] = list(range(1, num_pages))  # sorted ascending
+        self._refs: dict = {}  # page -> holder count (allocated pages only)
 
     @property
     def available(self) -> int:
@@ -124,6 +130,7 @@ class PageAllocator:
         if len(free) < n:
             return None
         # First-fit contiguous run over the sorted free list.
+        pages = None
         run_start = 0
         for i in range(1, len(free)):
             if free[i] != free[i - 1] + 1:
@@ -131,29 +138,154 @@ class PageAllocator:
             if i - run_start + 1 == n:  # run length grows by 1 → first hit
                 pages = free[run_start:i + 1]
                 del free[run_start:i + 1]
-                return pages
-        if n == 1 and free:
-            return [free.pop(0)]
-        # Fragmented: hand out the lowest n pages (keeps future runs high).
-        pages = free[:n]
-        del free[:n]
+                break
+        if pages is None:
+            if n == 1 and free:
+                pages = [free.pop(0)]
+            else:
+                # Fragmented: lowest n pages (keeps future runs high).
+                pages = free[:n]
+                del free[:n]
+        for p in pages:
+            self._refs[p] = 1
         return pages
+
+    def retain(self, pages: List[int]) -> None:
+        """Add a holder to already-allocated pages (prefix-cache sharing)."""
+        for p in pages:
+            self._refs[p] += 1
 
     def release(self, pages: List[int]) -> None:
         import bisect
 
         for p in pages:
-            bisect.insort(self._free, p)
+            left = self._refs[p] - 1
+            if left:
+                self._refs[p] = left
+            else:
+                del self._refs[p]
+                bisect.insort(self._free, p)
 
 
-@functools.partial(jax.jit, static_argnames=("slot",),
+class PrefixCache:
+    """Exact-prefix page sharing across requests (automatic prefix caching).
+
+    A trie keyed by PAGE-SIZED chunks of raw prompt token ids: node at
+    depth i holds the pool page whose K/V is the decode-time cache for
+    prompt positions [i·ps, (i+1)·ps) of any prompt starting with those
+    ids. Admission looks up the longest chain of full pages already in
+    the pools, retains them for the new slot, and prefills ONLY the
+    suffix (the warm path in `PagedBatcher`); finished prompts' full
+    prompt pages are inserted so later requests (same system prompt,
+    multi-turn continuations) skip their shared-prefix prefill entirely.
+
+    Correctness constraints enforced by the batcher, not here:
+    - only token positions BEFORE the first image sentinel are shareable
+      (image tokens splice request-specific embeddings);
+    - at least one prompt token must stay un-shared (the last token's
+      logits start decode);
+    - pages are immutable below the prompt length (decode/verify writes
+      land at positions ≥ length), so shared pages are never written.
+
+    Eviction is leaf-first LRU: dropping a deep node keeps the shorter
+    prefix cached; a page whose holder count is still >1 (an active slot
+    uses it) is released from the cache's ref and returns to the free
+    list when that slot finishes."""
+
+    def __init__(self, allocator: PageAllocator, page_size: int):
+        self.allocator = allocator
+        self.page_size = page_size
+        # Trie node: {chunk_bytes: [page_id, child_dict, last_used]}
+        self.root: dict = {}
+        self._clock = 0
+        self.hits = 0
+        self.pages_reused = 0
+
+    def _chunks(self, ids: np.ndarray, n: int):
+        ps = self.page_size
+        return [np.asarray(ids[i * ps:(i + 1) * ps], np.int32).tobytes()
+                for i in range(n)]
+
+    def lookup(self, ids: np.ndarray, max_pages: int) -> List[int]:
+        """Longest cached chain of full pages covering ids[:n·ps], n ≤
+        max_pages. Retains the returned pages for the caller (one holder
+        each) and refreshes their LRU stamps."""
+        self._clock += 1
+        pages: List[int] = []
+        node = self.root
+        for chunk in self._chunks(ids, max_pages):
+            ent = node.get(chunk)
+            if ent is None:
+                break
+            ent[2] = self._clock
+            pages.append(ent[0])
+            node = ent[1]
+        if pages:
+            self.allocator.retain(pages)
+            self.hits += 1
+            self.pages_reused += len(pages)
+        return pages
+
+    def insert(self, ids: np.ndarray, pages: List[int], n_pages: int) -> None:
+        """Register pages[i] as the cache page for prompt chunk i
+        (i < n_pages). The cache becomes a holder of each NEWLY inserted
+        page; chunks already present keep their existing page (the new
+        request's identical duplicate page stays slot-owned and frees on
+        finish)."""
+        self._clock += 1
+        node = self.root
+        for i, chunk in enumerate(self._chunks(ids, n_pages)):
+            ent = node.get(chunk)
+            if ent is None:
+                self.allocator.retain([pages[i]])
+                ent = node[chunk] = [pages[i], {}, self._clock]
+            else:
+                ent[2] = self._clock
+            node = ent[1]
+
+    def evict(self, n: int) -> int:
+        """Release up to n cached pages, leaf-first LRU. Returns how many
+        cache refs were dropped (pages still held by active slots free
+        later)."""
+        dropped = 0
+        while dropped < n:
+            # Oldest leaf (no children) anywhere in the trie.
+            best = None  # (stamp, parent_dict, key, page)
+            stack = [self.root]
+            while stack:
+                d = stack.pop()
+                for key, (page, children, stamp) in d.items():
+                    if children:
+                        stack.append(children)
+                    elif best is None or stamp < best[0]:
+                        best = (stamp, d, key, page)
+            if best is None:
+                break
+            _, parent, key, page = best
+            del parent[key]
+            self.allocator.release([page])
+            dropped += 1
+        return dropped
+
+    def drop_all(self) -> None:
+        """Release every cache ref (shutdown / tests)."""
+        stack = [self.root]
+        while stack:
+            d = stack.pop()
+            for page, children, _ in d.values():
+                self.allocator.release([page])
+                stack.append(children)
+        self.root = {}
+
+
+@functools.partial(jax.jit, static_argnames=("slot", "start"),
                    donate_argnums=(0, 1, 2, 3, 4, 5))
 def _admit_paged_q(kp, vp, ksp, vsp, page_table, lengths, k, v, length, row,
-                   *, slot: int):
+                   *, slot: int, start: int = 0):
     """`_admit_paged` for int8-quantized pools: per-row quantize the
     prefilled K/V, write int8 blocks + scale blocks. KV-fused pools
     (`vp=None`, `vsp=None`): the fused page gets K rows then V rows, the
-    fused scale block K lanes then V lanes."""
+    fused scale block K lanes then V lanes. `start`: see `_admit_paged`."""
     fused = vp is None
     L, T, Hkv, D = k.shape
     ps = kp.shape[2] // 2 if fused else kp.shape[2]
@@ -166,7 +298,7 @@ def _admit_paged_q(kp, vp, ksp, vsp, page_table, lengths, k, v, length, row,
     # Pool scale layout [Hkv, N, 1, ps]: a page's row scales along lanes.
     ksb = ks[..., 0].reshape(L, n, ps, Hkv).transpose(3, 0, 1, 2)[:, :, :, None, :]
     vsb = vs[..., 0].reshape(L, n, ps, Hkv).transpose(3, 0, 1, 2)[:, :, :, None, :]
-    pages = row[:n]
+    pages = row[start:start + n]
     if fused:
         kvb = jnp.concatenate([kb, vb], axis=3)          # [Hkv, L, n, 2ps, D]
         kvsb = jnp.concatenate([ksb, vsb], axis=4)       # [Hkv, L, n, 1, 2ps]
@@ -186,14 +318,20 @@ def _admit_paged_q(kp, vp, ksp, vsp, page_table, lengths, k, v, length, row,
     return kp, vp, ksp, vsp, page_table, lengths
 
 
-@functools.partial(jax.jit, static_argnames=("slot",), donate_argnums=(0, 1, 2, 3))
-def _admit_paged(kp, vp, page_table, lengths, k, v, length, row, *, slot: int):
+@functools.partial(jax.jit, static_argnames=("slot", "start"),
+                   donate_argnums=(0, 1, 2, 3))
+def _admit_paged(kp, vp, page_table, lengths, k, v, length, row, *, slot: int,
+                 start: int = 0):
     """Write a prefilled sequence's K/V into its allocated pages and install
     its page-table row. k/v: [L, T, Hkv, D] with T a page-size multiple
     (prefill pads to 128 on TPU; padded host-side otherwise).
     Pools are [Hkv, L*P, ps, D]; viewed as [Hkv, L, P, ps, D] the same
     logical page id is written in every layer's segment. KV-fused pools
-    (`vp=None`): pages are [2·ps, D], K rows then V rows."""
+    (`vp=None`): pages are [2·ps, D], K rows then V rows.
+
+    `start`: first logical page of `row` to write (warm prefix-cache
+    admission passes the SUFFIX K/V only — pages row[:start] are shared,
+    already-written prompt pages that must not be touched)."""
     fused = vp is None
     L, T, Hkv, D = k.shape
     ps = kp.shape[2] // 2 if fused else kp.shape[2]
@@ -202,7 +340,7 @@ def _admit_paged(kp, vp, page_table, lengths, k, v, length, row, *, slot: int):
     # [L, T, Hkv, D] → [Hkv, L, n, ps, D] page blocks.
     kb = k.reshape(L, n, ps, Hkv, D).transpose(3, 0, 1, 2, 4).astype(kp.dtype)
     vb = v.reshape(L, n, ps, Hkv, D).transpose(3, 0, 1, 2, 4).astype(kp.dtype)
-    pages = row[:n]
+    pages = row[start:start + n]
     if fused:
         kvb = jnp.concatenate([kb, vb], axis=3)          # [Hkv, L, n, 2ps, D]
         kp = (kp.reshape(Hkv, L, P, 2 * ps, D).at[:, :, pages].set(kvb)
@@ -220,6 +358,62 @@ def _admit_paged(kp, vp, page_table, lengths, k, v, length, row, *, slot: int):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _clear_row(page_table, slot):
     return page_table.at[slot].set(jnp.zeros((page_table.shape[1],), page_table.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("num_layers",))
+def _gather_prefix(kp, vp, ksp, vsp, pages, *, num_layers: int):
+    """Gather shared prompt pages into dense prefix K/V [L, n0·ps, Hkv, D]
+    for warm (prefix-cache-hit) admission: the suffix prefill attends this
+    as its cache context. Handles all pool layouts via the module's None
+    conventions (vp=None → fused rows; ksp≠None → int8 + per-row scales,
+    dequantized here — the one place the int8 roundtrip leaks into prefill
+    numerics, bounded like the quantization itself)."""
+    from ..ops.paged_attention import KV_QUANT_MAX
+
+    fused = vp is None
+    quant = ksp is not None
+    L = num_layers
+    Hkv = kp.shape[0]
+    rows = kp.shape[2]
+    ps = rows // 2 if fused else rows
+    P = kp.shape[1] // L
+    n0 = pages.shape[0]
+
+    k5 = kp.reshape(Hkv, L, P, rows, -1)[:, :, pages]  # [Hkv, L, n0, rows, D]
+    if fused:
+        kb, vb = k5[:, :, :, :ps], k5[:, :, :, ps:]
+    else:
+        kb = k5
+        vb = vp.reshape(Hkv, L, P, ps, -1)[:, :, pages]
+    if quant:
+        lanes = 2 * ps if fused else ps
+        s5 = ksp.reshape(Hkv, L, P, 1, lanes)[:, :, pages]
+        if fused:
+            ks_, vs_ = s5[..., :ps], s5[..., ps:]
+        else:
+            ks_ = s5
+            vs_ = vsp.reshape(Hkv, L, P, 1, ps)[:, :, pages]
+        kb = kb.astype(jnp.float32) * (jnp.swapaxes(ks_, -1, -2) / KV_QUANT_MAX)
+        vb = vb.astype(jnp.float32) * (jnp.swapaxes(vs_, -1, -2) / KV_QUANT_MAX)
+
+    def dense(b):  # [Hkv, L, n0, ps, D] → [L, n0·ps, Hkv, D]
+        return b.transpose(1, 2, 3, 0, 4).reshape(L, n0 * ps, Hkv, -1)
+
+    return dense(kb), dense(vb)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _warm_scratch(cache, pk, pv):
+    """Install gathered prefix K/V into a fresh B=1 prefill scratch cache
+    and set its length to the prefix span — chunk extension then starts at
+    the first un-cached chunk."""
+    t0 = pk.shape[1]
+    ck = jax.lax.dynamic_update_slice(
+        cache["k"], pk[:, None].astype(cache["k"].dtype), (0, 0, 0, 0, 0))
+    cv = jax.lax.dynamic_update_slice(
+        cache["v"], pv[:, None].astype(cache["v"].dtype), (0, 0, 0, 0, 0))
+    return {"k": ck, "v": cv,
+            "length": jnp.full_like(cache["length"], t0)}
 
 
 # Shared TP sharding vocabulary: pools and per-row scale pools shard over
@@ -814,6 +1008,7 @@ class PagedBatcher(ContinuousBatcher):
         draft=None,
         multi_step: int = 1,
         kv_fused: bool = False,
+        prefix_cache: bool = False,
     ):
         """`kv_quant`: store the pools int8 with per-row absmax scales
         (library convention, `ops.paged_attention.quantize_kv`). Halves the
@@ -829,7 +1024,17 @@ class PagedBatcher(ContinuousBatcher):
         the decode kernel moves every page block in one DMA instead of
         two (four with scales) — the third descriptor lever on a
         descriptor-bound kernel. Same bytes, same numerics: token-exact
-        with the split layout (pinned in tests/test_paged_fused.py)."""
+        with the split layout (pinned in tests/test_paged_fused.py).
+
+        `prefix_cache`: automatic prefix caching — prompts sharing a
+        full-page-aligned token prefix (system prompts, multi-turn
+        continuations) REUSE the earlier request's prompt pages and
+        prefill only the suffix (`PrefixCache`; requires `prefill_chunk`,
+        whose `_chunk_extend` numerics the warm path reproduces exactly —
+        token-exact for bf16 pools, pinned in tests/test_prefix_cache.py;
+        with `kv_quant` a hit re-reads the int8-rounded prefix, a drift
+        of the same class as the quantization itself). Only positions
+        before the first image sentinel are shareable."""
         if mesh is not None:
             m = mesh.shape.get("model", 1)
             if cfg.decoder.num_kv_heads % max(m, 1):
@@ -866,6 +1071,13 @@ class PagedBatcher(ContinuousBatcher):
             num_pages = 1 + max(2 * self.pages_per_seq,
                                 max_slots * self.pages_per_seq // 2)
         self.allocator = PageAllocator(num_pages)
+        if prefix_cache and not prefill_chunk:
+            raise ValueError(
+                "prefix_cache requires chunked prefill admission "
+                "(prefill_chunk): the warm path starts chunk extension at "
+                "the first un-cached chunk")
+        self.prefix_cache = (PrefixCache(self.allocator, page_size)
+                             if prefix_cache else None)
 
         dec = cfg.decoder
         dtype = params["decoder"]["embed_tokens"].dtype
@@ -964,39 +1176,115 @@ class PagedBatcher(ContinuousBatcher):
                 self._requeued.appendleft(req)
                 return
 
+    def _shareable_pages(self, input_ids, n_tokens: int) -> int:
+        """How many full pages of this prompt are prefix-shareable: whole
+        pages of raw token ids before the first image sentinel (image
+        positions splice request-specific embeddings) and below
+        `n_tokens`."""
+        from ..constants import IMAGE_TOKEN_INDEX
+
+        ids = np.asarray(input_ids)
+        img = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
+        limit = int(img[0]) if len(img) else n_tokens
+        return min(limit, n_tokens) // self.page_size
+
     def _install(self, req: _Request, slot: int, last_logits, k, v, length) -> bool:
         """Allocate pages for the request's full span and write its K/V.
-        Returns False (caller retries) when the pool is exhausted."""
+        Returns False (caller retries) when the pool is exhausted.
+
+        Warm admission (prefix-cache hit, chunked pump only): the
+        in-flight prefill state carries `shared` — already-written pool
+        pages covering the prompt's first `len(shared)` pages. Only the
+        SUFFIX K/V is written; the page-table row chains shared + owned
+        pages, and the slot holds a refcount on both."""
+        st = self._prefilling
+        shared = (st.get("shared") or []) if (
+            st is not None and st.get("slot") == slot) else []
+        n0 = len(shared)
         n_len = int(length)
         ps = self.page_size
+        if n0:
+            k = k[:, n0 * ps:]
+            v = v[:, n0 * ps:]
         T = k.shape[1]
         if T % ps:  # CPU prefill doesn't pad; round up to a page
             pad = ps - T % ps
             k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
             v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
             T += pad
-        n_pages = max(T // ps, -(-(n_len + req.max_new_tokens) // ps))
-        pages = self.allocator.alloc(n_pages)
+        n_pages = max(n0 + T // ps, -(-(n_len + req.max_new_tokens) // ps))
+        n_owned = n_pages - n0
+        pages = self.allocator.alloc(n_owned)
+        if pages is None and self.prefix_cache is not None:
+            # Reclaim idle cached prefixes before giving up.
+            if self.prefix_cache.evict(n_owned - self.allocator.available):
+                pages = self.allocator.alloc(n_owned)
         if pages is None:
             return False
         row = np.zeros((self.pages_per_seq,), np.int32)
-        row[:n_pages] = pages
+        row[:n0] = shared
+        row[n0:n_pages] = pages
         if self.kv_quant:
             (self.kp, self.vp, self.ksp, self.vsp, self.page_table,
              self.lengths) = _admit_paged_q(
                 self.kp, self.vp, self.ksp, self.vsp, self.page_table,
                 self.lengths, k, v, jnp.asarray(length, jnp.int32),
-                jnp.asarray(row), slot=slot,
+                jnp.asarray(row), slot=slot, start=n0,
             )
         else:
             self.kp, self.vp, self.page_table, self.lengths = _admit_paged(
                 self.kp, self.vp, self.page_table, self.lengths,
-                k, v, jnp.asarray(length, jnp.int32), jnp.asarray(row), slot=slot,
+                k, v, jnp.asarray(length, jnp.int32), jnp.asarray(row),
+                slot=slot, start=n0,
             )
-        self.slot_pages[slot] = pages
+        self.slot_pages[slot] = shared + pages
         self.slot_len[slot] = n_len
+        if self.prefix_cache is not None:
+            n_ins = self._shareable_pages(req.input_ids, n_len)
+            if n_ins > 0:
+                self.prefix_cache.insert(
+                    np.asarray(req.input_ids),
+                    [int(p) for p in row[:n_ins]], n_ins)
         self._activate(req, slot, last_logits)
         return True
+
+    def _begin_prefill(self, req: _Request, slot: int):
+        """Chunked-pump admission start; with a prefix cache, look up the
+        longest reusable page chain, gather it as dense prefix K/V into the
+        scratch cache, and skip the covered chunks entirely — warm
+        admission reproduces `_chunk_extend`'s numerics exactly (it IS
+        `_chunk_extend`, starting later)."""
+        st = super()._begin_prefill(req, slot)
+        if st is None or self.prefix_cache is None:
+            return st
+        import math
+
+        ps, C = self.page_size, self.prefill_chunk
+        align = ps * C // math.gcd(ps, C)  # chunk AND page aligned
+        per = align // ps
+        # Shareable span: full pages before the first image sentinel,
+        # leaving ≥ 1 prompt token un-shared (its logits start decode).
+        max_pages = (min(self._shareable_pages(req.input_ids, st["length"]),
+                         (st["length"] - 1) // ps) // per) * per
+        st["shared"] = []
+        if max_pages <= 0:
+            return st
+        shared = self.prefix_cache.lookup(np.asarray(req.input_ids), max_pages)
+        keep = (len(shared) // per) * per
+        if keep < len(shared):  # chain must stay chunk-aligned to skip
+            self.allocator.release(shared[keep:])
+            shared = shared[:keep]
+        if not shared:
+            return st
+        t0 = len(shared) * ps
+        pk, pv = _gather_prefix(
+            self.kp, self.vp, self.ksp, self.vsp,
+            jnp.asarray(shared, jnp.int32),
+            num_layers=self.cfg.decoder.num_layers)
+        st["cache"] = _warm_scratch(st["cache"], pk, pv)
+        st["chunk"] = t0 // C
+        st["shared"] = shared
+        return st
 
     def _finish(self, slot: int) -> None:
         if self.slot_pages[slot]:
