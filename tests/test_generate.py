@@ -42,6 +42,28 @@ class TestGenerate:
         stream_tokens = list(generate_stream(params, ids, images, pv, cfg, sampling))
         np.testing.assert_array_equal(batch_tokens, stream_tokens)
 
+    def test_multi_step_stream_token_exact(self, setup, rng):
+        """Serialized-path multi-step bursts (1→2→4→n ramp) equal plain
+        per-token streaming, including EOS cut mid-burst."""
+        cfg, params = setup
+        ids, images, pv = make_inputs(cfg, rng)
+        plain = list(generate_stream(
+            params, ids, images, pv, cfg,
+            SamplingConfig(max_new_tokens=13, temperature=0.0, eos_token_id=-1)))
+        burst = list(generate_stream(
+            params, ids, images, pv, cfg,
+            SamplingConfig(max_new_tokens=13, temperature=0.0, eos_token_id=-1),
+            multi_step=4))
+        np.testing.assert_array_equal(plain, burst)
+        # EOS mid-burst: force an early stop by using a generated token as
+        # the EOS id — the burst path must cut at the same place.
+        eos = int(plain[5])
+        s = SamplingConfig(max_new_tokens=13, temperature=0.0, eos_token_id=eos)
+        np.testing.assert_array_equal(
+            list(generate_stream(params, ids, images, pv, cfg, s)),
+            list(generate_stream(params, ids, images, pv, cfg, s,
+                                 multi_step=4)))
+
     def test_eos_padding_after_stop(self, setup, rng):
         cfg, params = setup
         ids, images, pv = make_inputs(cfg, rng)

@@ -94,7 +94,13 @@ class ChatHandler(BaseHTTPRequestHandler):
             self._json(200, {"status": "ok"})
         elif path == "/metrics":
             m = getattr(self.engine, "metrics", None)
-            self._json(200, m.summary() if m is not None else {})
+            out = m.summary() if m is not None else {}
+            pc = getattr(getattr(self.engine, "batcher", None),
+                         "prefix_cache", None)
+            if pc is not None:
+                out["prefix_cache"] = {"hits": pc.hits,
+                                       "pages_reused": pc.pages_reused}
+            self._json(200, out)
         else:
             self.send_error(404)
 

@@ -64,6 +64,9 @@ class ChatEngine:
         # (paged verifies through the flash-structure kernel's multi-row
         # shape).
         self.lookahead = lookahead
+        # Multi-step bursts apply to the serialized path too (ignored
+        # when speculation is on, same rule as the batchers).
+        self.multi_step = max(1, int(multi_step))
         self._use_flash = None
         if mesh is not None:
             from ..parallel.sharding import shard_params
@@ -278,6 +281,7 @@ class ChatEngine:
                 # can't be auto-partitioned; use the XLA scatter (same rule
                 # the batchers apply per-step).
                 pallas_cache=self.mesh is None,
+                multi_step=self.multi_step,
             )
         try:
             for tok in stream:

@@ -129,6 +129,36 @@ def decode_step(
     return logits[:, 0], new_cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "sampling", "n",
+                                             "pallas_cache"),
+                   donate_argnums=(1,))
+def decode_multi_step(
+    params,
+    cache: Dict,
+    token: jnp.ndarray,  # [B]
+    key,
+    cfg: VisZephyrConfig,
+    sampling: SamplingConfig,
+    n: int,
+    pallas_cache: bool = True,
+) -> Tuple[jnp.ndarray, Dict, jnp.ndarray]:
+    """`n` chained `decode_step`s + sampling in ONE dispatch (the
+    serialized-path multi-step burst). Returns (toks [n, B], cache,
+    last token). The caller discards tokens past an EOS — the cache's
+    post-EOS rows are per-call scratch and never observed."""
+
+    def body(carry, sub):
+        cache, token = carry
+        logits, cache = decode_step(params, cache, token, cfg,
+                                    pallas_cache=pallas_cache)
+        tok = _sample(logits, sub, sampling)
+        return (cache, tok), tok
+
+    keys = jax.random.split(key, n)
+    (cache, token), toks = jax.lax.scan(body, (cache, token), keys)
+    return toks, cache, token
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "sampling", "pallas_cache"))
 def _decode_loop(
     params, cache, first_token, key, cfg: VisZephyrConfig, sampling: SamplingConfig,
@@ -253,6 +283,7 @@ def generate_stream(
     merge_info: Optional[jnp.ndarray] = None,
     lookahead: int = 0,
     pallas_cache: bool = True,
+    multi_step: int = 1,
 ) -> Iterator[int]:
     """Single-sequence streaming generation: yields token ids until EOS or
     the budget is exhausted. Host drives one jitted step per token.
@@ -260,7 +291,11 @@ def generate_stream(
     `lookahead > 0` enables prompt-lookup speculative decoding (greedy
     only): up to `lookahead` tokens proposed from the sequence's own
     n-gram structure are verified in one multi-token cache append —
-    identical output to plain greedy decoding, fewer device steps."""
+    identical output to plain greedy decoding, fewer device steps.
+
+    `multi_step > 1` (ignored with lookahead): n chained decode steps per
+    dispatch — host scheduling + dispatch latency amortized n×, emitted
+    in bursts with a 1→2→4→n ramp."""
     assert input_ids.shape[0] == 1, "streaming path is single-sequence"
     T = input_ids.shape[1]
     if cache_len is None:
@@ -322,6 +357,39 @@ def generate_stream(
         return
 
     token = None
+    if multi_step > 1:
+        # Multi-step bursts (the batchers' --multi-step, serialized path):
+        # n chained decode steps per dispatch, one device_get per burst.
+        # Burst sizes ramp 1→2→4→n so TTFT/early-token latency doesn't
+        # regress; tokens past an in-burst EOS are computed on device but
+        # discarded here (the cache is per-call scratch, so its post-EOS
+        # rows are never observed). Greedy bursts are token-exact with
+        # single-stepping; temperature > 0 draws the burst's keys from one
+        # split (both are valid sample streams — same caveat as
+        # `batching._batch_multi_step`).
+        rng, sub = jax.random.split(rng)
+        token = _sample(last_logits, sub, sampling)
+        tok = int(token[0])
+        if tok == sampling.eos_token_id:
+            return
+        yield tok
+        remaining = sampling.max_new_tokens - 1
+        ramp = [1, 2, 4]
+        while remaining > 0:
+            n = min(ramp.pop(0) if ramp else multi_step, multi_step,
+                    remaining)
+            rng, sub = jax.random.split(rng)
+            toks, cache, token = decode_multi_step(
+                params, cache, token, sub, cfg, sampling, n=n,
+                pallas_cache=pallas_cache,
+            )
+            for t in np.asarray(jax.device_get(toks))[:, 0]:
+                if int(t) == sampling.eos_token_id:
+                    return
+                yield int(t)
+                remaining -= 1
+        return
+
     for _ in range(sampling.max_new_tokens):
         rng, sub = jax.random.split(rng)
         if token is None:
