@@ -115,6 +115,10 @@ def run_batch(params, cfg, tokenizer, items: List[Dict], sampling: SamplingConfi
 
 
 def eval_model(args, params=None, cfg: Optional[VisZephyrConfig] = None, tokenizer=None):
+    if getattr(args, "num_beams", 1) != 1:
+        raise NotImplementedError(
+            "beam search is not implemented (the reference exposes "
+            "--num_beams but defaults it to 1 in every released script)")
     if params is None:
         import jax.numpy as jnp
 
@@ -133,6 +137,7 @@ def eval_model(args, params=None, cfg: Optional[VisZephyrConfig] = None, tokeniz
     sampling = SamplingConfig(
         max_new_tokens=args.max_new_tokens,
         temperature=args.temperature,
+        top_p=1.0 if args.top_p is None else args.top_p,
         eos_token_id=cfg.decoder.eos_token_id,
     )
 
@@ -185,6 +190,13 @@ def build_parser():
     p.add_argument("--chunk-idx", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--temperature", type=float, default=0.0)
+    # Reference flag surface (eval_vqa.py:229-230): top_p threads into
+    # sampling; num_beams only validates (the reference defaults it to 1
+    # and never beam-searches in any released script).
+    p.add_argument("--top-p", "--top_p", dest="top_p", type=float,
+                   default=None)
+    p.add_argument("--num-beams", "--num_beams", dest="num_beams", type=int,
+                   default=1)
     p.add_argument("--max-new-tokens", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
     return p

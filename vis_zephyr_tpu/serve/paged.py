@@ -1273,6 +1273,10 @@ class PagedBatcher(ContinuousBatcher):
         keep = (len(shared) // per) * per
         if keep < len(shared):  # chain must stay chunk-aligned to skip
             self.allocator.release(shared[keep:])
+            # Keep the hit metrics honest: only truly reused pages count.
+            self.prefix_cache.pages_reused -= len(shared) - keep
+            if keep == 0:
+                self.prefix_cache.hits -= 1
             shared = shared[:keep]
         if not shared:
             return st
