@@ -134,3 +134,35 @@ class TestHttpServer:
             assert err.value.code == 400
         finally:
             server.shutdown()
+
+
+class TestEnginePrefixCache:
+    def test_multiturn_chat_hits_prefix_cache(self, mock_tokenizer_module):
+        """Turn 2 re-prefills the session history — exactly the prefix-cache
+        pattern: the batcher must report a hit, and replies must equal the
+        cache-less engine's."""
+        cfg = tiny_config(vocab_size=50000)
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+
+        def build(prefix_cache):
+            return ChatEngine(
+                params, cfg, mock_tokenizer_module, max_new_tokens=4,
+                temperature=0.0, continuous_batching=True, max_slots=2,
+                cache_len=256, kv_cache="paged", prefill_chunk=16,
+                prefix_cache=prefix_cache, page_size=16,
+            )
+
+        warm, cold = build(True), build(False)
+        prompt1 = " ".join(f"w{i}" for i in range(40))
+        replies = {}
+        try:
+            for name, eng in (("warm", warm), ("cold", cold)):
+                r1 = eng.chat_text("m1", prompt1)
+                r2 = eng.chat_text("m1", "and then w3 w5")
+                replies[name] = (r1, r2)
+        finally:
+            warm.close()
+            cold.close()
+        assert replies["warm"] == replies["cold"]
+        assert warm.batcher.prefix_cache.hits >= 1
+        assert cold.batcher.prefix_cache is None

@@ -176,6 +176,10 @@ def main(args=None):
                    help="paged: shared page pools (higher slot counts per chip)")
     p.add_argument("--num-pages", type=int, default=None,
                    help="paged pool size (default: half the dense footprint)")
+    p.add_argument("--page-size", type=int, default=128,
+                   help="tokens per KV page (paged only); smaller pages "
+                        "waste less tail space and shorten prefix-cache "
+                        "granularity, larger pages cut page-walk overhead")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV pools (paged only): per-row absmax scales, "
                         "halves decode KV HBM traffic and doubles the slot "
@@ -246,7 +250,7 @@ def main(args=None):
         metrics=metrics, prefill_chunk=a.prefill_chunk or None,
         lookahead=a.lookahead, draft_params=draft_params, draft_cfg=draft_cfg,
         multi_step=a.multi_step, kv_fused=a.kv_fused,
-        prefix_cache=a.prefix_cache,
+        prefix_cache=a.prefix_cache, page_size=a.page_size,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

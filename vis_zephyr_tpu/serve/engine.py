@@ -52,6 +52,7 @@ class ChatEngine:
         multi_step: int = 1,
         kv_fused: bool = False,
         prefix_cache: bool = False,
+        page_size: int = 128,
     ):
         """`mesh`: optional inference mesh (model-axis TP). Params are
         sharded once here; jitted prefill/decode partition via SPMD
@@ -114,7 +115,7 @@ class ChatEngine:
                     metrics=metrics, prefill_chunk=prefill_chunk,
                     kv_quant=kv_quant, lookahead=lookahead, draft=draft,
                     multi_step=multi_step, kv_fused=kv_fused,
-                    prefix_cache=prefix_cache,
+                    prefix_cache=prefix_cache, page_size=page_size,
                 )
             else:
                 from .batching import ContinuousBatcher
