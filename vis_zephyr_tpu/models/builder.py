@@ -118,8 +118,18 @@ def _load_lora_artifact(
         if head is not None:
             params["decoder"]["lm_head"] = {"kernel": jnp.asarray(nlt[head].T, dtype)}
 
-    # Adapter hyperparams from adapter_config.json (peft layout).
-    r, alpha = 128, 256.0
+    adapters = _read_adapter(model_path, cfg, dtype)
+    return merge_lora(attach_lora(params, adapters))
+
+
+def _read_adapter(model_path: str, cfg: VisZephyrConfig, dtype) -> Dict:
+    """Read one peft adapter dir → `convert_lora_adapters` output (keys
+    "decoder/layers/<target>" with stacked per-layer A/B/scale)."""
+    import json as _json
+
+    from .hf_convert import convert_lora_adapters
+
+    r, alpha = 128, 256.0  # reference script/finetune.sh defaults
     acfg_path = os.path.join(model_path, "adapter_config.json")
     if os.path.exists(acfg_path):
         with open(acfg_path) as f:
@@ -142,8 +152,24 @@ def _load_lora_artifact(
             asd = {k: f.get_tensor(k) for k in f.keys()}
     else:
         asd = load_torch_bin(afile)
-    adapters = convert_lora_adapters(asd, cfg.decoder, r=r, alpha=alpha, dtype=dtype)
-    return merge_lora(attach_lora(params, adapters))
+    return convert_lora_adapters(asd, cfg.decoder, r=r, alpha=alpha, dtype=dtype)
+
+
+def load_lora_pack(adapter_dirs: Dict[str, str], cfg: VisZephyrConfig,
+                   dtype=jnp.float32):
+    """Load MANY peft adapter dirs for multi-LoRA serving (`ops/mlora.py`).
+
+    `adapter_dirs`: ordered {name: dir}. Returns (pack, {name: index})
+    with index 0 reserved for the base model. Adapters may differ in rank
+    (zero-padded) and in adapted targets (union). Net-new vs the reference
+    (it merges exactly one adapter at load, `model/builder.py:88-95`)."""
+    from ..ops.mlora import build_pack
+
+    adapters, names = [], {}
+    for i, (name, d) in enumerate(adapter_dirs.items(), start=1):
+        adapters.append(_read_adapter(d, cfg, dtype))
+        names[name] = i
+    return build_pack(adapters, cfg.decoder.num_layers, dtype), names
 
 
 def _convert_consolidated(sd: Dict, cfg: VisZephyrConfig, dtype) -> Dict:

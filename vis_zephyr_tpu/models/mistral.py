@@ -59,7 +59,18 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
-def _project_qkv(h, attn_params, cfg: DecoderConfig, cos, sin, lora_do=None):
+def _mdelta(x, mlora, key, mctx):
+    """Per-row multi-LoRA delta for target `key`, or 0 when absent (see
+    `ops/mlora.py` — batched per-request adapters, serving only)."""
+    if mlora is None or key not in mlora:
+        return 0.0
+    from ..ops.mlora import mlora_delta
+
+    return mlora_delta(x, mlora[key], mctx)
+
+
+def _project_qkv(h, attn_params, cfg: DecoderConfig, cos, sin, lora_do=None,
+                 mlora=None, mctx=None):
     B, T, _ = h.shape
     nq = cfg.num_heads * cfg.head_dim
     nkv = cfg.num_kv_heads * cfg.head_dim
@@ -76,13 +87,28 @@ def _project_qkv(h, attn_params, cfg: DecoderConfig, cos, sin, lora_do=None):
         q = qdot(h, attn_params["q"], lora_dropout=do(0))
         k = qdot(h, attn_params["k"], lora_dropout=do(1))
         v = qdot(h, attn_params["v"], lora_dropout=do(2))
+    if mlora is not None:
+        # Multi-LoRA deltas add to the projection OUTPUTS (pre-RoPE) — the
+        # fused qkv matmul stays one big weight read; q/k/v adapters have
+        # independent rank spaces so their deltas apply per target.
+        q = q + _mdelta(h, mlora, "q", mctx)
+        k = k + _mdelta(h, mlora, "k", mctx)
+        v = v + _mdelta(h, mlora, "v", mctx)
     q = apply_rope(q.reshape(B, T, cfg.num_heads, cfg.head_dim), cos, sin)
     k = apply_rope(k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim), cos, sin)
     v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     return q, k, v
 
 
-def _mlp(h, mlp_params, lora_do=None):
+def _attn_out(attn_flat, attn_params, mlora=None, mctx=None, lora_dropout=None):
+    """Row-parallel output projection + optional multi-LoRA delta."""
+    out = qdot(attn_flat, attn_params["out"], lora_dropout=lora_dropout)
+    if mlora is not None:
+        out = out + _mdelta(attn_flat, mlora, "out", mctx)
+    return out
+
+
+def _mlp(h, mlp_params, lora_do=None, mlora=None, mctx=None):
     def do(i):
         return None if lora_do is None else (jax.random.fold_in(lora_do[0], i), lora_do[1])
 
@@ -92,7 +118,14 @@ def _mlp(h, mlp_params, lora_do=None):
     else:
         gate = qdot(h, mlp_params["gate"], lora_dropout=do(0))
         up = qdot(h, mlp_params["up"], lora_dropout=do(1))
-    return qdot(jax.nn.silu(gate) * up, mlp_params["down"], lora_dropout=do(2))
+    if mlora is not None:
+        gate = gate + _mdelta(h, mlora, "gate", mctx)
+        up = up + _mdelta(h, mlora, "up", mctx)
+    inter = jax.nn.silu(gate) * up
+    out = qdot(inter, mlp_params["down"], lora_dropout=do(2))
+    if mlora is not None:
+        out = out + _mdelta(inter, mlora, "down", mctx)
+    return out
 
 
 def fuse_decoder_layers(decoder_params: Dict) -> Dict:
@@ -156,8 +189,15 @@ def mistral_forward(
     pallas_cache_update: Optional[bool] = None,
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    mlora: Optional[Dict] = None,
+    adapter_idx: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Run the decoder stack.
+
+    `mlora`/`adapter_idx`: batched multi-LoRA serving — `mlora` is an
+    `ops/mlora.py` pack ([L, N, ...] leaves, scanned with the layers) and
+    `adapter_idx` [B] selects each row's adapter (0 = base). Every adapted
+    projection adds a per-row ragged-grouped low-rank delta.
 
     Two modes:
       - cache=None: self-contained forward over [B, T] (training / scoring /
@@ -177,6 +217,14 @@ def mistral_forward(
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     h = inputs_embeds
+
+    mctx = None
+    if mlora is not None:
+        from ..ops.mlora import pack_num_adapters, ragged_ctx
+
+        if adapter_idx is None:
+            adapter_idx = jnp.zeros((B,), jnp.int32)
+        mctx = ragged_ctx(adapter_idx, pack_num_adapters(mlora))
 
     if cache is None:
         if attn_mesh is not None and cfg.num_kv_heads % attn_mesh.shape.get(
@@ -218,32 +266,43 @@ def mistral_forward(
 
         def body(carry, xs):
             h = carry
-            layer_params, i = xs
+            if mlora is None:
+                layer_params, i = xs
+                ml = None
+            else:
+                layer_params, i, ml = xs
             lora_do = (
                 (jax.random.fold_in(dropout_rng, i), lora_dropout)
                 if use_dropout else None
             )
             hn = rms_norm(h, layer_params["input_ln"]["scale"], cfg.rms_norm_eps)
             q, k, v = _project_qkv(hn, layer_params["attn"], cfg, cos, sin,
-                                   lora_do=lora_do)
+                                   lora_do=lora_do,
+                                   mlora=None if ml is None else ml.get("attn"),
+                                   mctx=mctx)
             attn = attend(q, k, v)
-            attn = qdot(attn.reshape(*attn.shape[:2], -1), layer_params["attn"]["out"],
-                        lora_dropout=(
-                            (jax.random.fold_in(lora_do[0], 3), lora_dropout)
-                            if lora_do else None))
+            attn = _attn_out(
+                attn.reshape(*attn.shape[:2], -1), layer_params["attn"],
+                mlora=None if ml is None else ml.get("attn"), mctx=mctx,
+                lora_dropout=(
+                    (jax.random.fold_in(lora_do[0], 3), lora_dropout)
+                    if lora_do else None))
             h = h + attn
             hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], cfg.rms_norm_eps)
             h = h + _mlp(hn, layer_params["mlp"],
                          lora_do=(
                              (jax.random.fold_in(lora_do[0], 4), lora_dropout)
-                             if lora_do else None))
+                             if lora_do else None),
+                         mlora=None if ml is None else ml.get("mlp"),
+                         mctx=mctx)
             return h, (k, v) if return_kv else None
 
         if remat:
             body = jax.checkpoint(body)  # trade FLOPs for HBM during backprop
-        h, kv = jax.lax.scan(
-            body, h, (params["layers"], jnp.arange(cfg.num_layers))
-        )
+        xs = (params["layers"], jnp.arange(cfg.num_layers))
+        if mlora is not None:
+            xs = xs + (mlora,)
+        h, kv = jax.lax.scan(body, h, xs)
         new_cache = kv if return_kv else None
     else:
         S = cache["k"].shape[2]
@@ -286,25 +345,37 @@ def mistral_forward(
         # copy per step.
         def body(carry, xs):
             h, ck, cv = carry
-            layer_params, i = xs
+            if mlora is None:
+                layer_params, i = xs
+                ml = None
+            else:
+                layer_params, i, ml = xs
             hn = rms_norm(h, layer_params["input_ln"]["scale"], cfg.rms_norm_eps)
-            q, k, v = _project_qkv(hn, layer_params["attn"], cfg, cos, sin)
+            q, k, v = _project_qkv(hn, layer_params["attn"], cfg, cos, sin,
+                                   mlora=None if ml is None else ml.get("attn"),
+                                   mctx=mctx)
             if pallas_cache_update:
                 ck, cv = dense_cache_update(ck, cv, k, v, lengths, i)
             else:
                 ck = ck.at[i, batch_idx, slot].set(k.astype(ck.dtype))
                 cv = cv.at[i, batch_idx, slot].set(v.astype(cv.dtype))
             attn = dot_product_attention(q, ck[i].astype(q.dtype), cv[i].astype(q.dtype), mask=mask)
-            attn = qdot(attn.reshape(*attn.shape[:2], -1), layer_params["attn"]["out"])
+            attn = _attn_out(attn.reshape(*attn.shape[:2], -1),
+                             layer_params["attn"],
+                             mlora=None if ml is None else ml.get("attn"),
+                             mctx=mctx)
             h = h + attn
             hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], cfg.rms_norm_eps)
-            h = h + _mlp(hn, layer_params["mlp"])
+            h = h + _mlp(hn, layer_params["mlp"],
+                         mlora=None if ml is None else ml.get("mlp"),
+                         mctx=mctx)
             return (h, ck, cv), None
 
+        xs = (params["layers"], jnp.arange(cfg.num_layers))
+        if mlora is not None:
+            xs = xs + (mlora,)
         (h, new_k, new_v), _ = jax.lax.scan(
-            body,
-            (h, cache["k"], cache["v"]),
-            (params["layers"], jnp.arange(cfg.num_layers)),
+            body, (h, cache["k"], cache["v"]), xs,
         )
         new_cache = {
             "k": new_k,

@@ -241,6 +241,8 @@ def vis_zephyr_forward(
     merge_info: Optional[jnp.ndarray] = None,
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    mlora: Optional[Dict] = None,
+    adapter_idx: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Full multimodal forward (prefill or training step).
 
@@ -283,6 +285,8 @@ def vis_zephyr_forward(
         attn_mesh=attn_mesh,
         lora_dropout=lora_dropout,
         dropout_rng=dropout_rng,
+        mlora=mlora,
+        adapter_idx=adapter_idx,
     )
     aux = {k: v for k, v in prepared.items() if k != "embeds"}
     if extra is not None:

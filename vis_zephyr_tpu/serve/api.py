@@ -48,7 +48,17 @@ def _handle_chat(engine: ChatEngine, payload: dict):
             image = decode_base64_image(image_b64)
         except ValueError as e:
             return {"error": str(e)}, None
-    return None, engine.chat(session_id, question, pil_image=image)
+    adapter = payload.get("adapter")  # multi-LoRA adapter name (optional)
+    if adapter and adapter != "base":
+        # Validate HERE (engine.chat is a generator — it would only raise
+        # once streaming starts, after the 200 header).
+        names = getattr(getattr(engine, "batcher", None), "adapter_names",
+                        None) or {}
+        if adapter not in names:
+            return {"error": f"unknown adapter {adapter!r}; loaded: "
+                             f"{sorted(names)} (plus 'base')"}, None
+    return None, engine.chat(session_id, question, pil_image=image,
+                             adapter=adapter)
 
 
 class ChatHandler(BaseHTTPRequestHandler):
@@ -221,6 +231,12 @@ def main(args=None):
                         "prompts, multi-turn continuations) reuse its pool "
                         "pages and prefill only the suffix; needs "
                         "--prefill-chunk (on by default)")
+    p.add_argument("--lora-adapters", default=None,
+                   help="multi-LoRA serving: comma-separated name=dir peft "
+                        "adapter dirs served concurrently on the one base "
+                        "model; requests pick one via the /chat 'adapter' "
+                        "field (default: base). Requires "
+                        "--continuous-batching")
     a = p.parse_args(args)
 
     tokenizer, params, cfg, _ = load_pretrained_model(
@@ -232,6 +248,13 @@ def main(args=None):
         _, draft_params, draft_cfg, _ = load_pretrained_model(
             a.draft_model, dtype=jnp.bfloat16,
         )
+    mlora = adapter_names = None
+    if a.lora_adapters:
+        from ..models.builder import load_lora_pack
+
+        dirs = dict(pair.split("=", 1) for pair in a.lora_adapters.split(","))
+        mlora, adapter_names = load_lora_pack(dirs, cfg, dtype=jnp.bfloat16)
+        print(f"multi-LoRA: serving adapters {sorted(adapter_names)} + base")
     mesh = None
     if a.tp > 1:
         from ..parallel.mesh import create_mesh
@@ -251,6 +274,7 @@ def main(args=None):
         lookahead=a.lookahead, draft_params=draft_params, draft_cfg=draft_cfg,
         multi_step=a.multi_step, kv_fused=a.kv_fused,
         prefix_cache=a.prefix_cache, page_size=a.page_size,
+        mlora=mlora, adapter_names=adapter_names,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

@@ -42,15 +42,18 @@ from .generate import SamplingConfig, _sample
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_flash", "attn_mesh"))
 def _prefill_kv(params, input_ids, images, patch_valid, cfg: VisZephyrConfig,
-                use_flash: Optional[bool] = None, attn_mesh=None):
+                use_flash: Optional[bool] = None, attn_mesh=None,
+                mlora=None, adapter_idx=None):
     """Single-request prefill → (last_logits [1,V], k/v [L,T,Hkv,D], length).
     `attn_mesh`: TP mesh — the Pallas flash prefill runs per shard over its
-    heads (previously TP admission fell back to XLA attention)."""
+    heads (previously TP admission fell back to XLA attention).
+    `mlora`/`adapter_idx` [1]: multi-LoRA serving — the request's adapter
+    shapes its prompt K/V (see `ops/mlora.py`)."""
     pad_mult = 128 if jax.default_backend() != "cpu" else None
     logits, aux = vis_zephyr_forward(
         params, input_ids, images, patch_valid, cfg,
         return_kv=True, pad_to_multiple=pad_mult, use_flash=use_flash,
-        attn_mesh=attn_mesh,
+        attn_mesh=attn_mesh, mlora=mlora, adapter_idx=adapter_idx,
     )
     k, v = aux["kv"]
     length = aux["lengths"][0]
@@ -91,13 +94,13 @@ def _splice_embeds(params, input_ids, images, patch_valid, cfg: VisZephyrConfig,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pallas_cache"), donate_argnums=(4,))
 def _chunk_extend(dec_params, embeds, positions, valid, cache, cfg: VisZephyrConfig,
-                  pallas_cache: bool = True):
+                  pallas_cache: bool = True, mlora=None, adapter_idx=None):
     """Append one prefill chunk to a B=1 scratch cache (decoder cache-
     extension mode: the chunk attends causally over all previous chunks)."""
     logits, cache = mistral_forward(
         dec_params, embeds, cfg.decoder, positions,
         attn_valid=valid, cache=cache, logits_slice="all",
-        pallas_cache_update=pallas_cache,
+        pallas_cache_update=pallas_cache, mlora=mlora, adapter_idx=adapter_idx,
     )
     return logits, cache
 
@@ -117,7 +120,7 @@ def _admit(cache, k, v, length, cfg: VisZephyrConfig, slot: int):
 @functools.partial(jax.jit, static_argnames=("cfg", "pallas_cache"),
                    donate_argnums=(1,))
 def _verify_step(params, cache, toks, valid, cfg: VisZephyrConfig,
-                 pallas_cache: bool = True):
+                 pallas_cache: bool = True, mlora=None, adapter_idx=None):
     """Batched speculative verify: append up to S tokens per slot (column 0
     is every slot's pending token; later columns are prompt-lookup
     proposals, padded rows invalid) in ONE cached forward. Returns
@@ -130,21 +133,23 @@ def _verify_step(params, cache, toks, valid, cfg: VisZephyrConfig,
     from .generate import decode_verify
 
     logits, new_cache = decode_verify(params, cache, toks, valid, cfg,
-                                      pallas_cache=pallas_cache)
+                                      pallas_cache=pallas_cache,
+                                      mlora=mlora, adapter_idx=adapter_idx)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "sampling", "pallas_cache"),
                    donate_argnums=(1,))
 def _batch_step(params, cache, token, active, key, cfg: VisZephyrConfig,
-                sampling: SamplingConfig, pallas_cache: bool = True):
+                sampling: SamplingConfig, pallas_cache: bool = True,
+                mlora=None, adapter_idx=None):
     """One decode step over all slots; inactive slots are frozen."""
     old_lengths = cache["length"]
     embeds = embed(params["decoder"], token[:, None])
     logits, new_cache = mistral_forward(
         params["decoder"], embeds, cfg.decoder, old_lengths[:, None],
         cache=cache, logits_slice="last",
-        pallas_cache_update=pallas_cache,
+        pallas_cache_update=pallas_cache, mlora=mlora, adapter_idx=adapter_idx,
     )
     next_token = _sample(logits[:, 0], key, sampling)
     next_token = jnp.where(active, next_token, cfg.decoder.pad_token_id)
@@ -157,7 +162,8 @@ def _batch_step(params, cache, token, active, key, cfg: VisZephyrConfig,
                    donate_argnums=(1,))
 def _batch_multi_step(params, cache, token, active, steps_left, key,
                       cfg: VisZephyrConfig, sampling: SamplingConfig,
-                      n: int, pallas_cache: bool = True):
+                      n: int, pallas_cache: bool = True,
+                      mlora=None, adapter_idx=None):
     """`n` chained decode steps in ONE dispatch (multi-step scheduling,
     the vLLM-style host-overhead amortization): the per-step host work —
     Python scheduling, dispatch latency, one device_get per step — is paid
@@ -180,7 +186,8 @@ def _batch_multi_step(params, cache, token, active, steps_left, key,
     def body(carry, sub):
         cache, token, alive, left = carry
         tok, cache = _batch_step(params, cache, token, alive, sub, cfg,
-                                 sampling, pallas_cache=pallas_cache)
+                                 sampling, pallas_cache=pallas_cache,
+                                 mlora=mlora, adapter_idx=adapter_idx)
         entry_alive = alive
         left = left - 1
         alive = alive & (tok != eos) & (left > 0)
@@ -200,6 +207,7 @@ class _Request:
     images: Optional[np.ndarray]
     patch_valid: Optional[np.ndarray]
     max_new_tokens: int
+    adapter: int = 0  # multi-LoRA index (0 = base model)
     out: "queue.Queue[Optional[int]]" = dataclasses.field(
         default_factory=queue.Queue
     )
@@ -226,6 +234,8 @@ class ContinuousBatcher:
         lookahead: int = 0,
         draft=None,
         multi_step: int = 1,
+        mlora=None,
+        adapter_names: Optional[Dict[str, int]] = None,
     ):
         """`mesh`: optional inference mesh (see `parallel.mesh.inference_mesh`).
         Params are TP-sharded over its model axis and the KV cache over the
@@ -251,8 +261,16 @@ class ContinuousBatcher:
         scheduling + dispatch latency over n tokens, token-exact with
         single-stepping under greedy decoding. Mutually exclusive with
         `lookahead` (the verify step already advances multiple tokens per
-        dispatch); ignored when lookahead > 0."""
+        dispatch); ignored when lookahead > 0.
+        `mlora`/`adapter_names`: multi-LoRA serving — an `ops/mlora.py`
+        pack plus {name → index ≥ 1} routing; `submit(adapter=name)`
+        selects each request's adapter (index 0 = base). Every forward
+        (admission prefill, decode, verify) adds the per-row adapter
+        deltas, so outputs per slot equal the single-adapter engine's."""
         self.metrics = metrics
+        self.mlora = mlora
+        self.adapter_names = dict(adapter_names or {})
+        self.slot_adapter = np.zeros(max_slots, np.int32)
         self.prefill_chunk = prefill_chunk
         self.lookahead = lookahead if sampling.temperature <= 0.0 else 0
         self.multi_step = max(1, int(multi_step)) if self.lookahead == 0 else 1
@@ -299,9 +317,18 @@ class ContinuousBatcher:
         images: Optional[np.ndarray] = None,
         patch_valid: Optional[np.ndarray] = None,
         max_new_tokens: Optional[int] = None,
+        adapter: Optional[str] = None,
     ) -> _Request:
         """Queue a request. Returns a handle whose `.out` queue yields token
-        ids and a final `None` sentinel."""
+        ids and a final `None` sentinel. `adapter`: multi-LoRA adapter NAME
+        (requires the batcher's `mlora` pack; None/"base" = base model)."""
+        aidx = 0
+        if adapter is not None and adapter != "base":
+            if adapter not in self.adapter_names:
+                raise KeyError(
+                    f"unknown adapter {adapter!r}; loaded: "
+                    f"{sorted(self.adapter_names)} (plus 'base')")
+            aidx = self.adapter_names[adapter]
         with self._lock:
             rid = self._next_id
             self._next_id += 1
@@ -311,6 +338,7 @@ class ContinuousBatcher:
             images if images is None else np.asarray(images),
             patch_valid if patch_valid is None else np.asarray(patch_valid),
             max_new_tokens or self.sampling.max_new_tokens,
+            adapter=aidx,
         )
         req.submitted_at = time.perf_counter()
         self.pending.put(req)
@@ -344,6 +372,7 @@ class ContinuousBatcher:
             last_logits, k, v, length = _prefill_kv(
                 self.params, ids, images, pv, self.cfg,
                 use_flash=self.use_flash, attn_mesh=self.mesh,
+                mlora=self.mlora, adapter_idx=self._req_aidx(req),
             )
             if int(length) + req.max_new_tokens > self.cache_len:
                 req.out.put(None)  # too long; reject
@@ -358,7 +387,21 @@ class ContinuousBatcher:
         self._activate(req, slot, last_logits)
         return True
 
+    def _req_aidx(self, req: _Request):
+        """Adapter index operand for a single-request (B=1) forward."""
+        if self.mlora is None:
+            return None
+        return jnp.asarray([req.adapter], jnp.int32)
+
+    def _slot_aidx(self):
+        """Adapter index operand for all-slots forwards (inactive slots sit
+        at 0 = base: a zero adapter, exactly no-op)."""
+        if self.mlora is None:
+            return None
+        return jnp.asarray(self.slot_adapter)
+
     def _activate(self, req: _Request, slot: int, last_logits) -> None:
+        self.slot_adapter[slot] = req.adapter
         self.rng, sub = jax.random.split(self.rng)
         first = _sample(last_logits[None], sub, self.sampling)
         tok = int(first[0])
@@ -424,6 +467,7 @@ class ContinuousBatcher:
                 self.params["decoder"], st["embeds"][:, sl], st["positions"][:, sl],
                 st["valid"][:, sl], st["cache"], self.cfg,
                 pallas_cache=self.mesh is None,
+                mlora=self.mlora, adapter_idx=self._req_aidx(st["req"]),
             )
             if (st["length"] - 1) // C == c:  # chunk holding the last real token
                 st["last_logits"] = logits[0, (st["length"] - 1) % C]
@@ -471,6 +515,7 @@ class ContinuousBatcher:
         req.out.put(tok)
 
     def _finish(self, slot: int) -> None:
+        self.slot_adapter[slot] = 0
         req = self.slot_req[slot]
         if req is not None:
             req.out.put(None)
@@ -587,6 +632,7 @@ class ContinuousBatcher:
         greedy, self.cache = _verify_step(
             self.params, self.cache, jnp.asarray(toks), jnp.asarray(valid),
             self.cfg, pallas_cache=self.mesh is None,
+            mlora=self.mlora, adapter_idx=self._slot_aidx(),
         )
         return np.asarray(jax.device_get(greedy))
 
@@ -646,6 +692,7 @@ class ContinuousBatcher:
                 jnp.asarray(self.budget.astype(np.int32)), sub,
                 self.cfg, self.sampling, n=self.multi_step,
                 pallas_cache=self.mesh is None,
+                mlora=self.mlora, adapter_idx=self._slot_aidx(),
             )
             return self._process_burst(np.asarray(jax.device_get(toks)),
                                        np.asarray(jax.device_get(alive)))
@@ -653,6 +700,7 @@ class ContinuousBatcher:
         self.token, self.cache = _batch_step(
             self.params, self.cache, self.token, jnp.asarray(self.active), sub,
             self.cfg, self.sampling, pallas_cache=self.mesh is None,
+            mlora=self.mlora, adapter_idx=self._slot_aidx(),
         )
         tokens = np.asarray(jax.device_get(self.token))
         stepped = 0

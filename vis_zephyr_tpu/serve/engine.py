@@ -53,6 +53,8 @@ class ChatEngine:
         kv_fused: bool = False,
         prefix_cache: bool = False,
         page_size: int = 128,
+        mlora=None,
+        adapter_names=None,
     ):
         """`mesh`: optional inference mesh (model-axis TP). Params are
         sharded once here; jitted prefill/decode partition via SPMD
@@ -116,6 +118,7 @@ class ChatEngine:
                     kv_quant=kv_quant, lookahead=lookahead, draft=draft,
                     multi_step=multi_step, kv_fused=kv_fused,
                     prefix_cache=prefix_cache, page_size=page_size,
+                    mlora=mlora, adapter_names=adapter_names,
                 )
             else:
                 from .batching import ContinuousBatcher
@@ -125,6 +128,7 @@ class ChatEngine:
                     sampling=self.sampling, mesh=mesh, metrics=metrics,
                     prefill_chunk=prefill_chunk, lookahead=lookahead,
                     draft=draft, multi_step=multi_step,
+                    mlora=mlora, adapter_names=adapter_names,
                 )
 
     def _ensure_pump(self) -> None:
@@ -232,16 +236,21 @@ class ChatEngine:
 
     # -- generation ----------------------------------------------------------
 
-    def chat(self, session_id: str, question: str, pil_image=None) -> Iterator[str]:
-        """Append the user turn, stream back the assistant reply text."""
+    def chat(self, session_id: str, question: str, pil_image=None,
+             adapter: Optional[str] = None) -> Iterator[str]:
+        """Append the user turn, stream back the assistant reply text.
+        `adapter`: multi-LoRA adapter name for this request (continuous
+        batching only; None = base model)."""
         sess = self.get_session(session_id)
         sess["lock"].acquire()
         try:
-            yield from self._chat_locked(sess, session_id, question, pil_image)
+            yield from self._chat_locked(sess, session_id, question, pil_image,
+                                         adapter=adapter)
         finally:
             sess["lock"].release()
 
-    def _chat_locked(self, sess, session_id: str, question: str, pil_image) -> Iterator[str]:
+    def _chat_locked(self, sess, session_id: str, question: str, pil_image,
+                     adapter: Optional[str] = None) -> Iterator[str]:
         conv = sess["conversation"]
 
         if pil_image is not None and sess["images"] is None:
@@ -263,10 +272,15 @@ class ChatEngine:
                 np.asarray(input_ids[0]),
                 None if images is None else np.asarray(images[0]),
                 None if images is None else np.asarray(sess["patch_valid"][0]),
+                adapter=adapter,
             )
             self._ensure_pump()
             stream = self.batcher.stream(handle)
         else:
+            if adapter is not None and adapter != "base":
+                raise ValueError(
+                    "per-request adapters need --continuous-batching "
+                    "(serialized engines merge one adapter at load)")
             self._lock.acquire()
             stream = generate_stream(
                 self.params,
@@ -299,5 +313,7 @@ class ChatEngine:
 
         conv.messages[-1][1] = emitted_text
 
-    def chat_text(self, session_id: str, question: str, pil_image=None) -> str:
-        return "".join(self.chat(session_id, question, pil_image))
+    def chat_text(self, session_id: str, question: str, pil_image=None,
+                  adapter: Optional[str] = None) -> str:
+        return "".join(self.chat(session_id, question, pil_image,
+                                 adapter=adapter))

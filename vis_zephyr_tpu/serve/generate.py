@@ -227,6 +227,7 @@ def decode_verify(
     valid: jnp.ndarray,   # [B, S] bool — padded proposal slots are False
     cfg: VisZephyrConfig,
     pallas_cache: bool = True,
+    mlora=None, adapter_idx=None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Speculative verify: append S tokens (the pending accepted token plus
     S−1 proposed) in ONE cached forward and return per-position logits
@@ -242,7 +243,8 @@ def decode_verify(
     logits, new_cache = mistral_forward(
         params["decoder"], embeds, cfg.decoder, positions,
         attn_valid=valid, cache=cache, logits_slice="all",
-        pallas_cache_update=pallas_cache,
+        pallas_cache_update=pallas_cache, mlora=mlora,
+        adapter_idx=adapter_idx,
     )
     return logits, new_cache
 

@@ -85,7 +85,8 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import VisZephyrConfig
-from ..models.mistral import _mlp, _project_qkv, embed, rms_norm, rope_cos_sin
+from ..models.mistral import (_attn_out, _mlp, _project_qkv, embed, rms_norm,
+                              rope_cos_sin)
 from ..ops.paged_attention import (
     paged_attention,
     paged_attention_fa,
@@ -95,7 +96,6 @@ from ..ops.paged_attention import (
     paged_kv_update_rows_q,
     quantize_kv,
 )
-from ..ops.quant_matmul import qdot
 from .batching import ContinuousBatcher, _Request
 from .generate import SamplingConfig, _sample
 
@@ -201,19 +201,26 @@ class PrefixCache:
         self.hits = 0
         self.pages_reused = 0
 
-    def _chunks(self, ids: np.ndarray, n: int):
+    def _chunks(self, ids: np.ndarray, n: int, salt: bytes = b""):
+        """Chunk keys; `salt` disambiguates contexts that change K/V for
+        the same token ids (the request's multi-LoRA adapter). Salting the
+        ROOT chunk suffices — every deeper node descends from it."""
         ps = self.page_size
-        return [np.asarray(ids[i * ps:(i + 1) * ps], np.int32).tobytes()
-                for i in range(n)]
+        out = [np.asarray(ids[i * ps:(i + 1) * ps], np.int32).tobytes()
+               for i in range(n)]
+        if out and salt:
+            out[0] = salt + out[0]
+        return out
 
-    def lookup(self, ids: np.ndarray, max_pages: int) -> List[int]:
+    def lookup(self, ids: np.ndarray, max_pages: int,
+               salt: bytes = b"") -> List[int]:
         """Longest cached chain of full pages covering ids[:n·ps], n ≤
         max_pages. Retains the returned pages for the caller (one holder
         each) and refreshes their LRU stamps."""
         self._clock += 1
         pages: List[int] = []
         node = self.root
-        for chunk in self._chunks(ids, max_pages):
+        for chunk in self._chunks(ids, max_pages, salt):
             ent = node.get(chunk)
             if ent is None:
                 break
@@ -226,7 +233,8 @@ class PrefixCache:
             self.pages_reused += len(pages)
         return pages
 
-    def insert(self, ids: np.ndarray, pages: List[int], n_pages: int) -> None:
+    def insert(self, ids: np.ndarray, pages: List[int], n_pages: int,
+               salt: bytes = b"") -> None:
         """Register pages[i] as the cache page for prompt chunk i
         (i < n_pages). The cache becomes a holder of each NEWLY inserted
         page; chunks already present keep their existing page (the new
@@ -234,7 +242,7 @@ class PrefixCache:
         finish)."""
         self._clock += 1
         node = self.root
-        for i, chunk in enumerate(self._chunks(ids, n_pages)):
+        for i, chunk in enumerate(self._chunks(ids, n_pages, salt)):
             ent = node.get(chunk)
             if ent is None:
                 self.allocator.retain([pages[i]])
@@ -686,7 +694,7 @@ def _kv_update_q_tp(mesh, fused=False):
 )
 def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
                 cfg: VisZephyrConfig, sampling: SamplingConfig, mesh=None,
-                mode: str = "selfterm"):
+                mode: str = "selfterm", mlora=None, adapter_idx=None):
     """One decode step over all slots against the paged pools.
 
     `scales`: `(None, None)` for bf16 pools, or `(k_scales, v_scales)`
@@ -733,6 +741,15 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
     ksp, vsp = scales
     dparams = params["decoder"]
     layers_xs = (dparams["layers"], jnp.arange(dec.num_layers))
+    mctx = None
+    if mlora is not None:
+        from ..ops.mlora import pack_num_adapters, ragged_ctx
+
+        mctx = ragged_ctx(
+            adapter_idx if adapter_idx is not None
+            else jnp.zeros((B,), jnp.int32),
+            pack_num_adapters(mlora))
+        layers_xs = layers_xs + (mlora,)
 
     fused = vp is None  # KV-fused pools (kv_fused=True serving mode)
     if mode == "selfterm":
@@ -745,10 +762,16 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
                 fused=fused)
 
         def body(h, xs):
-            layer_params, i = xs
+            if mlora is None:
+                layer_params, i = xs
+                ml = None
+            else:
+                layer_params, i, ml = xs
             hn = rms_norm(h, layer_params["input_ln"]["scale"],
                           dec.rms_norm_eps)
-            q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin)
+            q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin,
+                                   mlora=None if ml is None else ml.get("attn"),
+                                   mctx=mctx)
             k_new, v_new = k[:, 0], v[:, 0]
             if mesh is None:
                 extra = ({} if ksp is None
@@ -762,10 +785,14 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
                 attn = attn_fn(q, kp, vp, page_table + i * P, lengths_eff,
                                k_new=k_new, v_new=v_new, **extra)[:, 0]
             attn = attn.reshape(B, 1, -1)
-            h = h + qdot(attn, layer_params["attn"]["out"])
+            h = h + _attn_out(attn, layer_params["attn"],
+                              mlora=None if ml is None else ml.get("attn"),
+                              mctx=mctx)
             hn = rms_norm(h, layer_params["post_attn_ln"]["scale"],
                           dec.rms_norm_eps)
-            h = h + _mlp(hn, layer_params["mlp"])
+            h = h + _mlp(hn, layer_params["mlp"],
+                         mlora=None if ml is None else ml.get("mlp"),
+                         mctx=mctx)
             return h, (k_new, v_new)
 
         h, (ks_rows, vs_rows) = jax.lax.scan(body, h, layers_xs)
@@ -796,10 +823,16 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
 
         def body(carry, xs):
             h, kp, vp, ksp, vsp = carry
-            layer_params, i = xs
+            if mlora is None:
+                layer_params, i = xs
+                ml = None
+            else:
+                layer_params, i, ml = xs
             hn = rms_norm(h, layer_params["input_ln"]["scale"],
                           dec.rms_norm_eps)
-            q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin)
+            q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin,
+                                   mlora=None if ml is None else ml.get("attn"),
+                                   mctx=mctx)
             if ksp is None:
                 kp, vp = kv_update(
                     kp, vp, k[:, 0][None], v[:, 0][None],
@@ -815,10 +848,14 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
                 attn = attn_fn(q[:, 0], kp, vp, page_table + i * P,
                                lengths_next, k_scales=ksp, v_scales=vsp)
             attn = attn.reshape(B, 1, -1)
-            h = h + qdot(attn, layer_params["attn"]["out"])
+            h = h + _attn_out(attn, layer_params["attn"],
+                              mlora=None if ml is None else ml.get("attn"),
+                              mctx=mctx)
             hn = rms_norm(h, layer_params["post_attn_ln"]["scale"],
                           dec.rms_norm_eps)
-            h = h + _mlp(hn, layer_params["mlp"])
+            h = h + _mlp(hn, layer_params["mlp"],
+                         mlora=None if ml is None else ml.get("mlp"),
+                         mctx=mctx)
             return (h, kp, vp, ksp, vsp), None
 
         (h, kp, vp, ksp, vsp), _ = jax.lax.scan(
@@ -842,7 +879,8 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
 def _paged_multi_step(params, kp, vp, scales, page_table, lengths, token,
                       active, steps_left, key, cfg: VisZephyrConfig,
                       sampling: SamplingConfig, mesh=None,
-                      mode: str = "selfterm", n: int = 4):
+                      mode: str = "selfterm", n: int = 4,
+                      mlora=None, adapter_idx=None):
     """`n` chained `_paged_step`s in ONE dispatch (multi-step scheduling):
     host scheduling + dispatch latency + the per-step device_get are paid
     once per burst instead of once per token.
@@ -862,7 +900,8 @@ def _paged_multi_step(params, kp, vp, scales, page_table, lengths, token,
         kp, vp, scales, lengths, token, alive, left = carry
         tok, kp, vp, scales, lengths = _paged_step(
             params, kp, vp, scales, page_table, lengths, token, alive, sub,
-            cfg, sampling, mesh=mesh, mode=mode,
+            cfg, sampling, mesh=mesh, mode=mode, mlora=mlora,
+            adapter_idx=adapter_idx,
         )
         entry_alive = alive
         left = left - 1
@@ -880,7 +919,8 @@ def _paged_multi_step(params, kp, vp, scales, page_table, lengths, token,
     jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1, 2, 3),
 )
 def _paged_verify_step(params, kp, vp, scales, page_table, lengths, toks,
-                       active, cfg: VisZephyrConfig, mesh=None):
+                       active, cfg: VisZephyrConfig, mesh=None,
+                       mlora=None, adapter_idx=None):
     """Batched speculative verify over the paged pools: append S candidate
     rows per slot (column 0 is the slot's pending token, later columns its
     prompt-lookup proposals) in ONE cached forward, and return per-position
@@ -942,11 +982,28 @@ def _paged_verify_step(params, kp, vp, scales, page_table, lengths, toks,
         kv_update = _kv_update_tp(mesh, fused=fused)
         kv_update_q = _kv_update_q_tp(mesh, fused=fused)
 
+    mctx = None
+    layers_xs = (params["decoder"]["layers"], jnp.arange(L))
+    if mlora is not None:
+        from ..ops.mlora import pack_num_adapters, ragged_ctx
+
+        mctx = ragged_ctx(
+            adapter_idx if adapter_idx is not None
+            else jnp.zeros((B,), jnp.int32),
+            pack_num_adapters(mlora))
+        layers_xs = layers_xs + (mlora,)
+
     def body(carry, xs):
         h, kp, vp, ksp, vsp = carry
-        layer_params, i = xs
+        if mlora is None:
+            layer_params, i = xs
+            ml = None
+        else:
+            layer_params, i, ml = xs
         hn = rms_norm(h, layer_params["input_ln"]["scale"], dec.rms_norm_eps)
-        q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin)
+        q, k, v = _project_qkv(hn, layer_params["attn"], dec, cos, sin,
+                               mlora=None if ml is None else ml.get("attn"),
+                               mctx=mctx)
         for s in range(S):
             if ksp is None:
                 kp, vp = kv_update(
@@ -965,14 +1022,17 @@ def _paged_verify_step(params, kp, vp, scales, page_table, lengths, toks,
             attn = attn_fn(q, kp, vp, page_table + i * Pn, lengths_attn,
                            lengths_eff, k_scales=ksp, v_scales=vsp)
         attn = attn.reshape(B, S, -1)
-        h = h + qdot(attn, layer_params["attn"]["out"])
+        h = h + _attn_out(attn, layer_params["attn"],
+                          mlora=None if ml is None else ml.get("attn"),
+                          mctx=mctx)
         hn = rms_norm(h, layer_params["post_attn_ln"]["scale"], dec.rms_norm_eps)
-        h = h + _mlp(hn, layer_params["mlp"])
+        h = h + _mlp(hn, layer_params["mlp"],
+                     mlora=None if ml is None else ml.get("mlp"), mctx=mctx)
         return (h, kp, vp, ksp, vsp), None
 
     dparams = params["decoder"]
     (h, kp, vp, ksp, vsp), _ = jax.lax.scan(
-        body, (h, kp, vp, ksp, vsp), (dparams["layers"], jnp.arange(L))
+        body, (h, kp, vp, ksp, vsp), layers_xs
     )
     h = rms_norm(h, dparams["final_ln"]["scale"], dec.rms_norm_eps)
     logits = jnp.einsum(
@@ -1009,6 +1069,8 @@ class PagedBatcher(ContinuousBatcher):
         multi_step: int = 1,
         kv_fused: bool = False,
         prefix_cache: bool = False,
+        mlora=None,
+        adapter_names=None,
     ):
         """`kv_quant`: store the pools int8 with per-row absmax scales
         (library convention, `ops.paged_attention.quantize_kv`). Halves the
@@ -1051,6 +1113,11 @@ class PagedBatcher(ContinuousBatcher):
         # `attn_mesh` in _prefill_kv); the auto-gate still applies.
         self.use_flash = None
         self.metrics = metrics
+        # Multi-LoRA serving (see ContinuousBatcher docstring / ops/mlora):
+        # per-slot adapter indices feed every paged forward.
+        self.mlora = mlora
+        self.adapter_names = dict(adapter_names or {})
+        self.slot_adapter = np.zeros(max_slots, np.int32)
         self.prefill_chunk = prefill_chunk
         self._prefilling = None
         self._reserved_slot = None
@@ -1167,6 +1234,7 @@ class PagedBatcher(ContinuousBatcher):
             last_logits, k, v, length = _prefill_kv(
                 self.params, ids, images, pv, self.cfg,
                 use_flash=self.use_flash, attn_mesh=self.mesh,
+                mlora=self.mlora, adapter_idx=self._req_aidx(req),
             )
             if int(length) + req.max_new_tokens > self.cache_len:
                 req.out.put(None)  # exceeds a sequence's page span; reject
@@ -1244,9 +1312,15 @@ class PagedBatcher(ContinuousBatcher):
             if n_ins > 0:
                 self.prefix_cache.insert(
                     np.asarray(req.input_ids),
-                    [int(p) for p in row[:n_ins]], n_ins)
+                    [int(p) for p in row[:n_ins]], n_ins,
+                    salt=self._pc_salt(req))
         self._activate(req, slot, last_logits)
         return True
+
+    def _pc_salt(self, req: _Request) -> bytes:
+        """Prefix-cache key salt: the adapter changes prompt K/V, so pages
+        are only shareable within one adapter."""
+        return (b"a%d|" % req.adapter) if req.adapter else b""
 
     def _begin_prefill(self, req: _Request, slot: int):
         """Chunked-pump admission start; with a prefix cache, look up the
@@ -1269,7 +1343,8 @@ class PagedBatcher(ContinuousBatcher):
         st["shared"] = []
         if max_pages <= 0:
             return st
-        shared = self.prefix_cache.lookup(np.asarray(req.input_ids), max_pages)
+        shared = self.prefix_cache.lookup(np.asarray(req.input_ids), max_pages,
+                                          salt=self._pc_salt(req))
         keep = (len(shared) // per) * per
         if keep < len(shared):  # chain must stay chunk-aligned to skip
             self.allocator.release(shared[keep:])
@@ -1306,6 +1381,7 @@ class PagedBatcher(ContinuousBatcher):
             self.params, self.kp, self.vp, (self.ksp, self.vsp),
             self.page_table, self.lengths, jnp.asarray(toks),
             jnp.asarray(self.active), self.cfg, mesh=self.mesh,
+            mlora=self.mlora, adapter_idx=self._slot_aidx(),
         )
         return np.asarray(jax.device_get(greedy))
 
@@ -1334,6 +1410,7 @@ class PagedBatcher(ContinuousBatcher):
                 jnp.asarray(self.active),
                 jnp.asarray(self.budget.astype(np.int32)), sub,
                 self.cfg, self.sampling, mesh=self.mesh, n=self.multi_step,
+                mlora=self.mlora, adapter_idx=self._slot_aidx(),
             )
             return self._process_burst(np.asarray(jax.device_get(toks)),
                                        np.asarray(jax.device_get(alive)))
@@ -1342,7 +1419,7 @@ class PagedBatcher(ContinuousBatcher):
             self.params, self.kp, self.vp, (self.ksp, self.vsp),
             self.page_table, self.lengths,
             self.token, jnp.asarray(self.active), sub, self.cfg, self.sampling,
-            mesh=self.mesh,
+            mesh=self.mesh, mlora=self.mlora, adapter_idx=self._slot_aidx(),
         )
         tokens = np.asarray(jax.device_get(self.token))
         stepped = 0
