@@ -134,6 +134,7 @@ class TestPagedBatcherMultiLora:
     @pytest.mark.parametrize("kw", [
         {},
         {"kv_fused": True},
+        {"kv_quant": True, "kv_fused": True},
         {"multi_step": 3},
         {"lookahead": 3},
         {"prefill_chunk": 16},
@@ -183,6 +184,33 @@ class TestPagedBatcherMultiLora:
             for got in outs[ad]:
                 np.testing.assert_array_equal(got, solo)
         assert batcher.prefix_cache.hits >= 1  # the alpha repeat
+
+
+class TestMultiLoraTP:
+    def test_paged_tp_matches_solo(self, setup, rng):
+        """Multi-LoRA under the model-axis TP mesh: the pack stays
+        replicated (adapters are small), deltas ride SPMD propagation
+        outside the shard_map'd attention — outputs equal the solo
+        oracles."""
+        from vis_zephyr_tpu.parallel.mesh import create_mesh
+
+        cfg, params, pack, names = setup
+        sampling = SamplingConfig(max_new_tokens=5, temperature=0.0,
+                                  eos_token_id=-1)
+        mesh = create_mesh(model=2)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=64, page_size=16,
+            num_pages=16, sampling=sampling, mesh=mesh, mlora=pack,
+            adapter_names=names,
+        )
+        reqs = [(rng.integers(5, cfg.decoder.vocab_size, (6,)), "alpha"),
+                (rng.integers(5, cfg.decoder.vocab_size, (8,)), "beta")]
+        handles = [batcher.submit(ids, adapter=ad) for ids, ad in reqs]
+        batcher.run_until_drained()
+        for (ids, ad), h in zip(reqs, handles):
+            solo = solo_with_adapter(params, pack, names[ad], ids, cfg,
+                                     sampling)
+            np.testing.assert_array_equal(list(batcher.stream(h)), solo)
 
 
 class TestEngineMultiLora:
