@@ -518,3 +518,72 @@ class TestSpeculativePagedBatcher:
             cache_len=64,
         )[0]
         np.testing.assert_array_equal(list(batcher.stream(h)), solo)
+
+
+class TestCancellation:
+    def test_cancel_frees_slot_and_pages(self, setup, rng):
+        """Cancel mid-generation: the slot and its pages free at the next
+        step, the stream ends with the sentinel, other slots are
+        unaffected (token-exact vs solo)."""
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=40, temperature=0.0,
+                                  eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=16,
+        )
+        total = batcher.allocator.available
+        victim = batcher.submit(*make_request(cfg, rng, 6, with_image=False))
+        keeper = batcher.submit(*make_request(cfg, rng, 5, with_image=False),
+                                max_new_tokens=8)
+        # Run a few steps, then cancel the long request mid-flight.
+        batcher._admit_pending()
+        for _ in range(3):
+            batcher.step()
+        batcher.cancel(victim)
+        batcher.run_until_drained()
+        assert list(batcher.stream(victim))  # got SOME tokens, then closed
+        got = list(batcher.stream(keeper))
+        ids = keeper.input_ids
+        solo = generate(
+            params, jnp.asarray(ids[None]), None, None, cfg,
+            SamplingConfig(max_new_tokens=8, temperature=0.0,
+                           eos_token_id=-1), cache_len=64)[0]
+        np.testing.assert_array_equal(got, solo)
+        assert not batcher.active.any()
+        assert batcher.allocator.available == total  # nothing leaked
+
+    def test_closing_stream_cancels(self, setup, rng):
+        """Abandoning the stream iterator (the HTTP disconnect path) frees
+        the slot without an explicit cancel() call."""
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=40, temperature=0.0,
+                                  eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=2, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=16,
+        )
+        req = batcher.submit(*make_request(cfg, rng, 6, with_image=False))
+        batcher._admit_pending()
+        batcher.step()
+        it = batcher.stream(req)
+        next(it)
+        it.close()  # client disconnect
+        assert req.cancelled
+        batcher.run_until_drained()
+        assert not batcher.active.any()
+
+    def test_cancel_while_pending(self, setup, rng):
+        cfg, params = setup
+        sampling = SamplingConfig(max_new_tokens=8, temperature=0.0,
+                                  eos_token_id=-1)
+        batcher = PagedBatcher(
+            params, cfg, max_slots=1, cache_len=64, page_size=16,
+            sampling=sampling, num_pages=16,
+        )
+        first = batcher.submit(*make_request(cfg, rng, 5, with_image=False))
+        queued = batcher.submit(*make_request(cfg, rng, 5, with_image=False))
+        batcher.cancel(queued)  # cancelled before ever admitted
+        batcher.run_until_drained()
+        assert list(batcher.stream(first))
+        assert list(batcher.stream(queued)) == []

@@ -95,7 +95,10 @@ class ChatHandler(BaseHTTPRequestHandler):
                 self.wfile.write(data + b"\r\n")
             self.wfile.write(b"0\r\n\r\n")
         except (BrokenPipeError, ConnectionResetError):
-            pass
+            # Client gone: close the generator chain NOW so the batcher
+            # cancels the request (frees its slot/pages) instead of
+            # decoding to budget.
+            stream.close()
 
     def do_GET(self):
         """GET /metrics → serving TTFT/TPOT summary; GET /health → ok."""

@@ -208,6 +208,7 @@ class _Request:
     patch_valid: Optional[np.ndarray]
     max_new_tokens: int
     adapter: int = 0  # multi-LoRA index (0 = base model)
+    cancelled: bool = False  # set by cancel(); slot freed at the next step
     out: "queue.Queue[Optional[int]]" = dataclasses.field(
         default_factory=queue.Queue
     )
@@ -345,11 +346,30 @@ class ContinuousBatcher:
         return req
 
     def stream(self, req: _Request) -> Iterator[int]:
-        while True:
-            tok = req.out.get()
-            if tok is None:
-                return
-            yield tok
+        try:
+            while True:
+                tok = req.out.get()
+                if tok is None:
+                    return
+                yield tok
+        finally:
+            # Closed early (client disconnect / consumer GC): free the slot
+            # at the next scheduler step instead of decoding to budget.
+            req.cancelled = True
+
+    def cancel(self, req: _Request) -> None:
+        """Stop generating for `req`: its slot (or queue entry) is released
+        at the next scheduler step and its stream ends with the sentinel."""
+        req.cancelled = True
+
+    def _reap_cancelled(self) -> None:
+        """Free slots whose requests were cancelled (client disconnects) —
+        called at the top of every scheduler step, the one place all step
+        variants share."""
+        for slot in range(self.max_slots):
+            req = self.slot_req[slot]
+            if self.active[slot] and req is not None and req.cancelled:
+                self._finish(slot)
 
     @property
     def has_work(self) -> bool:
@@ -366,6 +386,9 @@ class ContinuousBatcher:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 return
+            if req.cancelled:
+                req.out.put(None)
+                continue
             ids = jnp.asarray(req.input_ids[None])
             images = None if req.images is None else jnp.asarray(req.images[None])
             pv = None if req.patch_valid is None else jnp.asarray(req.patch_valid[None])
@@ -442,9 +465,22 @@ class ContinuousBatcher:
 
     def _pump_prefill(self) -> None:
         st = self._prefilling
+        if st is not None and st["req"].cancelled:
+            # Abandon the in-flight prefill; shared prefix pages (paged
+            # warm admission) go back to their other holders.
+            shared = st.get("shared")
+            if shared:
+                self.allocator.release(shared)
+            st["req"].out.put(None)
+            self._prefilling = None
+            self._reserved_slot = None
+            st = None
         if st is None:
             req = self._next_request()
             if req is None:
+                return
+            if req.cancelled:
+                req.out.put(None)
                 return
             slot = next(
                 (s for s in range(self.max_slots) if not self.active[s]), None
@@ -676,6 +712,7 @@ class ContinuousBatcher:
         verify span with `lookahead`, or by up to `multi_step` tokens in one
         dispatch when no admission work waits). Returns the number of active
         slots stepped."""
+        self._reap_cancelled()
         if self.prefill_chunk:
             self._pump_prefill()
         else:

@@ -1228,6 +1228,9 @@ class PagedBatcher(ContinuousBatcher):
             req = self._next_request()
             if req is None:
                 return
+            if req.cancelled:
+                req.out.put(None)
+                continue
             ids = jnp.asarray(req.input_ids[None])
             images = None if req.images is None else jnp.asarray(req.images[None])
             pv = None if req.patch_valid is None else jnp.asarray(req.patch_valid[None])
@@ -1393,6 +1396,7 @@ class PagedBatcher(ContinuousBatcher):
                 or bool(self._requeued))
 
     def step(self) -> int:
+        self._reap_cancelled()
         if self.prefill_chunk:
             self._pump_prefill()
         else:
