@@ -310,8 +310,10 @@ class ChatEngine:
         finally:
             if self.batcher is None:
                 self._lock.release()
-
-        conv.messages[-1][1] = emitted_text
+            # Record the (possibly partial) reply even when the consumer
+            # closes the stream early (client disconnect → cancellation):
+            # a None assistant turn would corrupt the next turn's prompt.
+            conv.messages[-1][1] = emitted_text
 
     def chat_text(self, session_id: str, question: str, pil_image=None,
                   adapter: Optional[str] = None) -> str:
