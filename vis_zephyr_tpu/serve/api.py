@@ -68,14 +68,19 @@ class ChatHandler(BaseHTTPRequestHandler):
         pass
 
     def do_POST(self):
-        if self.path.rstrip("/") != "/chat":
-            self.send_error(404)
-            return
+        path = self.path.rstrip("/")
         try:
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
         except (ValueError, json.JSONDecodeError):
             self._json(400, {"error": "invalid JSON"})
+            return
+
+        if path in ("/v1/chat/completions", "/v1/completions"):
+            self._openai(path, payload)
+            return
+        if path != "/chat":
+            self.send_error(404)
             return
 
         error, stream = _handle_chat(self.engine, payload)
@@ -88,6 +93,9 @@ class ChatHandler(BaseHTTPRequestHandler):
         self.send_header("Transfer-Encoding", "chunked")
         self.send_header("Access-Control-Allow-Origin", "*")
         self.end_headers()
+        self._stream_chunked(stream)
+
+    def _stream_chunked(self, stream):
         try:
             for chunk in stream:
                 data = chunk.encode("utf-8")
@@ -100,11 +108,37 @@ class ChatHandler(BaseHTTPRequestHandler):
             # decoding to budget.
             stream.close()
 
+    def _openai(self, path: str, payload: dict):
+        """OpenAI-compatible completion endpoints (see serve/openai_api.py):
+        non-stream → one JSON body; stream → SSE chunks."""
+        from . import openai_api
+
+        fn = (openai_api.chat_completion if path == "/v1/chat/completions"
+              else openai_api.completion)
+        error, result = fn(self.engine, payload)
+        if error is not None:
+            self._json(400, error)
+            return
+        if isinstance(result, dict):
+            self._json(200, result)
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.end_headers()
+        self._stream_chunked(result)
+
     def do_GET(self):
         """GET /metrics → serving TTFT/TPOT summary; GET /health → ok."""
         path = self.path.rstrip("/")
         if path == "/health":
             self._json(200, {"status": "ok"})
+        elif path == "/v1/models":
+            from . import openai_api
+
+            self._json(200, openai_api.list_models(self.engine))
         elif path == "/metrics":
             m = getattr(self.engine, "metrics", None)
             out = m.summary() if m is not None else {}
@@ -162,6 +196,30 @@ def make_fastapi_app(engine: ChatEngine):
         if error is not None:
             return JSONResponse(error, status_code=400)
         return StreamingResponse(stream, media_type="text/plain")
+
+    from . import openai_api
+
+    @app.post("/v1/chat/completions")
+    async def chat_completions(request: Request):
+        error, result = openai_api.chat_completion(engine, await request.json())
+        if error is not None:
+            return JSONResponse(error, status_code=400)
+        if isinstance(result, dict):
+            return JSONResponse(result)
+        return StreamingResponse(result, media_type="text/event-stream")
+
+    @app.post("/v1/completions")
+    async def completions(request: Request):
+        error, result = openai_api.completion(engine, await request.json())
+        if error is not None:
+            return JSONResponse(error, status_code=400)
+        if isinstance(result, dict):
+            return JSONResponse(result)
+        return StreamingResponse(result, media_type="text/event-stream")
+
+    @app.get("/v1/models")
+    async def models():
+        return JSONResponse(openai_api.list_models(engine))
 
     return app
 

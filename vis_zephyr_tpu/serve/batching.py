@@ -142,8 +142,15 @@ def _verify_step(params, cache, toks, valid, cfg: VisZephyrConfig,
                    donate_argnums=(1,))
 def _batch_step(params, cache, token, active, key, cfg: VisZephyrConfig,
                 sampling: SamplingConfig, pallas_cache: bool = True,
-                mlora=None, adapter_idx=None):
-    """One decode step over all slots; inactive slots are frozen."""
+                mlora=None, adapter_idx=None, sample_overrides=None,
+                grammar=None):
+    """One decode step over all slots; inactive slots are frozen.
+    `sample_overrides`: optional (temps [B], top_ps [B]) per-slot sampling
+    parameters (per-request temperature/top_p, see `generate._sample`).
+    `grammar`: optional (mask_table [R, V] bool, slot_rows [B] int32) —
+    structured-output masking: each slot samples only tokens legal from its
+    grammar state (`serve/structured.py`); unconstrained slots point at the
+    table's all-True row."""
     old_lengths = cache["length"]
     embeds = embed(params["decoder"], token[:, None])
     logits, new_cache = mistral_forward(
@@ -151,7 +158,9 @@ def _batch_step(params, cache, token, active, key, cfg: VisZephyrConfig,
         cache=cache, logits_slice="last",
         pallas_cache_update=pallas_cache, mlora=mlora, adapter_idx=adapter_idx,
     )
-    next_token = _sample(logits[:, 0], key, sampling)
+    mask = None if grammar is None else grammar[0][grammar[1]]
+    next_token = _sample(logits[:, 0], key, sampling,
+                         overrides=sample_overrides, mask=mask)
     next_token = jnp.where(active, next_token, cfg.decoder.pad_token_id)
     new_cache["length"] = jnp.where(active, new_cache["length"], old_lengths)
     return next_token, new_cache
@@ -163,7 +172,7 @@ def _batch_step(params, cache, token, active, key, cfg: VisZephyrConfig,
 def _batch_multi_step(params, cache, token, active, steps_left, key,
                       cfg: VisZephyrConfig, sampling: SamplingConfig,
                       n: int, pallas_cache: bool = True,
-                      mlora=None, adapter_idx=None):
+                      mlora=None, adapter_idx=None, sample_overrides=None):
     """`n` chained decode steps in ONE dispatch (multi-step scheduling,
     the vLLM-style host-overhead amortization): the per-step host work —
     Python scheduling, dispatch latency, one device_get per step — is paid
@@ -187,7 +196,8 @@ def _batch_multi_step(params, cache, token, active, steps_left, key,
         cache, token, alive, left = carry
         tok, cache = _batch_step(params, cache, token, alive, sub, cfg,
                                  sampling, pallas_cache=pallas_cache,
-                                 mlora=mlora, adapter_idx=adapter_idx)
+                                 mlora=mlora, adapter_idx=adapter_idx,
+                                 sample_overrides=sample_overrides)
         entry_alive = alive
         left = left - 1
         alive = alive & (tok != eos) & (left > 0)
@@ -208,6 +218,12 @@ class _Request:
     patch_valid: Optional[np.ndarray]
     max_new_tokens: int
     adapter: int = 0  # multi-LoRA index (0 = base model)
+    # Per-request sampling overrides (None = the batcher's SamplingConfig).
+    temperature: Optional[float] = None
+    top_p: Optional[float] = None
+    # Structured output: a serve.structured.TokenGrammar constraining this
+    # request's tokens (None = free-form).
+    grammar: object = None
     cancelled: bool = False  # set by cancel(); slot freed at the next step
     out: "queue.Queue[Optional[int]]" = dataclasses.field(
         default_factory=queue.Queue
@@ -300,6 +316,19 @@ class ContinuousBatcher:
         self.active = np.zeros(max_slots, bool)
         self.budget = np.zeros(max_slots, np.int64)
         self.slot_req: List[Optional[_Request]] = [None] * max_slots
+        # Per-slot sampling parameters (per-request temperature/top_p).
+        # The override set tracks slots whose request differs from the
+        # batcher default: while it is empty, steps pass overrides=None and
+        # keep the scalar greedy/sampled fast paths compiled for the
+        # engine-level config.
+        self.slot_temp = np.full(max_slots, sampling.temperature, np.float32)
+        self.slot_topp = np.full(max_slots, sampling.top_p, np.float32)
+        self._override_slots: set = set()
+        # Structured output (grammar-constrained slots): combined device
+        # mask table + per-slot DFA states (serve/structured.py).
+        from .structured import GrammarSlots
+
+        self.grammar_slots = GrammarSlots(max_slots, cfg.decoder.vocab_size)
         # Speculation bookkeeping (host mirrors): per-slot token history for
         # n-gram lookup and the committed cache length (saves a device fetch
         # per step when clamping proposal spans).
@@ -319,10 +348,27 @@ class ContinuousBatcher:
         patch_valid: Optional[np.ndarray] = None,
         max_new_tokens: Optional[int] = None,
         adapter: Optional[str] = None,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+        grammar=None,
     ) -> _Request:
         """Queue a request. Returns a handle whose `.out` queue yields token
         ids and a final `None` sentinel. `adapter`: multi-LoRA adapter NAME
-        (requires the batcher's `mlora` pack; None/"base" = base model)."""
+        (requires the batcher's `mlora` pack; None/"base" = base model).
+        `temperature`/`top_p`: per-request sampling overrides (None = the
+        batcher's SamplingConfig). Ignored when the batcher speculates
+        (`lookahead > 0`): the verify step commits greedy continuations, so
+        a speculative engine serves greedy only.
+        `grammar`: optional `serve.structured.TokenGrammar` — constrained
+        decoding (structured output). Incompatible with speculation (the
+        verify step commits unmasked greedy tokens)."""
+        if grammar is not None and self.lookahead > 0:
+            raise ValueError(
+                "structured output is incompatible with speculative "
+                "decoding (--lookahead); serve grammars from a "
+                "non-speculative engine")
+        if self.lookahead > 0:
+            temperature = top_p = None
         aidx = 0
         if adapter is not None and adapter != "base":
             if adapter not in self.adapter_names:
@@ -340,6 +386,9 @@ class ContinuousBatcher:
             patch_valid if patch_valid is None else np.asarray(patch_valid),
             max_new_tokens or self.sampling.max_new_tokens,
             adapter=aidx,
+            temperature=temperature,
+            top_p=top_p,
+            grammar=grammar,
         )
         req.submitted_at = time.perf_counter()
         self.pending.put(req)
@@ -423,10 +472,38 @@ class ContinuousBatcher:
             return None
         return jnp.asarray(self.slot_adapter)
 
+    def _sample_overrides(self):
+        """Per-slot (temps, top_ps) operand for the jitted steps, or None
+        while every active request uses the batcher default (keeps the
+        scalar sampling fast path compiled)."""
+        if not self._override_slots:
+            return None
+        return (jnp.asarray(self.slot_temp), jnp.asarray(self.slot_topp))
+
+    def _set_slot_sampling(self, req: _Request, slot: int) -> None:
+        self.slot_temp[slot] = (self.sampling.temperature
+                                if req.temperature is None else req.temperature)
+        self.slot_topp[slot] = (self.sampling.top_p
+                                if req.top_p is None else req.top_p)
+        if req.temperature is not None or req.top_p is not None:
+            self._override_slots.add(slot)
+        else:
+            self._override_slots.discard(slot)
+
     def _activate(self, req: _Request, slot: int, last_logits) -> None:
         self.slot_adapter[slot] = req.adapter
+        self._set_slot_sampling(req, slot)
+        self.grammar_slots.attach(slot, req.grammar)
         self.rng, sub = jax.random.split(self.rng)
-        first = _sample(last_logits[None], sub, self.sampling)
+        ov = None
+        if req.temperature is not None or req.top_p is not None:
+            ov = (jnp.asarray([self.slot_temp[slot]]),
+                  jnp.asarray([self.slot_topp[slot]]))
+        mask = None
+        if req.grammar is not None:
+            mask = self.grammar_slots.first_token_mask(req.grammar)[None]
+        first = _sample(last_logits[None], sub, self.sampling, overrides=ov,
+                        mask=mask)
         tok = int(first[0])
         self.slot_req[slot] = req
         self.active[slot] = True
@@ -440,6 +517,7 @@ class ContinuousBatcher:
         if tok == self.sampling.eos_token_id:
             self._finish(slot)
         else:
+            self.grammar_slots.advance(slot, tok)
             self._emit(req, tok)
             # max_new_tokens == 1: the first (prefill-sampled) token
             # exhausts the budget — finish now, or the next step would
@@ -552,6 +630,10 @@ class ContinuousBatcher:
 
     def _finish(self, slot: int) -> None:
         self.slot_adapter[slot] = 0
+        self.slot_temp[slot] = self.sampling.temperature
+        self.slot_topp[slot] = self.sampling.top_p
+        self._override_slots.discard(slot)
+        self.grammar_slots.release(slot)
         req = self.slot_req[slot]
         if req is not None:
             req.out.put(None)
@@ -721,7 +803,12 @@ class ContinuousBatcher:
             return 0
         if self.lookahead > 0:
             return self._step_verify()
-        if self.multi_step > 1 and not self._has_admission_work():
+        # Grammar-constrained slots need a host state advance between
+        # steps, so they disable the multi-step burst while active
+        # (grammars are rejected outright on speculative engines).
+        grammar_op = self.grammar_slots.operand()
+        if (self.multi_step > 1 and grammar_op is None
+                and not self._has_admission_work()):
             self.rng, sub = jax.random.split(self.rng)
             toks, alive, self.cache, self.token = _batch_multi_step(
                 self.params, self.cache, self.token,
@@ -730,6 +817,7 @@ class ContinuousBatcher:
                 self.cfg, self.sampling, n=self.multi_step,
                 pallas_cache=self.mesh is None,
                 mlora=self.mlora, adapter_idx=self._slot_aidx(),
+                sample_overrides=self._sample_overrides(),
             )
             return self._process_burst(np.asarray(jax.device_get(toks)),
                                        np.asarray(jax.device_get(alive)))
@@ -738,6 +826,7 @@ class ContinuousBatcher:
             self.params, self.cache, self.token, jnp.asarray(self.active), sub,
             self.cfg, self.sampling, pallas_cache=self.mesh is None,
             mlora=self.mlora, adapter_idx=self._slot_aidx(),
+            sample_overrides=self._sample_overrides(), grammar=grammar_op,
         )
         tokens = np.asarray(jax.device_get(self.token))
         stepped = 0
@@ -749,6 +838,7 @@ class ContinuousBatcher:
             if tok == self.sampling.eos_token_id:
                 self._finish(slot)
                 continue
+            self.grammar_slots.advance(slot, tok)
             self._emit(self.slot_req[slot], tok)
             self.budget[slot] -= 1
             if self.budget[slot] <= 0:

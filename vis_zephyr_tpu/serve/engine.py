@@ -211,25 +211,28 @@ class ChatEngine:
     def reset_session(self, session_id: str) -> None:
         self.sessions.pop(session_id, None)
 
-    def attach_image(self, session_id: str, pil_image) -> None:
-        """Preprocess + cache the session image (first request only,
-        reference `serve/api.py:100-122`)."""
-        sess = self.get_session(session_id)
+    def preprocess_image(self, pil_image):
+        """Anyres/square preprocess → (pixels [P, S, S, 3], valid [P])."""
         if self.cfg.image_aspect_ratio == "anyres":
-            pixels, valid = anyres_preprocess_host(
+            return anyres_preprocess_host(
                 pil_image,
                 self.cfg.mm_grid_pinpoints,
                 target_size=self.cfg.vision.image_size,
             )
-        else:
-            one = preprocess_mode_host(
-                pil_image, self.cfg.image_aspect_ratio, self.cfg.vision.image_size
-            )
-            pins = anyres.parse_grid_pinpoints(self.cfg.mm_grid_pinpoints)
-            P = anyres.max_anyres_patches(pins, self.cfg.vision.image_size)
-            pixels = np.zeros((P,) + one.shape, np.float32)
-            pixels[0] = one
-            valid = np.arange(P) < 1
+        one = preprocess_mode_host(
+            pil_image, self.cfg.image_aspect_ratio, self.cfg.vision.image_size
+        )
+        pins = anyres.parse_grid_pinpoints(self.cfg.mm_grid_pinpoints)
+        P = anyres.max_anyres_patches(pins, self.cfg.vision.image_size)
+        pixels = np.zeros((P,) + one.shape, np.float32)
+        pixels[0] = one
+        return pixels, np.arange(P) < 1
+
+    def attach_image(self, session_id: str, pil_image) -> None:
+        """Preprocess + cache the session image (first request only,
+        reference `serve/api.py:100-122`)."""
+        sess = self.get_session(session_id)
+        pixels, valid = self.preprocess_image(pil_image)
         sess["images"] = jnp.asarray(pixels)[None]
         sess["patch_valid"] = jnp.asarray(valid)[None]
         sess["image_size"] = pil_image.size
@@ -319,3 +322,113 @@ class ChatEngine:
                   adapter: Optional[str] = None) -> str:
         return "".join(self.chat(session_id, question, pil_image,
                                  adapter=adapter))
+
+    # -- stateless generation (OpenAI-compatible endpoints) -------------------
+
+    def compile_grammar(self, pattern: Optional[str] = None,
+                        json_schema: Optional[dict] = None):
+        """Compile (and cache) a structured-output grammar for this
+        engine's tokenizer: a regex pattern or a JSON schema →
+        `serve.structured.TokenGrammar`. The vocabulary walk runs once per
+        distinct pattern; repeat requests hit the cache."""
+        from .structured import (TokenGrammar, schema_to_regex,
+                                 token_strings_from_tokenizer)
+
+        if json_schema is not None:
+            pattern = schema_to_regex(json_schema)
+        if not pattern:
+            raise ValueError("grammar needs a regex pattern or a JSON schema")
+        if not hasattr(self, "_grammar_cache"):
+            self._grammar_cache = {}
+        if pattern not in self._grammar_cache:
+            if not hasattr(self, "_token_strings"):
+                self._token_strings = token_strings_from_tokenizer(
+                    self.tokenizer, self.cfg.decoder.vocab_size)
+            self._grammar_cache[pattern] = TokenGrammar.from_regex(
+                pattern, self._token_strings, self.sampling.eos_token_id)
+        return self._grammar_cache[pattern]
+
+    def generate_request(
+        self,
+        prompt: str,
+        pil_image=None,
+        max_new_tokens: Optional[int] = None,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+        adapter: Optional[str] = None,
+        grammar=None,
+    ) -> Iterator[int]:
+        """Session-free generation from a fully-rendered prompt: yields raw
+        token ids until EOS/budget. Drives /v1/chat/completions and
+        /v1/completions — each request carries its whole context (the
+        OpenAI contract), so nothing is cached between calls (the paged
+        batcher's prefix cache still dedups shared prompt pages).
+
+        Per-request `max_new_tokens`/`temperature`/`top_p` override the
+        engine defaults; under continuous batching they apply per-slot
+        within a shared step (`generate._sample_per_slot`). A speculative
+        batcher (lookahead > 0) serves greedy only — overrides are ignored
+        there (see `ContinuousBatcher.submit`)."""
+        import dataclasses
+
+        images = patch_valid = None
+        if pil_image is not None:
+            if DEFAULT_IMAGE_TOKEN not in prompt:
+                prompt = DEFAULT_IMAGE_TOKEN + "\n" + prompt
+            pixels, valid = self.preprocess_image(pil_image)
+            images, patch_valid = pixels, valid
+        ids = np.asarray(tokenize_with_images(prompt, self.tokenizer), np.int64)
+
+        if self.batcher is not None:
+            handle = self.batcher.submit(
+                ids, images, patch_valid,
+                max_new_tokens=max_new_tokens,
+                adapter=adapter, temperature=temperature, top_p=top_p,
+                grammar=grammar,
+            )
+            self._ensure_pump()
+            yield from self.batcher.stream(handle)
+            return
+
+        if adapter is not None and adapter != "base":
+            raise ValueError(
+                "per-request adapters need --continuous-batching "
+                "(serialized engines merge one adapter at load)")
+        overrides = {}
+        if max_new_tokens is not None:
+            overrides["max_new_tokens"] = max_new_tokens
+        if temperature is not None:
+            overrides["temperature"] = temperature
+        if top_p is not None:
+            overrides["top_p"] = top_p
+        sampling = (dataclasses.replace(self.sampling, **overrides)
+                    if overrides else self.sampling)
+        with self._lock:
+            yield from generate_stream(
+                self.params,
+                jnp.asarray(ids)[None],
+                None if images is None else jnp.asarray(images)[None],
+                None if patch_valid is None else jnp.asarray(patch_valid)[None],
+                self.cfg,
+                sampling,
+                use_flash=self._use_flash,
+                attn_mesh=self.mesh,
+                lookahead=self.lookahead,
+                pallas_cache=self.mesh is None,
+                multi_step=self.multi_step,
+                grammar=grammar,
+            )
+
+    def stream_text(self, token_iter: Iterator[int]) -> Iterator[str]:
+        """Detokenize a token stream into stable text deltas (the last
+        token of a partial decode may merge with its successor, so only the
+        unchanged prefix is emitted)."""
+        produced: list[int] = []
+        emitted = ""
+        for tok in token_iter:
+            produced.append(tok)
+            text = self.tokenizer.decode(produced, skip_special_tokens=True)
+            delta = text[len(emitted):]
+            if delta:
+                emitted = text
+                yield delta

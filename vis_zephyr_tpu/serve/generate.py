@@ -44,8 +44,24 @@ def pad_to_bucket(length: int, bucket: int = 128, minimum: int = 128) -> int:
     return max(minimum, ((length + bucket - 1) // bucket) * bucket)
 
 
-def _sample(logits: jnp.ndarray, key, sampling: SamplingConfig) -> jnp.ndarray:
-    """logits [B, V] → token [B]."""
+def _sample(logits: jnp.ndarray, key, sampling: SamplingConfig,
+            overrides=None, mask=None) -> jnp.ndarray:
+    """logits [B, V] → token [B].
+
+    `overrides`: optional (temps [B], top_ps [B]) per-slot sampling
+    parameters (OpenAI-style per-request temperature/top_p inside one
+    batched step). When given they take precedence over the static
+    `sampling` scalars; rows with temp ≤ 0 decode greedily. Passing None
+    keeps the scalar fast paths (greedy batches never pay the categorical).
+
+    `mask`: optional bool [B, V] grammar mask (structured output,
+    `serve/structured.py`) — illegal tokens are dropped before greedy OR
+    sampled selection, so every emitted token keeps the slot inside its
+    grammar."""
+    if mask is not None:
+        logits = jnp.where(mask, logits, -jnp.inf)
+    if overrides is not None:
+        return _sample_per_slot(logits, key, overrides[0], overrides[1])
     if sampling.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1)
     logits = logits / sampling.temperature
@@ -58,6 +74,24 @@ def _sample(logits: jnp.ndarray, key, sampling: SamplingConfig) -> jnp.ndarray:
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1)
+
+
+def _sample_per_slot(logits: jnp.ndarray, key, temps: jnp.ndarray,
+                     top_ps: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized per-row sampling: logits [B, V], temps/top_ps [B] →
+    token [B]. Row b is greedy when temps[b] ≤ 0, otherwise nucleus-sampled
+    at its own temperature/top_p — one program serves a batch mixing greedy
+    and sampled requests (the continuous batchers' per-request params)."""
+    greedy = jnp.argmax(logits, axis=-1)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_ps[:, None], axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+    masked = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    sampled = jax.random.categorical(key, masked, axis=-1)
+    return jnp.where(temps <= 0.0, greedy, sampled)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cache_len", "use_flash",
@@ -286,6 +320,7 @@ def generate_stream(
     lookahead: int = 0,
     pallas_cache: bool = True,
     multi_step: int = 1,
+    grammar=None,
 ) -> Iterator[int]:
     """Single-sequence streaming generation: yields token ids until EOS or
     the budget is exhausted. Host drives one jitted step per token.
@@ -297,8 +332,17 @@ def generate_stream(
 
     `multi_step > 1` (ignored with lookahead): n chained decode steps per
     dispatch — host scheduling + dispatch latency amortized n×, emitted
-    in bursts with a 1→2→4→n ramp."""
+    in bursts with a 1→2→4→n ramp.
+
+    `grammar` (`serve.structured.TokenGrammar`): constrained decoding —
+    every step masks the logits to the tokens legal from the grammar's
+    current state and advances it host-side. Forces the plain single-step
+    loop (speculation/multi-step commit tokens without a host state
+    advance between them)."""
     assert input_ids.shape[0] == 1, "streaming path is single-sequence"
+    if grammar is not None:
+        lookahead = 0
+        multi_step = 1
     T = input_ids.shape[1]
     if cache_len is None:
         n_img = (0 if images is None else
@@ -392,15 +436,20 @@ def generate_stream(
                 remaining -= 1
         return
 
+    gstate = 0
     for _ in range(sampling.max_new_tokens):
         rng, sub = jax.random.split(rng)
+        mask = (None if grammar is None
+                else jnp.asarray(grammar.mask[gstate])[None])
         if token is None:
-            token = _sample(last_logits, sub, sampling)
+            token = _sample(last_logits, sub, sampling, mask=mask)
         else:
             logits, cache = decode_step(params, cache, token, cfg,
                                         pallas_cache=pallas_cache)
-            token = _sample(logits, sub, sampling)
+            token = _sample(logits, sub, sampling, mask=mask)
         tok = int(token[0])
         if tok == sampling.eos_token_id:
             return
+        if grammar is not None:
+            gstate = grammar.advance(gstate, tok)
         yield tok

@@ -1,0 +1,390 @@
+"""OpenAI-compatible completion endpoints on top of `ChatEngine`.
+
+Net-new serving surface (the reference exposes only its own `/chat` schema,
+`vis_zephyr/serve/api.py:65-79`): any OpenAI-client tooling can point at
+this server —
+
+- ``POST /v1/chat/completions`` — messages (with image data-URL content
+  parts), streaming SSE or full JSON, per-request ``max_tokens`` /
+  ``temperature`` / ``top_p`` / ``stop`` strings, multi-LoRA routing via
+  the ``model`` field (adapter name; ``base`` or the served model id for
+  the base weights),
+- ``POST /v1/completions`` — bare prompt, same knobs,
+- ``GET /v1/models`` — base model + loaded adapters.
+
+Requests are stateless (each carries its full message history, the OpenAI
+contract); under the paged batcher with ``--prefix-cache`` the shared
+history pages are deduplicated anyway, so multi-turn clients don't re-pay
+prefill for the unchanged prefix.
+
+Implementation is transport-agnostic: `chat_completion` / `completion`
+return either a full response dict or an SSE event-string iterator, and
+`serve/api.py` wires them into the stdlib HTTP handler (and the FastAPI
+variant).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from typing import Iterator, List, Optional, Tuple
+
+from ..constants import DEFAULT_IMAGE_TOKEN
+from ..conversation import templates
+from ..data.tokenization import tokenize_with_images
+
+
+class StopMatcher:
+    """Incremental stop-string scanner: holds back the longest possible
+    partial match so a stop sequence split across deltas is never emitted."""
+
+    def __init__(self, stops: Optional[List[str]]):
+        self.stops = [s for s in (stops or []) if s]
+        self._buf = ""
+        self.stopped = False
+
+    def _held(self) -> int:
+        """Length of the longest buffer suffix that is a proper prefix of
+        some stop string — the only text that must be withheld."""
+        best = 0
+        for s in self.stops:
+            for k in range(min(len(s) - 1, len(self._buf)), best, -1):
+                if self._buf.endswith(s[:k]):
+                    best = k
+                    break
+        return best
+
+    def feed(self, delta: str) -> str:
+        """Add a text delta; return the text that is safe to emit."""
+        if not self.stops or self.stopped:
+            return "" if self.stopped else delta
+        self._buf += delta
+        hits = [i for i in (self._buf.find(s) for s in self.stops) if i >= 0]
+        if hits:
+            out = self._buf[: min(hits)]
+            self._buf = ""
+            self.stopped = True
+            return out
+        emit = self._buf[: len(self._buf) - self._held()]
+        self._buf = self._buf[len(emit):]
+        return emit
+
+    def flush(self) -> str:
+        """End of stream: release any held-back tail (it never completed a
+        stop sequence)."""
+        out, self._buf = self._buf, ""
+        return "" if self.stopped else out
+
+
+def _decode_data_url(url: str):
+    """data:image/...;base64,... → PIL image. Remote URLs are rejected:
+    the serving host performs no egress on behalf of clients."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    if not url.startswith("data:"):
+        raise ValueError(
+            "only data: image URLs are supported (no server-side fetch)")
+    try:
+        b64 = url.split(",", 1)[1]
+        return Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(f"failed to decode image data URL: {e}") from e
+
+
+def render_chat_prompt(messages: List[dict], conv_mode: str) -> Tuple[str, object]:
+    """OpenAI `messages` → (rendered Zephyr prompt, PIL image | None).
+
+    `system` messages replace the template's system prompt; `user` /
+    `assistant` turns append in order. Content may be a plain string or
+    OpenAI content parts (`{"type": "text"}` / `{"type": "image_url"}` with
+    a data URL). One image per request (the serving engines cache a single
+    image tensor per sequence); the turn that carries it is prefixed with
+    the ``<image>`` sentinel exactly like `ChatEngine.chat`.
+    """
+    conv = templates[conv_mode].copy()
+    image = None
+    for msg in messages:
+        role = msg.get("role")
+        content = msg.get("content", "")
+        text_parts: List[str] = []
+        if isinstance(content, list):
+            for part in content:
+                ptype = part.get("type")
+                if ptype == "text":
+                    text_parts.append(part.get("text", ""))
+                elif ptype == "image_url":
+                    if image is not None:
+                        raise ValueError("only one image per request is supported")
+                    url = part.get("image_url")
+                    if isinstance(url, dict):
+                        url = url.get("url", "")
+                    img = _decode_data_url(url)
+                    image = img
+                    text_parts.append(DEFAULT_IMAGE_TOKEN)
+                else:
+                    raise ValueError(f"unsupported content part type {ptype!r}")
+            text = "\n".join(t for t in text_parts if t)
+        else:
+            text = str(content)
+        if role == "system":
+            conv.system = text
+        elif role == "user":
+            conv.append_message(conv.roles[0], text)
+        elif role == "assistant":
+            conv.append_message(conv.roles[1], text)
+        else:
+            raise ValueError(f"unsupported message role {role!r}")
+    conv.append_message(conv.roles[1], None)  # assistant's turn
+    return conv.get_prompt(), image
+
+
+def _resolve_adapter(engine, model: Optional[str]):
+    """The OpenAI `model` field routes multi-LoRA: an adapter name selects
+    that adapter; 'base'/None/the served id select the base weights."""
+    if not model or model in ("base", "vis-zephyr", "vis-zephyr-tpu"):
+        return None, None
+    names = getattr(getattr(engine, "batcher", None), "adapter_names", None) or {}
+    if model in names:
+        return model, None
+    return None, (f"unknown model {model!r}; available: "
+                  f"{['vis-zephyr-tpu'] + sorted(names)}")
+
+
+def _parse_request(engine, payload: dict, chat: bool):
+    """Shared validation → dict of generation kwargs, or (None, error)."""
+    adapter, err = _resolve_adapter(engine, payload.get("model"))
+    if err:
+        return None, err
+    try:
+        if chat:
+            messages = payload.get("messages")
+            if not isinstance(messages, list) or not messages:
+                return None, "messages must be a non-empty list"
+            prompt, image = render_chat_prompt(messages, engine.conv_mode)
+        else:
+            prompt = payload.get("prompt")
+            if not isinstance(prompt, str) or not prompt:
+                return None, "prompt must be a non-empty string"
+            image = None
+    except ValueError as e:
+        return None, str(e)
+    stop = payload.get("stop")
+    if isinstance(stop, str):
+        stop = [stop]
+    elif stop is not None and not isinstance(stop, list):
+        return None, "stop must be a string or list of strings"
+    max_tokens = payload.get("max_tokens", payload.get("max_completion_tokens"))
+    temperature = payload.get("temperature")
+    top_p = payload.get("top_p")
+    for name, v in (("max_tokens", max_tokens), ("temperature", temperature),
+                    ("top_p", top_p)):
+        if v is not None and not isinstance(v, (int, float)):
+            return None, f"{name} must be a number"
+    grammar = None
+    rf = payload.get("response_format")
+    if rf:
+        try:
+            grammar = _compile_response_format(engine, rf)
+        except ValueError as e:
+            return None, str(e)
+    return {
+        "prompt": prompt,
+        "image": image,
+        "adapter": adapter,
+        "stop": stop,
+        "max_new_tokens": None if max_tokens is None else int(max_tokens),
+        "temperature": None if temperature is None else float(temperature),
+        "top_p": None if top_p is None else float(top_p),
+        "grammar": grammar,
+    }, None
+
+
+def _compile_response_format(engine, rf: dict):
+    """OpenAI `response_format` → TokenGrammar (structured output):
+    - {"type": "json_schema", "json_schema": {"schema": {...}}} (OpenAI
+      nesting) or {"type": "json_schema", "schema": {...}},
+    - {"type": "regex", "regex": "..."} (full-match pattern),
+    - {"type": "text"} / None → unconstrained.
+    Free-form {"type": "json_object"} is rejected: unbounded JSON is not
+    regular; provide a schema."""
+    rtype = rf.get("type")
+    if rtype in (None, "text"):
+        return None
+    if rtype == "regex":
+        pattern = rf.get("regex")
+        if not pattern:
+            raise ValueError("response_format.regex missing")
+        return engine.compile_grammar(pattern=pattern)
+    if rtype == "json_schema":
+        schema = rf.get("schema")
+        if schema is None:
+            schema = (rf.get("json_schema") or {}).get("schema")
+        if not schema:
+            raise ValueError("response_format.json_schema.schema missing")
+        return engine.compile_grammar(json_schema=schema)
+    if rtype == "json_object":
+        raise ValueError(
+            "response_format json_object is unsupported (unbounded JSON is "
+            "not regular) — pass a json_schema instead")
+    raise ValueError(f"unsupported response_format type {rtype!r}")
+
+
+def _run(engine, spec):
+    """Start generation; returns (token iterator, prompt token count,
+    effective max_new_tokens)."""
+    ids = tokenize_with_images(spec["prompt"], engine.tokenizer)
+    budget = spec["max_new_tokens"] or engine.sampling.max_new_tokens
+    tokens = engine.generate_request(
+        spec["prompt"], pil_image=spec["image"],
+        max_new_tokens=spec["max_new_tokens"],
+        temperature=spec["temperature"], top_p=spec["top_p"],
+        adapter=spec["adapter"], grammar=spec.get("grammar"),
+    )
+    return tokens, len(ids), budget
+
+
+def _completion_events(engine, spec, rid: str, created: int, model: str,
+                       chat: bool):
+    """Yield SSE event strings for a streaming completion."""
+    tokens, n_prompt, budget = _run(engine, spec)
+    matcher = StopMatcher(spec["stop"])
+    n_out = 0
+
+    def event(payload: dict) -> str:
+        return f"data: {json.dumps(payload)}\n\n"
+
+    def chunk(delta_obj: dict, finish: Optional[str]) -> dict:
+        choice = {"index": 0, "finish_reason": finish}
+        if chat:
+            choice["delta"] = delta_obj
+        else:
+            choice["text"] = delta_obj.get("content", "")
+        return {
+            "id": rid,
+            "object": ("chat.completion.chunk" if chat else "text_completion"),
+            "created": created,
+            "model": model,
+            "choices": [choice],
+        }
+
+    if chat:
+        yield event(chunk({"role": "assistant", "content": ""}, None))
+
+    counted = _CountingIter(tokens)
+    stopped = False
+    for delta in engine.stream_text(counted):
+        emit = matcher.feed(delta)
+        if emit:
+            yield event(chunk({"content": emit}, None))
+        if matcher.stopped:
+            stopped = True
+            counted.close()
+            break
+    if not stopped:
+        tail = matcher.flush()
+        if tail:
+            yield event(chunk({"content": tail}, None))
+    n_out = counted.count
+    finish = "stop" if (stopped or n_out < budget) else "length"
+    final = chunk({}, finish)
+    final["usage"] = {
+        "prompt_tokens": n_prompt,
+        "completion_tokens": n_out,
+        "total_tokens": n_prompt + n_out,
+    }
+    yield event(final)
+    yield "data: [DONE]\n\n"
+
+
+class _CountingIter:
+    """Wrap a token iterator, counting yields and forwarding close() (so a
+    stop-string match cancels the batcher slot like a client disconnect)."""
+
+    def __init__(self, it: Iterator[int]):
+        self._it = it
+        self.count = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        tok = next(self._it)
+        self.count += 1
+        return tok
+
+    def close(self):
+        close = getattr(self._it, "close", None)
+        if close:
+            close()
+
+
+def chat_completion(engine, payload: dict):
+    """POST /v1/chat/completions → (error | None, response dict | SSE
+    iterator). Streaming when `payload["stream"]` is truthy."""
+    return _completion(engine, payload, chat=True)
+
+
+def completion(engine, payload: dict):
+    """POST /v1/completions → same contract as `chat_completion`."""
+    return _completion(engine, payload, chat=False)
+
+
+def _completion(engine, payload: dict, chat: bool):
+    spec, err = _parse_request(engine, payload, chat=chat)
+    if err:
+        return {"error": {"message": err, "type": "invalid_request_error"}}, None
+    rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:20]
+    created = int(time.time())
+    model = payload.get("model") or "vis-zephyr-tpu"
+    if payload.get("stream"):
+        return None, _completion_events(engine, spec, rid, created, model, chat)
+
+    tokens, n_prompt, budget = _run(engine, spec)
+    matcher = StopMatcher(spec["stop"])
+    counted = _CountingIter(tokens)
+    parts: List[str] = []
+    stopped = False
+    for delta in engine.stream_text(counted):
+        parts.append(matcher.feed(delta))
+        if matcher.stopped:
+            stopped = True
+            counted.close()
+            break
+    if not stopped:
+        parts.append(matcher.flush())
+    text = "".join(parts)
+    n_out = counted.count
+    finish = "stop" if (stopped or n_out < budget) else "length"
+    choice = {"index": 0, "finish_reason": finish}
+    if chat:
+        choice["message"] = {"role": "assistant", "content": text}
+    else:
+        choice["text"] = text
+    return None, {
+        "id": rid,
+        "object": "chat.completion" if chat else "text_completion",
+        "created": created,
+        "model": model,
+        "choices": [choice],
+        "usage": {
+            "prompt_tokens": n_prompt,
+            "completion_tokens": n_out,
+            "total_tokens": n_prompt + n_out,
+        },
+    }
+
+
+def list_models(engine) -> dict:
+    """GET /v1/models: the base model plus every loaded LoRA adapter."""
+    created = int(time.time())
+    names = getattr(getattr(engine, "batcher", None), "adapter_names", None) or {}
+    data = [{"id": "vis-zephyr-tpu", "object": "model", "created": created,
+             "owned_by": "vis-zephyr-tpu"}]
+    for name in sorted(names):
+        data.append({"id": name, "object": "model", "created": created,
+                     "owned_by": "vis-zephyr-tpu", "parent": "vis-zephyr-tpu"})
+    return {"object": "list", "data": data}

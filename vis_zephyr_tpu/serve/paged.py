@@ -694,7 +694,8 @@ def _kv_update_q_tp(mesh, fused=False):
 )
 def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
                 cfg: VisZephyrConfig, sampling: SamplingConfig, mesh=None,
-                mode: str = "selfterm", mlora=None, adapter_idx=None):
+                mode: str = "selfterm", mlora=None, adapter_idx=None,
+                sample_overrides=None, grammar=None):
     """One decode step over all slots against the paged pools.
 
     `scales`: `(None, None)` for bf16 pools, or `(k_scales, v_scales)`
@@ -865,7 +866,9 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
     logits = jnp.einsum(
         "btd,dv->btv", h[:, -1:], dparams["lm_head"]["kernel"]
     ).astype(jnp.float32)
-    next_token = _sample(logits[:, 0], key, sampling)
+    mask = None if grammar is None else grammar[0][grammar[1]]
+    next_token = _sample(logits[:, 0], key, sampling,
+                         overrides=sample_overrides, mask=mask)
     next_token = jnp.where(active, next_token, dec.pad_token_id)
     new_lengths = jnp.where(active, lengths + 1, lengths)
     return next_token, kp, vp, (ksp, vsp), new_lengths
@@ -880,7 +883,7 @@ def _paged_multi_step(params, kp, vp, scales, page_table, lengths, token,
                       active, steps_left, key, cfg: VisZephyrConfig,
                       sampling: SamplingConfig, mesh=None,
                       mode: str = "selfterm", n: int = 4,
-                      mlora=None, adapter_idx=None):
+                      mlora=None, adapter_idx=None, sample_overrides=None):
     """`n` chained `_paged_step`s in ONE dispatch (multi-step scheduling):
     host scheduling + dispatch latency + the per-step device_get are paid
     once per burst instead of once per token.
@@ -901,7 +904,7 @@ def _paged_multi_step(params, kp, vp, scales, page_table, lengths, token,
         tok, kp, vp, scales, lengths = _paged_step(
             params, kp, vp, scales, page_table, lengths, token, alive, sub,
             cfg, sampling, mesh=mesh, mode=mode, mlora=mlora,
-            adapter_idx=adapter_idx,
+            adapter_idx=adapter_idx, sample_overrides=sample_overrides,
         )
         entry_alive = alive
         left = left - 1
@@ -1186,6 +1189,14 @@ class PagedBatcher(ContinuousBatcher):
         self.active = np.zeros(max_slots, bool)
         self.budget = np.zeros(max_slots, np.int64)
         self.slot_req: List[Optional[_Request]] = [None] * max_slots
+        # Per-slot sampling params + structured-output grammar state (same
+        # machinery as ContinuousBatcher — _activate/_finish are shared).
+        self.slot_temp = np.full(max_slots, sampling.temperature, np.float32)
+        self.slot_topp = np.full(max_slots, sampling.top_p, np.float32)
+        self._override_slots = set()
+        from .structured import GrammarSlots
+
+        self.grammar_slots = GrammarSlots(max_slots, dec.vocab_size)
         # _activate (shared with the dense batcher) maintains these.
         # `lookahead`: speculation via the flash-structure kernel's
         # multi-row verify shape (`_paged_verify_step`); greedy only,
@@ -1405,7 +1416,10 @@ class PagedBatcher(ContinuousBatcher):
             return 0
         if self.lookahead > 0:
             return self._step_verify()
-        if self.multi_step > 1 and not self._has_admission_work():
+        # Same rule as ContinuousBatcher.step: grammar slots single-step.
+        grammar_op = self.grammar_slots.operand()
+        if (self.multi_step > 1 and grammar_op is None
+                and not self._has_admission_work()):
             self.rng, sub = jax.random.split(self.rng)
             (toks, alive, self.kp, self.vp, (self.ksp, self.vsp),
              self.lengths, self.token) = _paged_multi_step(
@@ -1415,6 +1429,7 @@ class PagedBatcher(ContinuousBatcher):
                 jnp.asarray(self.budget.astype(np.int32)), sub,
                 self.cfg, self.sampling, mesh=self.mesh, n=self.multi_step,
                 mlora=self.mlora, adapter_idx=self._slot_aidx(),
+                sample_overrides=self._sample_overrides(),
             )
             return self._process_burst(np.asarray(jax.device_get(toks)),
                                        np.asarray(jax.device_get(alive)))
@@ -1424,6 +1439,7 @@ class PagedBatcher(ContinuousBatcher):
             self.page_table, self.lengths,
             self.token, jnp.asarray(self.active), sub, self.cfg, self.sampling,
             mesh=self.mesh, mlora=self.mlora, adapter_idx=self._slot_aidx(),
+            sample_overrides=self._sample_overrides(), grammar=grammar_op,
         )
         tokens = np.asarray(jax.device_get(self.token))
         stepped = 0
@@ -1435,6 +1451,7 @@ class PagedBatcher(ContinuousBatcher):
             if tok == self.sampling.eos_token_id:
                 self._finish(slot)
                 continue
+            self.grammar_slots.advance(slot, tok)
             self._emit(self.slot_req[slot], tok)
             self.budget[slot] -= 1
             if self.budget[slot] <= 0:
