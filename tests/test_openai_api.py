@@ -207,6 +207,99 @@ class TestPerSlotSampling:
         assert n_b == 6  # sampled request ran to budget (eos disabled)
 
 
+class TestLogprobs:
+    def test_logprobs_matches_log_softmax(self):
+        from vis_zephyr_tpu.serve.generate import LP_TOPK, _logprobs
+
+        logits = jax.random.normal(jax.random.PRNGKey(0), (3, 64))
+        token = jnp.asarray([5, 0, 63])
+        chosen, ids, lps = jax.device_get(_logprobs(logits, token))
+        ref = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        np.testing.assert_allclose(chosen, ref[np.arange(3), [5, 0, 63]],
+                                   rtol=1e-5)
+        assert ids.shape == (3, LP_TOPK)
+        for b in range(3):
+            order = np.argsort(-ref[b])[:LP_TOPK]
+            np.testing.assert_array_equal(ids[b], order)
+            np.testing.assert_allclose(lps[b], ref[b][order], rtol=1e-5)
+
+    def test_logprobs_host_matches_device(self):
+        from vis_zephyr_tpu.serve.generate import _logprobs, _logprobs_host
+
+        logits = np.random.default_rng(0).normal(size=(128,)).astype(np.float32)
+        chosen_h, ids_h, lps_h = _logprobs_host(logits, 7)
+        chosen_d, ids_d, lps_d = jax.device_get(
+            _logprobs(jnp.asarray(logits)[None], jnp.asarray([7])))
+        assert abs(chosen_h - float(chosen_d[0])) < 1e-4
+        np.testing.assert_array_equal(ids_h, ids_d[0])
+        np.testing.assert_allclose(lps_h, lps_d[0], rtol=1e-4)
+
+    def test_batcher_lp_log(self, tokenizer):
+        """Greedy + logprobs: one entry per emitted token; the chosen
+        token IS the top-1 alternative (greedy = argmax of the raw
+        distribution when no temperature/mask applies)."""
+        from vis_zephyr_tpu.serve.batching import ContinuousBatcher
+        from vis_zephyr_tpu.serve.generate import SamplingConfig
+
+        cfg = tiny_config(vocab_size=50000)
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        sampling = SamplingConfig(max_new_tokens=5, temperature=0.0,
+                                  eos_token_id=-1)
+        b = ContinuousBatcher(params, cfg, max_slots=2, cache_len=256,
+                              sampling=sampling)
+        ids = np.asarray([1, 17, 23, 42], np.int64)
+        lp_req = b.submit(ids, logprobs=3)
+        free = b.submit(ids)
+        b.run_until_drained()
+        toks = []
+        while not lp_req.out.empty():
+            t = lp_req.out.get()
+            if t is not None:
+                toks.append(t)
+        assert len(lp_req.lp_log) == len(toks) == 5
+        for tok, (chosen, top_ids, top_lps) in zip(toks, lp_req.lp_log):
+            assert chosen <= 0.0
+            assert int(top_ids[0]) == tok          # greedy == top-1
+            assert abs(float(top_lps[0]) - chosen) < 1e-5
+            assert all(top_lps[i] >= top_lps[i + 1]
+                       for i in range(len(top_lps) - 1))
+        # The logprob-free request sharing the batch recorded nothing.
+        assert free.lp_log == []
+
+    def test_paged_batcher_lp_log(self, tokenizer):
+        from vis_zephyr_tpu.serve.generate import SamplingConfig
+        from vis_zephyr_tpu.serve.paged import PagedBatcher
+
+        cfg = tiny_config(vocab_size=50000)
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        sampling = SamplingConfig(max_new_tokens=4, temperature=0.0,
+                                  eos_token_id=-1)
+        b = PagedBatcher(params, cfg, max_slots=2, cache_len=128,
+                         sampling=sampling, page_size=16)
+        req = b.submit(np.asarray([1, 17, 23, 42], np.int64), logprobs=2)
+        b.run_until_drained()
+        toks = []
+        while not req.out.empty():
+            t = req.out.get()
+            if t is not None:
+                toks.append(t)
+        assert len(req.lp_log) == len(toks) == 4
+        for tok, (chosen, top_ids, _) in zip(toks, req.lp_log):
+            assert int(top_ids[0]) == tok and chosen <= 0.0
+
+    def test_speculative_batcher_rejects_logprobs(self, tokenizer):
+        from vis_zephyr_tpu.serve.batching import ContinuousBatcher
+        from vis_zephyr_tpu.serve.generate import SamplingConfig
+
+        cfg = tiny_config(vocab_size=50000)
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        b = ContinuousBatcher(params, cfg, max_slots=2, cache_len=256,
+                              sampling=SamplingConfig(max_new_tokens=4),
+                              lookahead=2)
+        with pytest.raises(ValueError, match="logprobs"):
+            b.submit(np.asarray([1, 17], np.int64), logprobs=1)
+
+
 class TestOpenAIEndpoints:
     def test_models_lists_base(self, server):
         with urllib.request.urlopen(server + "/v1/models", timeout=30) as resp:
@@ -288,6 +381,67 @@ class TestOpenAIEndpoints:
         assert first_word not in stopped
         assert len(stopped) < len(full)
         assert json.loads(body)["choices"][0]["finish_reason"] == "stop"
+
+    def test_chat_logprobs(self, server):
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "score this"}],
+            "max_tokens": 4,
+            "logprobs": True,
+            "top_logprobs": 3,
+        })
+        assert status == 200
+        out = json.loads(body)
+        content = out["choices"][0]["logprobs"]["content"]
+        assert len(content) == out["usage"]["completion_tokens"]
+        for e in content:
+            assert set(e) == {"token", "logprob", "bytes", "top_logprobs"}
+            assert e["logprob"] <= 0.0
+            assert len(e["top_logprobs"]) == 3
+            # Greedy decode: the chosen token is the top-1 alternative.
+            assert e["top_logprobs"][0]["logprob"] == e["logprob"]
+            assert e["bytes"] == list(e["token"].encode("utf-8"))
+
+    def test_completions_legacy_logprobs(self, server):
+        status, body = _post(server, "/v1/completions", {
+            "prompt": "prefix words here",
+            "max_tokens": 3,
+            "logprobs": 2,
+        })
+        assert status == 200
+        lp = json.loads(body)["choices"][0]["logprobs"]
+        n = len(lp["tokens"])
+        assert n == len(lp["token_logprobs"]) == len(lp["top_logprobs"]) \
+            == len(lp["text_offset"])
+        assert all(len(t) == 2 for t in lp["top_logprobs"])
+        assert lp["text_offset"] == sorted(lp["text_offset"])
+
+    def test_streaming_logprobs(self, server):
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "stream scores"}],
+            "max_tokens": 4,
+            "logprobs": True,
+            "top_logprobs": 1,
+            "stream": True,
+        })
+        assert status == 200
+        events = [json.loads(line[len("data: "):])
+                  for line in body.splitlines()
+                  if line.startswith("data: ") and line != "data: [DONE]"]
+        entries = []
+        for e in events:
+            lp = e["choices"][0].get("logprobs")
+            if lp:
+                entries.extend(lp["content"])
+        assert len(entries) == events[-1]["usage"]["completion_tokens"]
+        assert all(len(e["top_logprobs"]) == 1 for e in entries)
+
+    def test_top_logprobs_out_of_range(self, server):
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "x"}],
+            "logprobs": True,
+            "top_logprobs": 50,
+        })
+        assert status == 400
 
     def test_per_request_temperature_accepted(self, server):
         status, body = _post(server, "/v1/chat/completions", {

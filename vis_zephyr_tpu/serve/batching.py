@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from ..config import VisZephyrConfig
 from ..models.mistral import embed, init_cache, mistral_forward
 from ..models.vis_zephyr import vis_zephyr_forward
-from .generate import SamplingConfig, _sample
+from .generate import (SamplingConfig, _logprobs, _logprobs_host,
+                       _sample)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_flash", "attn_mesh"))
@@ -138,19 +139,24 @@ def _verify_step(params, cache, toks, valid, cfg: VisZephyrConfig,
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sampling", "pallas_cache"),
+@functools.partial(jax.jit, static_argnames=("cfg", "sampling", "pallas_cache",
+                                              "want_logprobs"),
                    donate_argnums=(1,))
 def _batch_step(params, cache, token, active, key, cfg: VisZephyrConfig,
                 sampling: SamplingConfig, pallas_cache: bool = True,
                 mlora=None, adapter_idx=None, sample_overrides=None,
-                grammar=None):
+                grammar=None, want_logprobs: bool = False):
     """One decode step over all slots; inactive slots are frozen.
     `sample_overrides`: optional (temps [B], top_ps [B]) per-slot sampling
     parameters (per-request temperature/top_p, see `generate._sample`).
     `grammar`: optional (mask_table [R, V] bool, slot_rows [B] int32) —
     structured-output masking: each slot samples only tokens legal from its
     grammar state (`serve/structured.py`); unconstrained slots point at the
-    table's all-True row."""
+    table's all-True row.
+    `want_logprobs` (static): additionally return
+    (chosen_lp [B], top_ids [B, LP_TOPK], top_lps [B, LP_TOPK]) from the
+    raw model distribution (`generate._logprobs`) — None when off, so
+    logprob-free batches pay nothing."""
     old_lengths = cache["length"]
     embeds = embed(params["decoder"], token[:, None])
     logits, new_cache = mistral_forward(
@@ -162,8 +168,9 @@ def _batch_step(params, cache, token, active, key, cfg: VisZephyrConfig,
     next_token = _sample(logits[:, 0], key, sampling,
                          overrides=sample_overrides, mask=mask)
     next_token = jnp.where(active, next_token, cfg.decoder.pad_token_id)
+    lp = _logprobs(logits[:, 0], next_token) if want_logprobs else None
     new_cache["length"] = jnp.where(active, new_cache["length"], old_lengths)
-    return next_token, new_cache
+    return next_token, new_cache, lp
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "sampling", "n",
@@ -194,10 +201,10 @@ def _batch_multi_step(params, cache, token, active, steps_left, key,
 
     def body(carry, sub):
         cache, token, alive, left = carry
-        tok, cache = _batch_step(params, cache, token, alive, sub, cfg,
-                                 sampling, pallas_cache=pallas_cache,
-                                 mlora=mlora, adapter_idx=adapter_idx,
-                                 sample_overrides=sample_overrides)
+        tok, cache, _ = _batch_step(params, cache, token, alive, sub, cfg,
+                                    sampling, pallas_cache=pallas_cache,
+                                    mlora=mlora, adapter_idx=adapter_idx,
+                                    sample_overrides=sample_overrides)
         entry_alive = alive
         left = left - 1
         alive = alive & (tok != eos) & (left > 0)
@@ -224,6 +231,12 @@ class _Request:
     # Structured output: a serve.structured.TokenGrammar constraining this
     # request's tokens (None = free-form).
     grammar: object = None
+    # OpenAI logprobs: None = off; N (0..LP_TOPK) = chosen-token logprob
+    # plus top-N alternatives per emitted token, appended to `lp_log` as
+    # (chosen_lp, top_ids, top_lps) BEFORE the token enters `out` (so a
+    # consumer reading token i may index lp_log[i]).
+    logprobs: Optional[int] = None
+    lp_log: List[tuple] = dataclasses.field(default_factory=list)
     cancelled: bool = False  # set by cancel(); slot freed at the next step
     out: "queue.Queue[Optional[int]]" = dataclasses.field(
         default_factory=queue.Queue
@@ -324,6 +337,9 @@ class ContinuousBatcher:
         self.slot_temp = np.full(max_slots, sampling.temperature, np.float32)
         self.slot_topp = np.full(max_slots, sampling.top_p, np.float32)
         self._override_slots: set = set()
+        # Slots whose request wants OpenAI logprobs: while empty, steps run
+        # with want_logprobs=False and pay nothing.
+        self._lp_slots: set = set()
         # Structured output (grammar-constrained slots): combined device
         # mask table + per-slot DFA states (serve/structured.py).
         from .structured import GrammarSlots
@@ -351,6 +367,7 @@ class ContinuousBatcher:
         temperature: Optional[float] = None,
         top_p: Optional[float] = None,
         grammar=None,
+        logprobs: Optional[int] = None,
     ) -> _Request:
         """Queue a request. Returns a handle whose `.out` queue yields token
         ids and a final `None` sentinel. `adapter`: multi-LoRA adapter NAME
@@ -361,12 +378,21 @@ class ContinuousBatcher:
         a speculative engine serves greedy only.
         `grammar`: optional `serve.structured.TokenGrammar` — constrained
         decoding (structured output). Incompatible with speculation (the
-        verify step commits unmasked greedy tokens)."""
+        verify step commits unmasked greedy tokens).
+        `logprobs`: None = off; N (0..LP_TOPK) = record the chosen token's
+        raw-distribution logprob + top-N alternatives per emitted token in
+        the handle's `lp_log`. Incompatible with speculation (verify
+        commits multiple tokens from one forward's logits)."""
         if grammar is not None and self.lookahead > 0:
             raise ValueError(
                 "structured output is incompatible with speculative "
                 "decoding (--lookahead); serve grammars from a "
                 "non-speculative engine")
+        if logprobs is not None and self.lookahead > 0:
+            raise ValueError(
+                "logprobs are incompatible with speculative decoding "
+                "(--lookahead); serve logprobs from a non-speculative "
+                "engine")
         if self.lookahead > 0:
             temperature = top_p = None
         aidx = 0
@@ -389,6 +415,7 @@ class ContinuousBatcher:
             temperature=temperature,
             top_p=top_p,
             grammar=grammar,
+            logprobs=logprobs,
         )
         req.submitted_at = time.perf_counter()
         self.pending.put(req)
@@ -494,6 +521,8 @@ class ContinuousBatcher:
         self.slot_adapter[slot] = req.adapter
         self._set_slot_sampling(req, slot)
         self.grammar_slots.attach(slot, req.grammar)
+        if req.logprobs is not None:
+            self._lp_slots.add(slot)
         self.rng, sub = jax.random.split(self.rng)
         ov = None
         if req.temperature is not None or req.top_p is not None:
@@ -505,6 +534,10 @@ class ContinuousBatcher:
         first = _sample(last_logits[None], sub, self.sampling, overrides=ov,
                         mask=mask)
         tok = int(first[0])
+        if req.logprobs is not None and tok != self.sampling.eos_token_id:
+            # The first (prefill-sampled) token's logprobs come from the
+            # already host-bound admission logits.
+            req.lp_log.append(_logprobs_host(jax.device_get(last_logits), tok))
         self.slot_req[slot] = req
         self.active[slot] = True
         self.budget[slot] = req.max_new_tokens - 1
@@ -633,6 +666,7 @@ class ContinuousBatcher:
         self.slot_temp[slot] = self.sampling.temperature
         self.slot_topp[slot] = self.sampling.top_p
         self._override_slots.discard(slot)
+        self._lp_slots.discard(slot)
         self.grammar_slots.release(slot)
         req = self.slot_req[slot]
         if req is not None:
@@ -803,11 +837,13 @@ class ContinuousBatcher:
             return 0
         if self.lookahead > 0:
             return self._step_verify()
-        # Grammar-constrained slots need a host state advance between
-        # steps, so they disable the multi-step burst while active
-        # (grammars are rejected outright on speculative engines).
+        # Grammar-constrained and logprobs slots need host work between
+        # steps (state advance / per-token log append), so they disable
+        # the multi-step burst while active (both are rejected outright on
+        # speculative engines).
         grammar_op = self.grammar_slots.operand()
-        if (self.multi_step > 1 and grammar_op is None
+        want_lp = bool(self._lp_slots)
+        if (self.multi_step > 1 and grammar_op is None and not want_lp
                 and not self._has_admission_work()):
             self.rng, sub = jax.random.split(self.rng)
             toks, alive, self.cache, self.token = _batch_multi_step(
@@ -822,13 +858,15 @@ class ContinuousBatcher:
             return self._process_burst(np.asarray(jax.device_get(toks)),
                                        np.asarray(jax.device_get(alive)))
         self.rng, sub = jax.random.split(self.rng)
-        self.token, self.cache = _batch_step(
+        self.token, self.cache, lp = _batch_step(
             self.params, self.cache, self.token, jnp.asarray(self.active), sub,
             self.cfg, self.sampling, pallas_cache=self.mesh is None,
             mlora=self.mlora, adapter_idx=self._slot_aidx(),
             sample_overrides=self._sample_overrides(), grammar=grammar_op,
+            want_logprobs=want_lp,
         )
         tokens = np.asarray(jax.device_get(self.token))
+        lp_host = jax.device_get(lp) if lp is not None else None
         stepped = 0
         for slot in range(self.max_slots):
             if not self.active[slot]:
@@ -839,6 +877,10 @@ class ContinuousBatcher:
                 self._finish(slot)
                 continue
             self.grammar_slots.advance(slot, tok)
+            if lp_host is not None and slot in self._lp_slots:
+                self.slot_req[slot].lp_log.append(
+                    (float(lp_host[0][slot]), lp_host[1][slot],
+                     lp_host[2][slot]))
             self._emit(self.slot_req[slot], tok)
             self.budget[slot] -= 1
             if self.budget[slot] <= 0:

@@ -341,12 +341,23 @@ class ChatEngine:
         if not hasattr(self, "_grammar_cache"):
             self._grammar_cache = {}
         if pattern not in self._grammar_cache:
-            if not hasattr(self, "_token_strings"):
-                self._token_strings = token_strings_from_tokenizer(
-                    self.tokenizer, self.cfg.decoder.vocab_size)
             self._grammar_cache[pattern] = TokenGrammar.from_regex(
-                pattern, self._token_strings, self.sampling.eos_token_id)
+                pattern, self.token_strings(), self.sampling.eos_token_id)
         return self._grammar_cache[pattern]
+
+    def token_strings(self):
+        """Per-id decoded text of the whole vocabulary (cached) — shared by
+        grammar compilation and logprobs formatting."""
+        from .structured import token_strings_from_tokenizer
+
+        if not hasattr(self, "_token_strings"):
+            self._token_strings = token_strings_from_tokenizer(
+                self.tokenizer, self.cfg.decoder.vocab_size)
+        return self._token_strings
+
+    def token_text(self, tok: int) -> str:
+        strings = self.token_strings()
+        return strings[tok] if 0 <= tok < len(strings) else ""
 
     def generate_request(
         self,
@@ -357,6 +368,8 @@ class ChatEngine:
         top_p: Optional[float] = None,
         adapter: Optional[str] = None,
         grammar=None,
+        logprobs: Optional[int] = None,
+        lp_sink: Optional[list] = None,
     ) -> Iterator[int]:
         """Session-free generation from a fully-rendered prompt: yields raw
         token ids until EOS/budget. Drives /v1/chat/completions and
@@ -384,10 +397,17 @@ class ChatEngine:
                 ids, images, patch_valid,
                 max_new_tokens=max_new_tokens,
                 adapter=adapter, temperature=temperature, top_p=top_p,
-                grammar=grammar,
+                grammar=grammar, logprobs=logprobs,
             )
             self._ensure_pump()
-            yield from self.batcher.stream(handle)
+            if logprobs is None or lp_sink is None:
+                yield from self.batcher.stream(handle)
+            else:
+                # lp_log[i] is appended before token i enters the queue, so
+                # indexing by consumption order is race-free.
+                for i, tok in enumerate(self.batcher.stream(handle)):
+                    lp_sink.append(handle.lp_log[i])
+                    yield tok
             return
 
         if adapter is not None and adapter != "base":
@@ -417,6 +437,7 @@ class ChatEngine:
                 pallas_cache=self.mesh is None,
                 multi_step=self.multi_step,
                 grammar=grammar,
+                lp_sink=lp_sink if logprobs is not None else None,
             )
 
     def stream_text(self, token_iter: Iterator[int]) -> Iterator[str]:

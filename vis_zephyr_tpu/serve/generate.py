@@ -94,6 +94,32 @@ def _sample_per_slot(logits: jnp.ndarray, key, temps: jnp.ndarray,
     return jnp.where(temps <= 0.0, greedy, sampled)
 
 
+# OpenAI caps `top_logprobs` at 20; one static K keeps a single compiled
+# step variant (requests asking for fewer slice host-side).
+LP_TOPK = 20
+
+
+def _logprobs(logits: jnp.ndarray, token: jnp.ndarray):
+    """Per-token logprob data from the RAW model distribution (f32
+    log-softmax of the unscaled logits — before temperature, top-p, or any
+    grammar mask, the OpenAI convention): logits [B, V], token [B] →
+    (chosen_lp [B], top_ids [B, LP_TOPK] int32, top_lps [B, LP_TOPK])."""
+    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    chosen = jnp.take_along_axis(lsm, token[:, None], axis=-1)[:, 0]
+    top_lps, top_ids = jax.lax.top_k(lsm, LP_TOPK)
+    return chosen, top_ids.astype(jnp.int32), top_lps
+
+
+def _logprobs_host(logits_row: np.ndarray, token: int):
+    """numpy twin of `_logprobs` for one row (prefill-sampled first tokens,
+    where the logits are already host-bound at admission)."""
+    x = np.asarray(logits_row, np.float32)
+    lsm = x - (np.max(x) + np.log(np.sum(np.exp(x - np.max(x)))))
+    top = np.argpartition(-lsm, LP_TOPK)[:LP_TOPK]
+    top = top[np.argsort(-lsm[top])]
+    return float(lsm[token]), top.astype(np.int32), lsm[top]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "cache_len", "use_flash",
                                               "attn_mesh"))
 def prefill(
@@ -321,6 +347,7 @@ def generate_stream(
     pallas_cache: bool = True,
     multi_step: int = 1,
     grammar=None,
+    lp_sink: Optional[list] = None,
 ) -> Iterator[int]:
     """Single-sequence streaming generation: yields token ids until EOS or
     the budget is exhausted. Host drives one jitted step per token.
@@ -338,9 +365,14 @@ def generate_stream(
     every step masks the logits to the tokens legal from the grammar's
     current state and advances it host-side. Forces the plain single-step
     loop (speculation/multi-step commit tokens without a host state
-    advance between them)."""
+    advance between them).
+
+    `lp_sink`: when not None, one `(chosen_lp, top_ids, top_lps)` entry
+    (raw-distribution logprobs, `_logprobs`) is appended per yielded token
+    — the OpenAI `logprobs` surface. Forces the single-step loop (each
+    token needs its own step's logits)."""
     assert input_ids.shape[0] == 1, "streaming path is single-sequence"
-    if grammar is not None:
+    if grammar is not None or lp_sink is not None:
         lookahead = 0
         multi_step = 1
     T = input_ids.shape[1]
@@ -437,19 +469,24 @@ def generate_stream(
         return
 
     gstate = 0
+    logits = last_logits
     for _ in range(sampling.max_new_tokens):
         rng, sub = jax.random.split(rng)
         mask = (None if grammar is None
                 else jnp.asarray(grammar.mask[gstate])[None])
-        if token is None:
-            token = _sample(last_logits, sub, sampling, mask=mask)
-        else:
+        if token is not None:
             logits, cache = decode_step(params, cache, token, cfg,
                                         pallas_cache=pallas_cache)
-            token = _sample(logits, sub, sampling, mask=mask)
+        token = _sample(logits, sub, sampling, mask=mask)
         tok = int(token[0])
         if tok == sampling.eos_token_id:
             return
         if grammar is not None:
             gstate = grammar.advance(gstate, tok)
+        if lp_sink is not None:
+            chosen, ids, lps = jax.device_get(_logprobs_jit(logits, token))
+            lp_sink.append((float(chosen[0]), ids[0], lps[0]))
         yield tok
+
+
+_logprobs_jit = jax.jit(_logprobs)

@@ -191,6 +191,25 @@ def _parse_request(engine, payload: dict, chat: bool):
             grammar = _compile_response_format(engine, rf)
         except ValueError as e:
             return None, str(e)
+    # logprobs: chat = bool `logprobs` + int `top_logprobs`; legacy
+    # completions = int `logprobs` (top-N; the chosen token is always
+    # reported). Capped at generate.LP_TOPK (the OpenAI limit, and the
+    # static top-k the jitted step computes).
+    from .generate import LP_TOPK
+
+    lp_n = None
+    if chat:
+        if payload.get("logprobs"):
+            tl = payload.get("top_logprobs", 0)
+            if not isinstance(tl, int) or not 0 <= tl <= LP_TOPK:
+                return None, f"top_logprobs must be an int in [0, {LP_TOPK}]"
+            lp_n = tl
+    else:
+        lp = payload.get("logprobs")
+        if lp is not None:
+            if not isinstance(lp, int) or not 0 <= lp <= LP_TOPK:
+                return None, f"logprobs must be an int in [0, {LP_TOPK}]"
+            lp_n = lp
     return {
         "prompt": prompt,
         "image": image,
@@ -200,6 +219,7 @@ def _parse_request(engine, payload: dict, chat: bool):
         "temperature": None if temperature is None else float(temperature),
         "top_p": None if top_p is None else float(top_p),
         "grammar": grammar,
+        "logprobs": lp_n,
     }, None
 
 
@@ -235,34 +255,74 @@ def _compile_response_format(engine, rf: dict):
 
 def _run(engine, spec):
     """Start generation; returns (token iterator, prompt token count,
-    effective max_new_tokens)."""
+    effective max_new_tokens, lp_sink | None)."""
     ids = tokenize_with_images(spec["prompt"], engine.tokenizer)
     budget = spec["max_new_tokens"] or engine.sampling.max_new_tokens
+    lp_sink = [] if spec.get("logprobs") is not None else None
     tokens = engine.generate_request(
         spec["prompt"], pil_image=spec["image"],
         max_new_tokens=spec["max_new_tokens"],
         temperature=spec["temperature"], top_p=spec["top_p"],
         adapter=spec["adapter"], grammar=spec.get("grammar"),
+        logprobs=spec.get("logprobs"), lp_sink=lp_sink,
     )
-    return tokens, len(ids), budget
+    return tokens, len(ids), budget, lp_sink
+
+
+def _lp_token_entry(engine, tok: int, logprob: float) -> dict:
+    text = engine.token_text(int(tok))
+    return {"token": text, "logprob": float(logprob),
+            "bytes": list(text.encode("utf-8"))}
+
+
+def _format_logprobs(engine, tokens, entries, n: int, chat: bool,
+                     text_offset0: int = 0):
+    """(token ids, lp_log entries, top-N) → the OpenAI `logprobs` object:
+    chat = {"content": [{token, logprob, bytes, top_logprobs}...]};
+    completions = the legacy parallel-array form."""
+    if chat:
+        content = []
+        for tok, (chosen, ids, lps) in zip(tokens, entries):
+            e = _lp_token_entry(engine, tok, chosen)
+            e["top_logprobs"] = [
+                _lp_token_entry(engine, int(i), float(v))
+                for i, v in zip(ids[:n], lps[:n])
+            ]
+            content.append(e)
+        return {"content": content}
+    toks, tlps, tops, offs = [], [], [], []
+    off = text_offset0
+    for tok, (chosen, ids, lps) in zip(tokens, entries):
+        text = engine.token_text(int(tok))
+        toks.append(text)
+        tlps.append(float(chosen))
+        tops.append({engine.token_text(int(i)): float(v)
+                     for i, v in zip(ids[:n], lps[:n])} if n else None)
+        offs.append(off)
+        off += len(text)
+    return {"tokens": toks, "token_logprobs": tlps,
+            "top_logprobs": tops if n else None, "text_offset": offs}
 
 
 def _completion_events(engine, spec, rid: str, created: int, model: str,
                        chat: bool):
     """Yield SSE event strings for a streaming completion."""
-    tokens, n_prompt, budget = _run(engine, spec)
+    tokens, n_prompt, budget, lp_sink = _run(engine, spec)
     matcher = StopMatcher(spec["stop"])
+    lp_n = spec.get("logprobs")
     n_out = 0
 
     def event(payload: dict) -> str:
         return f"data: {json.dumps(payload)}\n\n"
 
-    def chunk(delta_obj: dict, finish: Optional[str]) -> dict:
+    def chunk(delta_obj: dict, finish: Optional[str], lp=None) -> dict:
         choice = {"index": 0, "finish_reason": finish}
         if chat:
             choice["delta"] = delta_obj
         else:
             choice["text"] = delta_obj.get("content", "")
+        if lp is not None:
+            choice["logprobs"] = lp
         return {
             "id": rid,
             "object": ("chat.completion.chunk" if chat else "text_completion"),
@@ -276,10 +336,22 @@ def _completion_events(engine, spec, rid: str, created: int, model: str,
 
     counted = _CountingIter(tokens)
     stopped = False
+    lp_done = 0  # tokens whose logprob entries have been shipped
+
+    def chunk_lp():
+        """Logprob entries for the tokens consumed since the last chunk."""
+        nonlocal lp_done
+        if lp_sink is None:
+            return None
+        lo, hi = lp_done, counted.count
+        lp_done = hi
+        return _format_logprobs(engine, counted.tokens[lo:hi],
+                                lp_sink[lo:hi], lp_n, chat)
+
     for delta in engine.stream_text(counted):
         emit = matcher.feed(delta)
         if emit:
-            yield event(chunk({"content": emit}, None))
+            yield event(chunk({"content": emit}, None, lp=chunk_lp()))
         if matcher.stopped:
             stopped = True
             counted.close()
@@ -287,7 +359,7 @@ def _completion_events(engine, spec, rid: str, created: int, model: str,
     if not stopped:
         tail = matcher.flush()
         if tail:
-            yield event(chunk({"content": tail}, None))
+            yield event(chunk({"content": tail}, None, lp=chunk_lp()))
     n_out = counted.count
     finish = "stop" if (stopped or n_out < budget) else "length"
     final = chunk({}, finish)
@@ -301,19 +373,23 @@ def _completion_events(engine, spec, rid: str, created: int, model: str,
 
 
 class _CountingIter:
-    """Wrap a token iterator, counting yields and forwarding close() (so a
+    """Wrap a token iterator, recording yields and forwarding close() (so a
     stop-string match cancels the batcher slot like a client disconnect)."""
 
     def __init__(self, it: Iterator[int]):
         self._it = it
-        self.count = 0
+        self.tokens: List[int] = []
+
+    @property
+    def count(self) -> int:
+        return len(self.tokens)
 
     def __iter__(self):
         return self
 
     def __next__(self):
         tok = next(self._it)
-        self.count += 1
+        self.tokens.append(tok)
         return tok
 
     def close(self):
@@ -341,19 +417,32 @@ def _completion(engine, payload: dict, chat: bool):
     created = int(time.time())
     model = payload.get("model") or "vis-zephyr-tpu"
     if payload.get("stream"):
-        return None, _completion_events(engine, spec, rid, created, model, chat)
+        try:
+            events = _completion_events(engine, spec, rid, created, model,
+                                        chat)
+            first = next(events)
+        except ValueError as e:  # engine-level rejection (e.g. speculative)
+            return {"error": {"message": str(e),
+                              "type": "invalid_request_error"}}, None
+        import itertools
 
-    tokens, n_prompt, budget = _run(engine, spec)
+        return None, itertools.chain([first], events)
+
     matcher = StopMatcher(spec["stop"])
-    counted = _CountingIter(tokens)
     parts: List[str] = []
     stopped = False
-    for delta in engine.stream_text(counted):
-        parts.append(matcher.feed(delta))
-        if matcher.stopped:
-            stopped = True
-            counted.close()
-            break
+    try:
+        tokens, n_prompt, budget, lp_sink = _run(engine, spec)
+        counted = _CountingIter(tokens)
+        for delta in engine.stream_text(counted):
+            parts.append(matcher.feed(delta))
+            if matcher.stopped:
+                stopped = True
+                counted.close()
+                break
+    except ValueError as e:  # engine-level rejection (e.g. speculative)
+        return {"error": {"message": str(e),
+                          "type": "invalid_request_error"}}, None
     if not stopped:
         parts.append(matcher.flush())
     text = "".join(parts)
@@ -364,6 +453,9 @@ def _completion(engine, payload: dict, chat: bool):
         choice["message"] = {"role": "assistant", "content": text}
     else:
         choice["text"] = text
+    if lp_sink is not None:
+        choice["logprobs"] = _format_logprobs(
+            engine, counted.tokens, lp_sink, spec["logprobs"], chat)
     return None, {
         "id": rid,
         "object": "chat.completion" if chat else "text_completion",

@@ -97,7 +97,7 @@ from ..ops.paged_attention import (
     quantize_kv,
 )
 from .batching import ContinuousBatcher, _Request
-from .generate import SamplingConfig, _sample
+from .generate import SamplingConfig, _logprobs, _sample
 
 
 class PageAllocator:
@@ -689,13 +689,15 @@ def _kv_update_q_tp(mesh, fused=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "sampling", "mesh", "mode"),
+    jax.jit, static_argnames=("cfg", "sampling", "mesh", "mode",
+                              "want_logprobs"),
     donate_argnums=(1, 2, 3, 5),
 )
 def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
                 cfg: VisZephyrConfig, sampling: SamplingConfig, mesh=None,
                 mode: str = "selfterm", mlora=None, adapter_idx=None,
-                sample_overrides=None, grammar=None):
+                sample_overrides=None, grammar=None,
+                want_logprobs: bool = False):
     """One decode step over all slots against the paged pools.
 
     `scales`: `(None, None)` for bf16 pools, or `(k_scales, v_scales)`
@@ -870,8 +872,9 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
     next_token = _sample(logits[:, 0], key, sampling,
                          overrides=sample_overrides, mask=mask)
     next_token = jnp.where(active, next_token, dec.pad_token_id)
+    lp = _logprobs(logits[:, 0], next_token) if want_logprobs else None
     new_lengths = jnp.where(active, lengths + 1, lengths)
-    return next_token, kp, vp, (ksp, vsp), new_lengths
+    return next_token, kp, vp, (ksp, vsp), new_lengths, lp
 
 
 @functools.partial(
@@ -901,7 +904,7 @@ def _paged_multi_step(params, kp, vp, scales, page_table, lengths, token,
 
     def body(carry, sub):
         kp, vp, scales, lengths, token, alive, left = carry
-        tok, kp, vp, scales, lengths = _paged_step(
+        tok, kp, vp, scales, lengths, _ = _paged_step(
             params, kp, vp, scales, page_table, lengths, token, alive, sub,
             cfg, sampling, mesh=mesh, mode=mode, mlora=mlora,
             adapter_idx=adapter_idx, sample_overrides=sample_overrides,
@@ -1194,6 +1197,7 @@ class PagedBatcher(ContinuousBatcher):
         self.slot_temp = np.full(max_slots, sampling.temperature, np.float32)
         self.slot_topp = np.full(max_slots, sampling.top_p, np.float32)
         self._override_slots = set()
+        self._lp_slots = set()
         from .structured import GrammarSlots
 
         self.grammar_slots = GrammarSlots(max_slots, dec.vocab_size)
@@ -1416,9 +1420,11 @@ class PagedBatcher(ContinuousBatcher):
             return 0
         if self.lookahead > 0:
             return self._step_verify()
-        # Same rule as ContinuousBatcher.step: grammar slots single-step.
+        # Same rule as ContinuousBatcher.step: grammar/logprobs slots
+        # single-step.
         grammar_op = self.grammar_slots.operand()
-        if (self.multi_step > 1 and grammar_op is None
+        want_lp = bool(self._lp_slots)
+        if (self.multi_step > 1 and grammar_op is None and not want_lp
                 and not self._has_admission_work()):
             self.rng, sub = jax.random.split(self.rng)
             (toks, alive, self.kp, self.vp, (self.ksp, self.vsp),
@@ -1434,14 +1440,17 @@ class PagedBatcher(ContinuousBatcher):
             return self._process_burst(np.asarray(jax.device_get(toks)),
                                        np.asarray(jax.device_get(alive)))
         self.rng, sub = jax.random.split(self.rng)
-        self.token, self.kp, self.vp, (self.ksp, self.vsp), self.lengths = _paged_step(
+        (self.token, self.kp, self.vp, (self.ksp, self.vsp), self.lengths,
+         lp) = _paged_step(
             self.params, self.kp, self.vp, (self.ksp, self.vsp),
             self.page_table, self.lengths,
             self.token, jnp.asarray(self.active), sub, self.cfg, self.sampling,
             mesh=self.mesh, mlora=self.mlora, adapter_idx=self._slot_aidx(),
             sample_overrides=self._sample_overrides(), grammar=grammar_op,
+            want_logprobs=want_lp,
         )
         tokens = np.asarray(jax.device_get(self.token))
+        lp_host = jax.device_get(lp) if lp is not None else None
         stepped = 0
         for slot in range(self.max_slots):
             if not self.active[slot]:
@@ -1452,6 +1461,10 @@ class PagedBatcher(ContinuousBatcher):
                 self._finish(slot)
                 continue
             self.grammar_slots.advance(slot, tok)
+            if lp_host is not None and slot in self._lp_slots:
+                self.slot_req[slot].lp_log.append(
+                    (float(lp_host[0][slot]), lp_host[1][slot],
+                     lp_host[2][slot]))
             self._emit(self.slot_req[slot], tok)
             self.budget[slot] -= 1
             if self.budget[slot] <= 0:
