@@ -332,10 +332,11 @@ class TestOpenAIEndpoints:
                   if line.startswith("data: ") and line != "data: [DONE]"]
         assert body.rstrip().endswith("data: [DONE]")
         assert events[0]["choices"][0]["delta"].get("role") == "assistant"
-        assert events[-1]["choices"][0]["finish_reason"] in ("stop", "length")
-        assert "usage" in events[-1]
+        # Per-choice finish chunk, then a bare usage chunk (empty choices).
+        assert events[-2]["choices"][0]["finish_reason"] in ("stop", "length")
+        assert events[-1]["choices"] == [] and "usage" in events[-1]
         text = "".join(e["choices"][0]["delta"].get("content", "")
-                       for e in events)
+                       for e in events if e["choices"])
         assert isinstance(text, str)
 
     def test_completions_endpoint(self, server):
@@ -429,11 +430,55 @@ class TestOpenAIEndpoints:
                   if line.startswith("data: ") and line != "data: [DONE]"]
         entries = []
         for e in events:
+            if not e["choices"]:
+                continue
             lp = e["choices"][0].get("logprobs")
             if lp:
                 entries.extend(lp["content"])
         assert len(entries) == events[-1]["usage"]["completion_tokens"]
         assert all(len(e["top_logprobs"]) == 1 for e in entries)
+
+    def test_n_choices_nonstream(self, server):
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "many answers"}],
+            "max_tokens": 3,
+            "n": 3,
+        })
+        assert status == 200
+        out = json.loads(body)
+        assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+        # Greedy: every choice decodes identically (the OpenAI behavior).
+        texts = {c["message"]["content"] for c in out["choices"]}
+        assert len(texts) == 1
+        assert out["usage"]["completion_tokens"] <= 9
+
+    def test_n_choices_stream_interleaved(self, server):
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "many streams"}],
+            "max_tokens": 3,
+            "n": 2,
+            "stream": True,
+        })
+        assert status == 200
+        events = [json.loads(line[len("data: "):])
+                  for line in body.splitlines()
+                  if line.startswith("data: ") and line != "data: [DONE]"]
+        finishes = {e["choices"][0]["index"]
+                    for e in events
+                    if e["choices"] and e["choices"][0]["finish_reason"]}
+        assert finishes == {0, 1}
+        per_idx = {0: "", 1: ""}
+        for e in events:
+            if e["choices"]:
+                c = e["choices"][0]
+                per_idx[c["index"]] += c["delta"].get("content", "")
+        assert per_idx[0] == per_idx[1]  # greedy → identical
+        assert events[-1]["choices"] == [] and "usage" in events[-1]
+
+    def test_n_out_of_range(self, server):
+        status, _ = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "x"}], "n": 99})
+        assert status == 400
 
     def test_top_logprobs_out_of_range(self, server):
         status, body = _post(server, "/v1/chat/completions", {

@@ -523,5 +523,5 @@ class TestResponseFormatEndpoint:
                   for line in body.splitlines()
                   if line.startswith("data: ") and line != "data: [DONE]"]
         text = "".join(e["choices"][0]["delta"].get("content", "")
-                       for e in events)
+                       for e in events if e["choices"])
         assert len(text) == 3 and text.isdigit()

@@ -381,7 +381,12 @@ class ChatEngine:
         engine defaults; under continuous batching they apply per-slot
         within a shared step (`generate._sample_per_slot`). A speculative
         batcher (lookahead > 0) serves greedy only — overrides are ignored
-        there (see `ContinuousBatcher.submit`)."""
+        there (see `ContinuousBatcher.submit`).
+
+        Submission is EAGER: under continuous batching the request enters
+        the pending queue before this returns (so several calls decode
+        concurrently — the OpenAI `n` parameter); errors (unknown adapter,
+        speculative incompatibilities) raise here, not at first pull."""
         import dataclasses
 
         images = patch_valid = None
@@ -400,15 +405,7 @@ class ChatEngine:
                 grammar=grammar, logprobs=logprobs,
             )
             self._ensure_pump()
-            if logprobs is None or lp_sink is None:
-                yield from self.batcher.stream(handle)
-            else:
-                # lp_log[i] is appended before token i enters the queue, so
-                # indexing by consumption order is race-free.
-                for i, tok in enumerate(self.batcher.stream(handle)):
-                    lp_sink.append(handle.lp_log[i])
-                    yield tok
-            return
+            return self._stream_handle(handle, logprobs, lp_sink)
 
         if adapter is not None and adapter != "base":
             raise ValueError(
@@ -423,6 +420,22 @@ class ChatEngine:
             overrides["top_p"] = top_p
         sampling = (dataclasses.replace(self.sampling, **overrides)
                     if overrides else self.sampling)
+        return self._generate_serialized(
+            ids, images, patch_valid, sampling, grammar,
+            lp_sink if logprobs is not None else None)
+
+    def _stream_handle(self, handle, logprobs, lp_sink) -> Iterator[int]:
+        if logprobs is None or lp_sink is None:
+            yield from self.batcher.stream(handle)
+            return
+        # lp_log[i] is appended before token i enters the queue, so
+        # indexing by consumption order is race-free.
+        for i, tok in enumerate(self.batcher.stream(handle)):
+            lp_sink.append(handle.lp_log[i])
+            yield tok
+
+    def _generate_serialized(self, ids, images, patch_valid, sampling,
+                             grammar, lp_sink) -> Iterator[int]:
         with self._lock:
             yield from generate_stream(
                 self.params,
@@ -437,7 +450,7 @@ class ChatEngine:
                 pallas_cache=self.mesh is None,
                 multi_step=self.multi_step,
                 grammar=grammar,
-                lp_sink=lp_sink if logprobs is not None else None,
+                lp_sink=lp_sink,
             )
 
     def stream_text(self, token_iter: Iterator[int]) -> Iterator[str]:

@@ -304,19 +304,69 @@ def _format_logprobs(engine, tokens, entries, n: int, chat: bool,
             "top_logprobs": tops if n else None, "text_offset": offs}
 
 
+class _ChoiceState:
+    """Per-choice streaming machinery: token recorder, text-delta iterator,
+    stop-string matcher, logprob cursor."""
+
+    def __init__(self, engine, spec, index: int):
+        tokens, self.n_prompt, self.budget, self.lp_sink = _run(engine, spec)
+        self.index = index
+        self.counted = _CountingIter(tokens)
+        self.deltas = engine.stream_text(self.counted)
+        self.matcher = StopMatcher(spec["stop"])
+        self.lp_done = 0
+        self.stopped = False
+        self.done = False
+
+    def next_emit(self) -> Optional[str]:
+        """Advance one text delta; return emitted text ('' possible), or
+        None when this choice just finished (sets `done`)."""
+        try:
+            delta = next(self.deltas)
+        except StopIteration:
+            self.done = True
+            return None
+        emit = self.matcher.feed(delta)
+        if self.matcher.stopped:
+            self.stopped = True
+            self.done = True
+            self.counted.close()
+        return emit
+
+    def tail(self) -> str:
+        return "" if self.stopped else self.matcher.flush()
+
+    def finish_reason(self) -> str:
+        return ("stop" if (self.stopped or self.counted.count < self.budget)
+                else "length")
+
+    def take_lp(self, engine, lp_n, chat):
+        """Logprob entries for tokens consumed since the last take."""
+        if self.lp_sink is None:
+            return None
+        lo, hi = self.lp_done, self.counted.count
+        self.lp_done = hi
+        return _format_logprobs(engine, self.counted.tokens[lo:hi],
+                                self.lp_sink[lo:hi], lp_n, chat)
+
+
 def _completion_events(engine, spec, rid: str, created: int, model: str,
-                       chat: bool):
-    """Yield SSE event strings for a streaming completion."""
-    tokens, n_prompt, budget, lp_sink = _run(engine, spec)
-    matcher = StopMatcher(spec["stop"])
+                       chat: bool, n: int):
+    """Yield SSE event strings for a streaming completion with `n` choices.
+
+    Under continuous batching the choices decode concurrently (submission
+    is eager) and their chunks interleave; on a serialized engine they
+    drain one after another (the engine lock is held for a generation's
+    lifetime, so interleaved pulls from one thread would deadlock) —
+    chunks carry `index`, so both orders are valid SSE."""
     lp_n = spec.get("logprobs")
-    n_out = 0
+    states = [_ChoiceState(engine, spec, i) for i in range(n)]
 
     def event(payload: dict) -> str:
         return f"data: {json.dumps(payload)}\n\n"
 
-    def chunk(delta_obj: dict, finish: Optional[str], lp=None) -> dict:
-        choice = {"index": 0, "finish_reason": finish}
+    def chunk(state, delta_obj: dict, finish: Optional[str], lp=None) -> dict:
+        choice = {"index": state.index, "finish_reason": finish}
         if chat:
             choice["delta"] = delta_obj
         else:
@@ -331,44 +381,48 @@ def _completion_events(engine, spec, rid: str, created: int, model: str,
             "choices": [choice],
         }
 
-    if chat:
-        yield event(chunk({"role": "assistant", "content": ""}, None))
-
-    counted = _CountingIter(tokens)
-    stopped = False
-    lp_done = 0  # tokens whose logprob entries have been shipped
-
-    def chunk_lp():
-        """Logprob entries for the tokens consumed since the last chunk."""
-        nonlocal lp_done
-        if lp_sink is None:
-            return None
-        lo, hi = lp_done, counted.count
-        lp_done = hi
-        return _format_logprobs(engine, counted.tokens[lo:hi],
-                                lp_sink[lo:hi], lp_n, chat)
-
-    for delta in engine.stream_text(counted):
-        emit = matcher.feed(delta)
+    def drain_one(state):
+        """Advance `state` one delta, yielding its chunk(s)."""
+        emit = state.next_emit()
         if emit:
-            yield event(chunk({"content": emit}, None, lp=chunk_lp()))
-        if matcher.stopped:
-            stopped = True
-            counted.close()
-            break
-    if not stopped:
-        tail = matcher.flush()
-        if tail:
-            yield event(chunk({"content": tail}, None, lp=chunk_lp()))
-    n_out = counted.count
-    finish = "stop" if (stopped or n_out < budget) else "length"
-    final = chunk({}, finish)
-    final["usage"] = {
-        "prompt_tokens": n_prompt,
-        "completion_tokens": n_out,
-        "total_tokens": n_prompt + n_out,
+            yield event(chunk(state, {"content": emit}, None,
+                              lp=state.take_lp(engine, lp_n, chat)))
+        if state.done:
+            tail = state.tail()
+            if tail:
+                yield event(chunk(state, {"content": tail}, None,
+                                  lp=state.take_lp(engine, lp_n, chat)))
+            yield event(chunk(state, {}, state.finish_reason()))
+
+    if chat:
+        for state in states:
+            yield event(chunk(state, {"role": "assistant", "content": ""},
+                              None))
+
+    if engine.batcher is not None:
+        while any(not s.done for s in states):
+            for state in states:
+                if not state.done:
+                    yield from drain_one(state)
+    else:
+        for state in states:
+            while not state.done:
+                yield from drain_one(state)
+
+    n_out = sum(s.counted.count for s in states)
+    usage_event = {
+        "id": rid,
+        "object": ("chat.completion.chunk" if chat else "text_completion"),
+        "created": created,
+        "model": model,
+        "choices": [],
+        "usage": {
+            "prompt_tokens": states[0].n_prompt,
+            "completion_tokens": n_out,
+            "total_tokens": states[0].n_prompt + n_out,
+        },
     }
-    yield event(final)
+    yield event(usage_event)
     yield "data: [DONE]\n\n"
 
 
@@ -413,13 +467,17 @@ def _completion(engine, payload: dict, chat: bool):
     spec, err = _parse_request(engine, payload, chat=chat)
     if err:
         return {"error": {"message": err, "type": "invalid_request_error"}}, None
+    n = payload.get("n", 1)
+    if not isinstance(n, int) or not 1 <= n <= 16:
+        return {"error": {"message": "n must be an int in [1, 16]",
+                          "type": "invalid_request_error"}}, None
     rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:20]
     created = int(time.time())
     model = payload.get("model") or "vis-zephyr-tpu"
     if payload.get("stream"):
         try:
             events = _completion_events(engine, spec, rid, created, model,
-                                        chat)
+                                        chat, n)
             first = next(events)
         except ValueError as e:  # engine-level rejection (e.g. speculative)
             return {"error": {"message": str(e),
@@ -428,40 +486,43 @@ def _completion(engine, payload: dict, chat: bool):
 
         return None, itertools.chain([first], events)
 
-    matcher = StopMatcher(spec["stop"])
-    parts: List[str] = []
-    stopped = False
+    # Non-stream: start every choice before draining any — under
+    # continuous batching they decode concurrently in the shared batch; a
+    # serialized engine drains them one at a time (its lock serializes).
+    choices = []
+    n_out = 0
     try:
-        tokens, n_prompt, budget, lp_sink = _run(engine, spec)
-        counted = _CountingIter(tokens)
-        for delta in engine.stream_text(counted):
-            parts.append(matcher.feed(delta))
-            if matcher.stopped:
-                stopped = True
-                counted.close()
-                break
+        states = [_ChoiceState(engine, spec, i) for i in range(n)]
+        for state in states:
+            parts: List[str] = []
+            while not state.done:
+                emit = state.next_emit()
+                if emit:
+                    parts.append(emit)
+            parts.append(state.tail())
+            text = "".join(parts)
+            n_out += state.counted.count
+            choice = {"index": state.index,
+                      "finish_reason": state.finish_reason()}
+            if chat:
+                choice["message"] = {"role": "assistant", "content": text}
+            else:
+                choice["text"] = text
+            if state.lp_sink is not None:
+                choice["logprobs"] = _format_logprobs(
+                    engine, state.counted.tokens, state.lp_sink,
+                    spec["logprobs"], chat)
+            choices.append(choice)
     except ValueError as e:  # engine-level rejection (e.g. speculative)
         return {"error": {"message": str(e),
                           "type": "invalid_request_error"}}, None
-    if not stopped:
-        parts.append(matcher.flush())
-    text = "".join(parts)
-    n_out = counted.count
-    finish = "stop" if (stopped or n_out < budget) else "length"
-    choice = {"index": 0, "finish_reason": finish}
-    if chat:
-        choice["message"] = {"role": "assistant", "content": text}
-    else:
-        choice["text"] = text
-    if lp_sink is not None:
-        choice["logprobs"] = _format_logprobs(
-            engine, counted.tokens, lp_sink, spec["logprobs"], chat)
+    n_prompt = states[0].n_prompt
     return None, {
         "id": rid,
         "object": "chat.completion" if chat else "text_completion",
         "created": created,
         "model": model,
-        "choices": [choice],
+        "choices": choices,
         "usage": {
             "prompt_tokens": n_prompt,
             "completion_tokens": n_out,
