@@ -512,6 +512,132 @@ class TestResponseFormatEndpoint:
         assert status == 400
         assert "json_schema" in json.loads(body)["error"]["message"]
 
+    TOOLS = [
+        {"type": "function", "function": {
+            "name": "get_weather",
+            "description": "Weather for a city",
+            "parameters": {"type": "object",
+                           "properties": {"city": {"enum": ["Paris", "Tokyo"]}}},
+        }},
+        {"type": "function", "function": {
+            "name": "noop",
+            "parameters": {},
+        }},
+    ]
+
+    def test_forced_tool_call(self, server):
+        status, body = self._post(server, {
+            "messages": [{"role": "user", "content": "weather please"}],
+            "tools": self.TOOLS,
+            "tool_choice": "required",
+            "max_tokens": 96,
+        })
+        assert status == 200
+        choice = json.loads(body)["choices"][0]
+        assert choice["finish_reason"] == "tool_calls"
+        msg = choice["message"]
+        assert msg["content"] is None
+        call = msg["tool_calls"][0]
+        assert call["type"] == "function"
+        assert call["id"].startswith("call_")
+        assert call["function"]["name"] in ("get_weather", "noop")
+        args = json.loads(call["function"]["arguments"])
+        if call["function"]["name"] == "get_weather":
+            assert set(args) <= {"city"}
+            if "city" in args:
+                assert args["city"] in ("Paris", "Tokyo")
+        else:
+            assert args == {}
+
+    def test_named_tool_choice(self, server):
+        status, body = self._post(server, {
+            "messages": [{"role": "user", "content": "call noop"}],
+            "tools": self.TOOLS,
+            "tool_choice": {"type": "function", "function": {"name": "noop"}},
+            "max_tokens": 96,
+        })
+        assert status == 200
+        call = json.loads(body)["choices"][0]["message"]["tool_calls"][0]
+        assert call["function"]["name"] == "noop"
+        assert json.loads(call["function"]["arguments"]) == {}
+
+    def test_tool_choice_none_is_plain_chat(self, server):
+        status, body = self._post(server, {
+            "messages": [{"role": "user", "content": "just chat"}],
+            "tools": self.TOOLS,
+            "tool_choice": "none",
+            "max_tokens": 4,
+        })
+        assert status == 200
+        msg = json.loads(body)["choices"][0]["message"]
+        assert "tool_calls" not in msg
+
+    def test_unknown_named_tool_rejected(self, server):
+        status, body = self._post(server, {
+            "messages": [{"role": "user", "content": "x"}],
+            "tools": self.TOOLS,
+            "tool_choice": {"type": "function",
+                            "function": {"name": "missing"}},
+        })
+        assert status == 400
+        assert "unknown function" in json.loads(body)["error"]["message"]
+
+    def test_forced_tool_call_streaming(self, server):
+        status, body = self._post(server, {
+            "messages": [{"role": "user", "content": "stream a call"}],
+            "tools": self.TOOLS,
+            "tool_choice": "required",
+            "stream": True,
+            "max_tokens": 96,
+        })
+        assert status == 200
+        events = [json.loads(line[len("data: "):])
+                  for line in body.splitlines()
+                  if line.startswith("data: ") and line != "data: [DONE]"]
+        call_events = [e for e in events
+                       if e["choices"]
+                       and e["choices"][0]["delta"].get("tool_calls")]
+        assert len(call_events) == 1
+        call = call_events[0]["choices"][0]["delta"]["tool_calls"][0]
+        assert call["index"] == 0 and call["function"]["name"]
+        finishes = [e["choices"][0]["finish_reason"] for e in events
+                    if e["choices"] and e["choices"][0]["finish_reason"]]
+        assert finishes == ["tool_calls"]
+
+    def test_auto_mode_skips_grammar_compile(self, server):
+        """tool_choice auto never compiles the call grammar, so tools whose
+        call JSON the vocabulary can't express still serve plain chat."""
+        status, body = self._post(server, {
+            "messages": [{"role": "user", "content": "maybe call"}],
+            "tools": [{"type": "function", "function": {
+                "name": "needs_unicode",
+                "parameters": {"type": "object", "properties": {
+                    "x": {"enum": ["éé"]}}},  # no é token exists
+            }}],
+            "max_tokens": 4,
+        })
+        assert status == 200
+        assert "content" in json.loads(body)["choices"][0]["message"]
+
+    def test_tool_turns_render(self):
+        from vis_zephyr_tpu.serve.openai_api import render_chat_prompt
+
+        prompt, _ = render_chat_prompt(
+            [
+                {"role": "user", "content": "weather?"},
+                {"role": "assistant", "content": None, "tool_calls": [
+                    {"id": "call_1", "type": "function", "function": {
+                        "name": "get_weather",
+                        "arguments": '{"city": "Paris"}'}}]},
+                {"role": "tool", "name": "get_weather",
+                 "tool_call_id": "call_1", "content": "sunny, 21C"},
+            ],
+            "zephyr_v1", tools=self.TOOLS,
+        )
+        assert '{"name": "get_weather", "arguments": {"city": "Paris"}}' in prompt
+        assert "[tool result get_weather] sunny, 21C" in prompt
+        assert "You can call these functions" in prompt
+
     def test_streaming_with_grammar(self, server):
         status, body = self._post(server, {
             "messages": [{"role": "user", "content": "pick"}],

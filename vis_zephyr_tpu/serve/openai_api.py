@@ -95,7 +95,8 @@ def _decode_data_url(url: str):
         raise ValueError(f"failed to decode image data URL: {e}") from e
 
 
-def render_chat_prompt(messages: List[dict], conv_mode: str) -> Tuple[str, object]:
+def render_chat_prompt(messages: List[dict], conv_mode: str,
+                       tools: Optional[List[dict]] = None) -> Tuple[str, object]:
     """OpenAI `messages` → (rendered Zephyr prompt, PIL image | None).
 
     `system` messages replace the template's system prompt; `user` /
@@ -104,6 +105,12 @@ def render_chat_prompt(messages: List[dict], conv_mode: str) -> Tuple[str, objec
     a data URL). One image per request (the serving engines cache a single
     image tensor per sequence); the turn that carries it is prefixed with
     the ``<image>`` sentinel exactly like `ChatEngine.chat`.
+
+    Tool-calling turns render into the two template roles: an assistant
+    message with `tool_calls` renders as the call JSON the model would
+    have emitted; a `tool` result message renders as a user turn carrying
+    the result. `tools` appends a function directory + call format to the
+    system prompt (the model-side contract `_tools_grammar` enforces).
     """
     conv = templates[conv_mode].copy()
     image = None
@@ -129,15 +136,38 @@ def render_chat_prompt(messages: List[dict], conv_mode: str) -> Tuple[str, objec
                     raise ValueError(f"unsupported content part type {ptype!r}")
             text = "\n".join(t for t in text_parts if t)
         else:
-            text = str(content)
+            text = "" if content is None else str(content)
         if role == "system":
             conv.system = text
         elif role == "user":
             conv.append_message(conv.roles[0], text)
         elif role == "assistant":
+            calls = msg.get("tool_calls")
+            if calls:
+                rendered = "\n".join(
+                    json.dumps({"name": c["function"]["name"],
+                                "arguments": json.loads(
+                                    c["function"].get("arguments") or "{}")})
+                    for c in calls)
+                text = f"{text}\n{rendered}".strip() if text else rendered
             conv.append_message(conv.roles[1], text)
+        elif role == "tool":
+            name = msg.get("name", "")
+            conv.append_message(
+                conv.roles[0], f"[tool result{' ' + name if name else ''}] {text}")
         else:
             raise ValueError(f"unsupported message role {role!r}")
+    if tools:
+        directory = "\n".join(
+            json.dumps({"name": f["name"],
+                        "description": f.get("description", ""),
+                        "parameters": f.get("parameters", {})})
+            for f in (t.get("function", t) for t in tools))
+        conv.system = (
+            (conv.system + "\n\n" if conv.system else "")
+            + "You can call these functions. To call one, reply with ONLY a "
+              'JSON object {"name": <function name>, "arguments": '
+              "<arguments object>}:\n" + directory)
     conv.append_message(conv.roles[1], None)  # assistant's turn
     return conv.get_prompt(), image
 
@@ -159,12 +189,17 @@ def _parse_request(engine, payload: dict, chat: bool):
     adapter, err = _resolve_adapter(engine, payload.get("model"))
     if err:
         return None, err
+    tools = payload.get("tools") if chat else None
+    tool_choice = payload.get("tool_choice", "auto" if tools else "none")
+    if tool_choice == "none":
+        tools = None
     try:
         if chat:
             messages = payload.get("messages")
             if not isinstance(messages, list) or not messages:
                 return None, "messages must be a non-empty list"
-            prompt, image = render_chat_prompt(messages, engine.conv_mode)
+            prompt, image = render_chat_prompt(messages, engine.conv_mode,
+                                               tools=tools)
         else:
             prompt = payload.get("prompt")
             if not isinstance(prompt, str) or not prompt:
@@ -189,6 +224,32 @@ def _parse_request(engine, payload: dict, chat: bool):
     if rf:
         try:
             grammar = _compile_response_format(engine, rf)
+        except ValueError as e:
+            return None, str(e)
+    # Tool calling (chat only): "required" / a named function constrain
+    # decoding to the call grammar; "auto" decodes free-form and detects a
+    # call in the reply (free-form-or-call is not a regular language, so
+    # "auto" cannot be mask-enforced).
+    tool_mode = None
+    tool_names: List[str] = []
+    if tools:
+        try:
+            forced = (tool_choice == "required"
+                      or isinstance(tool_choice, dict))
+            if forced:
+                if grammar is not None:
+                    return None, ("response_format cannot be combined with "
+                                  "a forced tool_choice")
+                # Only forced mode compiles (and so requires a decodable)
+                # call grammar; auto detects calls by parse.
+                grammar, tool_names = _tools_grammar(engine, tools,
+                                                     tool_choice)
+            else:
+                tool_names = [t.get("function", t).get("name") or ""
+                              for t in tools]
+                if not all(tool_names):
+                    return None, "tool missing function.name"
+            tool_mode = "forced" if forced else "auto"
         except ValueError as e:
             return None, str(e)
     # logprobs: chat = bool `logprobs` + int `top_logprobs`; legacy
@@ -220,7 +281,61 @@ def _parse_request(engine, payload: dict, chat: bool):
         "top_p": None if top_p is None else float(top_p),
         "grammar": grammar,
         "logprobs": lp_n,
+        "tool_mode": tool_mode,
+        "tool_names": tool_names,
     }, None
+
+
+def _tools_grammar(engine, tools: List[dict], tool_choice):
+    """tools + tool_choice → (TokenGrammar over the call JSON, legal
+    function names). A call is `{"name": "<fn>", "arguments": {...}}` with
+    arguments constrained by the tool's `parameters` JSON schema."""
+    from .structured import _regex_escape, schema_to_regex
+
+    chosen = None
+    if isinstance(tool_choice, dict):
+        chosen = (tool_choice.get("function") or {}).get("name")
+        if not chosen:
+            raise ValueError("tool_choice.function.name missing")
+    alts, names = [], []
+    for t in tools:
+        fn = t.get("function", t)
+        name = fn.get("name")
+        if not name:
+            raise ValueError("tool missing function.name")
+        names.append(name)
+        if chosen is not None and name != chosen:
+            continue
+        params = fn.get("parameters")
+        if params and params.get("properties"):
+            args_re = schema_to_regex(params)
+        else:
+            args_re = "\\{\\}"  # no parameters → empty arguments object
+        alts.append(f'\\{{"name": "{_regex_escape(name)}", '
+                    f'"arguments": {args_re}\\}}')
+    if not alts:
+        raise ValueError(f"tool_choice names unknown function {chosen!r}; "
+                         f"available: {names}")
+    return engine.compile_grammar("(" + "|".join(alts) + ")"), names
+
+
+def _detect_tool_calls(text: str, tool_names: List[str]):
+    """Reply text → OpenAI `tool_calls` list, or None if the reply is not
+    a function call. Forced mode guarantees a match (the grammar only
+    admits call JSON); auto mode detects by parse."""
+    try:
+        obj = json.loads(text)
+    except (ValueError, TypeError):
+        return None
+    if (not isinstance(obj, dict) or "name" not in obj
+            or "arguments" not in obj or obj["name"] not in tool_names):
+        return None
+    return [{
+        "id": "call_" + uuid.uuid4().hex[:24],
+        "type": "function",
+        "function": {"name": obj["name"],
+                     "arguments": json.dumps(obj["arguments"])},
+    }]
 
 
 def _compile_response_format(engine, rf: dict):
@@ -399,6 +514,33 @@ def _completion_events(engine, spec, rid: str, created: int, model: str,
             yield event(chunk(state, {"role": "assistant", "content": ""},
                               None))
 
+    if chat and spec.get("tool_mode") == "forced":
+        # Forced tool calls stream as ONE tool_calls delta per choice: the
+        # grammar admits only call JSON, which is short and only meaningful
+        # whole — buffering it beats drip-feeding fragments of a JSON blob.
+        n_out = 0
+        for state in states:
+            parts = []
+            while not state.done:
+                emit = state.next_emit()
+                if emit:
+                    parts.append(emit)
+            parts.append(state.tail())
+            calls = _detect_tool_calls("".join(parts), spec["tool_names"])
+            n_out += state.counted.count
+            delta_calls = [dict(c, index=i) for i, c in enumerate(calls or [])]
+            yield event(chunk(state, {"tool_calls": delta_calls}, None))
+            yield event(chunk(state, {}, "tool_calls"))
+        yield event({
+            "id": rid, "object": "chat.completion.chunk", "created": created,
+            "model": model, "choices": [],
+            "usage": {"prompt_tokens": states[0].n_prompt,
+                      "completion_tokens": n_out,
+                      "total_tokens": states[0].n_prompt + n_out},
+        })
+        yield "data: [DONE]\n\n"
+        return
+
     if engine.batcher is not None:
         while any(not s.done for s in states):
             for state in states:
@@ -505,7 +647,14 @@ def _completion(engine, payload: dict, chat: bool):
             choice = {"index": state.index,
                       "finish_reason": state.finish_reason()}
             if chat:
-                choice["message"] = {"role": "assistant", "content": text}
+                calls = (_detect_tool_calls(text, spec["tool_names"])
+                         if spec.get("tool_mode") else None)
+                if calls:
+                    choice["message"] = {"role": "assistant", "content": None,
+                                         "tool_calls": calls}
+                    choice["finish_reason"] = "tool_calls"
+                else:
+                    choice["message"] = {"role": "assistant", "content": text}
             else:
                 choice["text"] = text
             if state.lp_sink is not None:

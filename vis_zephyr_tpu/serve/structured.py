@@ -471,7 +471,13 @@ class TokenGrammar:
 # JSON schema → regex
 # ---------------------------------------------------------------------------
 
-_WS = "[ \\n\\t]*"
+# One OPTIONAL whitespace char between JSON punctuation, not a Kleene
+# star: this grammar shapes what the model may EMIT, and an unbounded
+# whitespace loop is a live trap — a greedy step whose argmax lands on
+# the space token inside `[ \n\t]*` can repeat it to the token budget
+# without ever violating the grammar. Bounding costs no JSON conformance
+# (json.dumps spacing fits) and removes the loop.
+_WS = "[ \\n\\t]?"
 _STRING = '"([^"\\\\\\x00-\\x1f]|\\\\["\\\\/bfnrt]|\\\\u[0-9a-fA-F]{4})*"'
 _INTEGER = "-?(0|[1-9][0-9]*)"
 _NUMBER = "-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?"
