@@ -207,6 +207,55 @@ class TestPerSlotSampling:
         assert n_b == 6  # sampled request ran to budget (eos disabled)
 
 
+class TestStreamText:
+    """Incremental detokenization must reproduce the full-decode text."""
+
+    def _collect(self, engine_like, toks):
+        from vis_zephyr_tpu.serve.engine import ChatEngine
+
+        return "".join(ChatEngine.stream_text(engine_like, iter(toks)))
+
+    class _EngineLike:
+        def __init__(self, tokenizer):
+            self.tokenizer = tokenizer
+
+    def test_word_tokenizer_equivalence(self, tokenizer):
+        ids = [tokenizer._word_id(w) for w in "alpha beta gamma delta".split()]
+        shim = self._EngineLike(tokenizer)
+        got = self._collect(shim, ids)
+        assert got == tokenizer.decode(ids, skip_special_tokens=True)
+
+    def test_sentencepiece_boundary_convention(self):
+        """A ▁-style tokenizer renders a leading space only mid-sequence;
+        the sliding window must keep enough context to see the boundary."""
+
+        class SPTok:
+            pieces = ["<pad>", "▁hello", "▁big", "▁world", "s", "▁again"]
+
+            def decode(self, ids, skip_special_tokens=False):
+                text = "".join(self.pieces[i] for i in ids
+                               if not (skip_special_tokens and i == 0))
+                return text.replace("▁", " ").lstrip(" ")
+
+        tok = SPTok()
+        ids = [1, 2, 3, 4, 5] * 4  # long enough to slide the window
+        got = self._collect(self._EngineLike(tok), ids)
+        assert got == tok.decode(ids, skip_special_tokens=True)
+
+    def test_split_utf8_held_until_complete(self):
+        class ByteTok:
+            # token i is one raw byte of "é" (2-byte UTF-8) or an ASCII char
+            table = {0: b"a", 1: b"\xc3", 2: b"\xa9", 3: b"b"}
+
+            def decode(self, ids, skip_special_tokens=False):
+                return b"".join(self.table[i] for i in ids).decode(
+                    "utf-8", errors="replace")
+
+        tok = ByteTok()
+        got = self._collect(self._EngineLike(tok), [0, 1, 2, 3])
+        assert got == "aéb"  # no replacement chars leaked mid-stream
+
+
 class TestLogprobs:
     def test_logprobs_matches_log_softmax(self):
         from vis_zephyr_tpu.serve.generate import LP_TOPK, _logprobs
@@ -298,6 +347,74 @@ class TestLogprobs:
                               lookahead=2)
         with pytest.raises(ValueError, match="logprobs"):
             b.submit(np.asarray([1, 17], np.int64), logprobs=1)
+
+
+class TestPenalties:
+    def test_apply_penalties_math(self):
+        from vis_zephyr_tpu.serve.generate import (_apply_penalties,
+                                                   _count_token)
+
+        logits = jnp.zeros((2, 6))
+        counts = jnp.asarray([[2.0, 0, 1, 0, 0, 0], [0, 0, 0, 0, 0, 3.0]])
+        freq = jnp.asarray([0.5, 0.0])
+        pres = jnp.asarray([1.0, 2.0])
+        out = np.asarray(_apply_penalties(logits, counts, freq, pres))
+        np.testing.assert_allclose(out[0], [-2.0, 0, -1.5, 0, 0, 0])
+        np.testing.assert_allclose(out[1], [0, 0, 0, 0, 0, -2.0])
+        counts2 = _count_token(counts, jnp.asarray([2, 5]),
+                               jnp.asarray([True, False]))
+        assert counts2[0, 2] == 2.0 and counts2[1, 5] == 3.0  # inactive frozen
+
+    def test_presence_penalty_prevents_repeats(self, tokenizer):
+        """A small random model cycles under greedy decode; a presence
+        penalty far above any logit gap forbids every re-emission, while a
+        penalty-free batchmate stays token-identical to a reference run."""
+        from vis_zephyr_tpu.serve.batching import ContinuousBatcher
+        from vis_zephyr_tpu.serve.generate import SamplingConfig
+
+        cfg = tiny_config(vocab_size=512)
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        sampling = SamplingConfig(max_new_tokens=24, temperature=0.0,
+                                  eos_token_id=-1)
+        ids = np.asarray([1, 17, 23, 42], np.int64)
+
+        ref = ContinuousBatcher(params, cfg, max_slots=2, cache_len=256,
+                                sampling=sampling)
+        r = ref.submit(ids)
+        ref.run_until_drained()
+        expected = _drain_tokens(r)
+        assert len(set(expected)) < len(expected)  # baseline DOES repeat
+
+        b = ContinuousBatcher(params, cfg, max_slots=2, cache_len=256,
+                              sampling=sampling)
+        pen = b.submit(ids, presence_penalty=100.0)
+        free = b.submit(ids)
+        b.run_until_drained()
+        pen_toks = _drain_tokens(pen)
+        assert len(pen_toks) == len(set(pen_toks)) == 24  # no repeats
+        assert _drain_tokens(free) == expected
+
+    def test_serialized_penalty(self, tokenizer):
+        from vis_zephyr_tpu.serve.generate import (SamplingConfig,
+                                                   generate_stream)
+
+        cfg = tiny_config(vocab_size=512)
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        sampling = SamplingConfig(max_new_tokens=16, temperature=0.0,
+                                  eos_token_id=-1)
+        toks = list(generate_stream(
+            params, jnp.asarray([[1, 17, 23]]), None, None, cfg, sampling,
+            penalties=(0.0, 100.0)))
+        assert len(toks) == len(set(toks)) == 16
+
+
+def _drain_tokens(req):
+    out = []
+    while not req.out.empty():
+        t = req.out.get()
+        if t is not None:
+            out.append(t)
+    return out
 
 
 class TestOpenAIEndpoints:
@@ -474,6 +591,21 @@ class TestOpenAIEndpoints:
                 per_idx[c["index"]] += c["delta"].get("content", "")
         assert per_idx[0] == per_idx[1]  # greedy → identical
         assert events[-1]["choices"] == [] and "usage" in events[-1]
+
+    def test_penalty_accepted_and_validated(self, server):
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "no repeats"}],
+            "max_tokens": 4,
+            "frequency_penalty": 0.5,
+            "presence_penalty": 1.5,
+        })
+        assert status == 200
+        assert json.loads(body)["usage"]["completion_tokens"] <= 4
+        status, _ = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "x"}],
+            "presence_penalty": 3.0,
+        })
+        assert status == 400
 
     def test_n_out_of_range(self, server):
         status, _ = _post(server, "/v1/chat/completions", {

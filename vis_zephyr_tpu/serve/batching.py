@@ -37,8 +37,8 @@ import jax.numpy as jnp
 from ..config import VisZephyrConfig
 from ..models.mistral import embed, init_cache, mistral_forward
 from ..models.vis_zephyr import vis_zephyr_forward
-from .generate import (SamplingConfig, _logprobs, _logprobs_host,
-                       _sample)
+from .generate import (SamplingConfig, _apply_penalties, _count_token,
+                       _logprobs, _logprobs_host, _sample)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_flash", "attn_mesh"))
@@ -145,7 +145,7 @@ def _verify_step(params, cache, toks, valid, cfg: VisZephyrConfig,
 def _batch_step(params, cache, token, active, key, cfg: VisZephyrConfig,
                 sampling: SamplingConfig, pallas_cache: bool = True,
                 mlora=None, adapter_idx=None, sample_overrides=None,
-                grammar=None, want_logprobs: bool = False):
+                grammar=None, want_logprobs: bool = False, penalties=None):
     """One decode step over all slots; inactive slots are frozen.
     `sample_overrides`: optional (temps [B], top_ps [B]) per-slot sampling
     parameters (per-request temperature/top_p, see `generate._sample`).
@@ -156,7 +156,11 @@ def _batch_step(params, cache, token, active, key, cfg: VisZephyrConfig,
     `want_logprobs` (static): additionally return
     (chosen_lp [B], top_ids [B, LP_TOPK], top_lps [B, LP_TOPK]) from the
     raw model distribution (`generate._logprobs`) — None when off, so
-    logprob-free batches pay nothing."""
+    logprob-free batches pay nothing.
+    `penalties`: optional (freq [B], pres [B], counts [B, V]) — OpenAI
+    frequency/presence penalties over emitted tokens; the updated counts
+    come back as the 4th return (None when off). Logprobs stay RAW
+    (pre-penalty), the documented convention."""
     old_lengths = cache["length"]
     embeds = embed(params["decoder"], token[:, None])
     logits, new_cache = mistral_forward(
@@ -165,12 +169,18 @@ def _batch_step(params, cache, token, active, key, cfg: VisZephyrConfig,
         pallas_cache_update=pallas_cache, mlora=mlora, adapter_idx=adapter_idx,
     )
     mask = None if grammar is None else grammar[0][grammar[1]]
-    next_token = _sample(logits[:, 0], key, sampling,
+    sample_logits = logits[:, 0]
+    if penalties is not None:
+        sample_logits = _apply_penalties(sample_logits, penalties[2],
+                                         penalties[0], penalties[1])
+    next_token = _sample(sample_logits, key, sampling,
                          overrides=sample_overrides, mask=mask)
     next_token = jnp.where(active, next_token, cfg.decoder.pad_token_id)
     lp = _logprobs(logits[:, 0], next_token) if want_logprobs else None
+    counts = (None if penalties is None
+              else _count_token(penalties[2], next_token, active))
     new_cache["length"] = jnp.where(active, new_cache["length"], old_lengths)
-    return next_token, new_cache, lp
+    return next_token, new_cache, lp, counts
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "sampling", "n",
@@ -201,10 +211,10 @@ def _batch_multi_step(params, cache, token, active, steps_left, key,
 
     def body(carry, sub):
         cache, token, alive, left = carry
-        tok, cache, _ = _batch_step(params, cache, token, alive, sub, cfg,
-                                    sampling, pallas_cache=pallas_cache,
-                                    mlora=mlora, adapter_idx=adapter_idx,
-                                    sample_overrides=sample_overrides)
+        tok, cache, _, _ = _batch_step(params, cache, token, alive, sub, cfg,
+                                       sampling, pallas_cache=pallas_cache,
+                                       mlora=mlora, adapter_idx=adapter_idx,
+                                       sample_overrides=sample_overrides)
         entry_alive = alive
         left = left - 1
         alive = alive & (tok != eos) & (left > 0)
@@ -215,6 +225,14 @@ def _batch_multi_step(params, cache, token, active, steps_left, key,
         body, (cache, token, active, steps_left), keys
     )
     return toks, alive, cache, token
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _reset_count_row(counts, slot, tok):
+    """Fresh activation in `slot`: zero its emitted-token counts and record
+    the prefill-sampled first token."""
+    counts = counts.at[slot].set(0.0)
+    return counts.at[slot, tok].add(1.0)
 
 
 @dataclasses.dataclass
@@ -228,6 +246,9 @@ class _Request:
     # Per-request sampling overrides (None = the batcher's SamplingConfig).
     temperature: Optional[float] = None
     top_p: Optional[float] = None
+    # OpenAI frequency/presence penalties over emitted tokens (0 = off).
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
     # Structured output: a serve.structured.TokenGrammar constraining this
     # request's tokens (None = free-form).
     grammar: object = None
@@ -340,6 +361,15 @@ class ContinuousBatcher:
         # Slots whose request wants OpenAI logprobs: while empty, steps run
         # with want_logprobs=False and pay nothing.
         self._lp_slots: set = set()
+        # Frequency/presence penalties: per-slot coefficients + a lazily
+        # allocated [B, V] emitted-token count table on device. While no
+        # slot is penalized, steps receive penalties=None and pay nothing;
+        # rows reset at activation, so stale counts from off periods never
+        # leak into a penalized request.
+        self.slot_freq = np.zeros(max_slots, np.float32)
+        self.slot_pres = np.zeros(max_slots, np.float32)
+        self._penalty_slots: set = set()
+        self.counts = None
         # Structured output (grammar-constrained slots): combined device
         # mask table + per-slot DFA states (serve/structured.py).
         from .structured import GrammarSlots
@@ -368,6 +398,8 @@ class ContinuousBatcher:
         top_p: Optional[float] = None,
         grammar=None,
         logprobs: Optional[int] = None,
+        frequency_penalty: float = 0.0,
+        presence_penalty: float = 0.0,
     ) -> _Request:
         """Queue a request. Returns a handle whose `.out` queue yields token
         ids and a final `None` sentinel. `adapter`: multi-LoRA adapter NAME
@@ -393,6 +425,10 @@ class ContinuousBatcher:
                 "logprobs are incompatible with speculative decoding "
                 "(--lookahead); serve logprobs from a non-speculative "
                 "engine")
+        if (frequency_penalty or presence_penalty) and self.lookahead > 0:
+            raise ValueError(
+                "frequency/presence penalties are incompatible with "
+                "speculative decoding (--lookahead)")
         if self.lookahead > 0:
             temperature = top_p = None
         aidx = 0
@@ -416,6 +452,8 @@ class ContinuousBatcher:
             top_p=top_p,
             grammar=grammar,
             logprobs=logprobs,
+            frequency_penalty=float(frequency_penalty or 0.0),
+            presence_penalty=float(presence_penalty or 0.0),
         )
         req.submitted_at = time.perf_counter()
         self.pending.put(req)
@@ -507,6 +545,14 @@ class ContinuousBatcher:
             return None
         return (jnp.asarray(self.slot_temp), jnp.asarray(self.slot_topp))
 
+    def _penalty_operand(self):
+        """(freq [B], pres [B], counts [B, V]) for the jitted steps, or
+        None while no active request is penalized (zero hot-path cost)."""
+        if not self._penalty_slots:
+            return None
+        return (jnp.asarray(self.slot_freq), jnp.asarray(self.slot_pres),
+                self.counts)
+
     def _set_slot_sampling(self, req: _Request, slot: int) -> None:
         self.slot_temp[slot] = (self.sampling.temperature
                                 if req.temperature is None else req.temperature)
@@ -523,6 +569,16 @@ class ContinuousBatcher:
         self.grammar_slots.attach(slot, req.grammar)
         if req.logprobs is not None:
             self._lp_slots.add(slot)
+        self.slot_freq[slot] = req.frequency_penalty
+        self.slot_pres[slot] = req.presence_penalty
+        if req.frequency_penalty or req.presence_penalty:
+            self._penalty_slots.add(slot)
+            if self.counts is None:
+                self.counts = jnp.zeros(
+                    (self.max_slots, self.cfg.decoder.vocab_size),
+                    jnp.float32)
+        else:
+            self._penalty_slots.discard(slot)
         self.rng, sub = jax.random.split(self.rng)
         ov = None
         if req.temperature is not None or req.top_p is not None:
@@ -546,6 +602,9 @@ class ContinuousBatcher:
         self.slot_hist[slot] = [int(t) for t in req.input_ids if t >= 0] + [tok]
         if self.draft is not None:
             self.draft.admit(slot, self.slot_hist[slot])
+        if self.counts is not None:
+            self.counts = _reset_count_row(self.counts, jnp.asarray(slot),
+                                           jnp.asarray(tok))
         self.token = self.token.at[slot].set(tok)
         if tok == self.sampling.eos_token_id:
             self._finish(slot)
@@ -667,6 +726,9 @@ class ContinuousBatcher:
         self.slot_topp[slot] = self.sampling.top_p
         self._override_slots.discard(slot)
         self._lp_slots.discard(slot)
+        self.slot_freq[slot] = 0.0
+        self.slot_pres[slot] = 0.0
+        self._penalty_slots.discard(slot)
         self.grammar_slots.release(slot)
         req = self.slot_req[slot]
         if req is not None:
@@ -843,8 +905,9 @@ class ContinuousBatcher:
         # speculative engines).
         grammar_op = self.grammar_slots.operand()
         want_lp = bool(self._lp_slots)
+        pen = self._penalty_operand()
         if (self.multi_step > 1 and grammar_op is None and not want_lp
-                and not self._has_admission_work()):
+                and pen is None and not self._has_admission_work()):
             self.rng, sub = jax.random.split(self.rng)
             toks, alive, self.cache, self.token = _batch_multi_step(
                 self.params, self.cache, self.token,
@@ -858,13 +921,15 @@ class ContinuousBatcher:
             return self._process_burst(np.asarray(jax.device_get(toks)),
                                        np.asarray(jax.device_get(alive)))
         self.rng, sub = jax.random.split(self.rng)
-        self.token, self.cache, lp = _batch_step(
+        self.token, self.cache, lp, counts = _batch_step(
             self.params, self.cache, self.token, jnp.asarray(self.active), sub,
             self.cfg, self.sampling, pallas_cache=self.mesh is None,
             mlora=self.mlora, adapter_idx=self._slot_aidx(),
             sample_overrides=self._sample_overrides(), grammar=grammar_op,
-            want_logprobs=want_lp,
+            want_logprobs=want_lp, penalties=pen,
         )
+        if counts is not None:
+            self.counts = counts
         tokens = np.asarray(jax.device_get(self.token))
         lp_host = jax.device_get(lp) if lp is not None else None
         stepped = 0

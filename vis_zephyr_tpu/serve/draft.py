@@ -62,13 +62,13 @@ def _draft_propose_steps(params, cache, token, active, cfg: VisZephyrConfig,
 
     def step(carry, _):
         cache, token = carry
-        tok, cache, _ = _batch_step(params, cache, token, active, key,
-                                    cfg, sampling)
+        tok, cache, _, _ = _batch_step(params, cache, token, active, key,
+                                       cfg, sampling)
         return (cache, tok), tok
 
     (cache, token), toks = jax.lax.scan(step, (cache, token), None, length=n)
-    _, cache, _ = _batch_step(params, cache, token, active, key, cfg,
-                             sampling)
+    _, cache, _, _ = _batch_step(params, cache, token, active, key, cfg,
+                                sampling)
     return toks, cache
 
 

@@ -370,6 +370,8 @@ class ChatEngine:
         grammar=None,
         logprobs: Optional[int] = None,
         lp_sink: Optional[list] = None,
+        frequency_penalty: float = 0.0,
+        presence_penalty: float = 0.0,
     ) -> Iterator[int]:
         """Session-free generation from a fully-rendered prompt: yields raw
         token ids until EOS/budget. Drives /v1/chat/completions and
@@ -403,6 +405,8 @@ class ChatEngine:
                 max_new_tokens=max_new_tokens,
                 adapter=adapter, temperature=temperature, top_p=top_p,
                 grammar=grammar, logprobs=logprobs,
+                frequency_penalty=frequency_penalty,
+                presence_penalty=presence_penalty,
             )
             self._ensure_pump()
             return self._stream_handle(handle, logprobs, lp_sink)
@@ -422,7 +426,9 @@ class ChatEngine:
                     if overrides else self.sampling)
         return self._generate_serialized(
             ids, images, patch_valid, sampling, grammar,
-            lp_sink if logprobs is not None else None)
+            lp_sink if logprobs is not None else None,
+            (frequency_penalty, presence_penalty)
+            if (frequency_penalty or presence_penalty) else None)
 
     def _stream_handle(self, handle, logprobs, lp_sink) -> Iterator[int]:
         if logprobs is None or lp_sink is None:
@@ -435,7 +441,8 @@ class ChatEngine:
             yield tok
 
     def _generate_serialized(self, ids, images, patch_valid, sampling,
-                             grammar, lp_sink) -> Iterator[int]:
+                             grammar, lp_sink,
+                             penalties=None) -> Iterator[int]:
         with self._lock:
             yield from generate_stream(
                 self.params,
@@ -451,18 +458,41 @@ class ChatEngine:
                 multi_step=self.multi_step,
                 grammar=grammar,
                 lp_sink=lp_sink,
+                penalties=penalties,
             )
 
     def stream_text(self, token_iter: Iterator[int]) -> Iterator[str]:
-        """Detokenize a token stream into stable text deltas (the last
-        token of a partial decode may merge with its successor, so only the
-        unchanged prefix is emitted)."""
+        """Detokenize a token stream into stable text deltas.
+
+        Incremental (the vLLM detokenizer structure): only a small sliding
+        window of tokens is ever re-decoded — `prefix..read` is the
+        already-emitted context (kept so sentencepiece renders the piece
+        boundary, e.g. the leading-space convention, exactly as a full
+        decode would) and `read..end` is the pending tail. The tail is held
+        back while the decoder reports an incomplete sequence (text ending
+        in U+FFFD, e.g. a split UTF-8 codepoint from byte-fallback tokens);
+        once it renders cleanly its delta is emitted and the window slides.
+        Work per token is O(window), not O(tokens so far)."""
         produced: list[int] = []
-        emitted = ""
+        prefix = 0  # window start: context tokens already fully emitted
+        read = 0    # tokens emitted as text (prefix..read renders context)
         for tok in token_iter:
             produced.append(tok)
-            text = self.tokenizer.decode(produced, skip_special_tokens=True)
-            delta = text[len(emitted):]
-            if delta:
-                emitted = text
-                yield delta
+            ctx = self.tokenizer.decode(produced[prefix:read],
+                                        skip_special_tokens=True)
+            full = self.tokenizer.decode(produced[prefix:],
+                                         skip_special_tokens=True)
+            if len(full) <= len(ctx) or full.endswith("�"):
+                continue  # tail incomplete (mid-codepoint or merged piece)
+            yield full[len(ctx):]
+            prefix = max(read, len(produced) - 8)
+            read = len(produced)
+        # Stream over: flush any tail still held back (it will never
+        # complete; render what the decoder makes of it).
+        if read < len(produced):
+            ctx = self.tokenizer.decode(produced[prefix:read],
+                                        skip_special_tokens=True)
+            full = self.tokenizer.decode(produced[prefix:],
+                                         skip_special_tokens=True)
+            if len(full) > len(ctx):
+                yield full[len(ctx):]

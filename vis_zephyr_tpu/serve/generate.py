@@ -99,6 +99,25 @@ def _sample_per_slot(logits: jnp.ndarray, key, temps: jnp.ndarray,
 LP_TOPK = 20
 
 
+def _apply_penalties(logits: jnp.ndarray, counts: jnp.ndarray,
+                     freq: jnp.ndarray, pres: jnp.ndarray) -> jnp.ndarray:
+    """OpenAI frequency/presence penalties over OUTPUT tokens (the vLLM
+    convention): logits [B, V], counts [B, V] (per-slot emitted-token
+    counts), freq/pres [B] → penalized logits. Rows with zero coefficients
+    pass through unchanged."""
+    return (logits - freq[:, None] * counts
+            - pres[:, None] * (counts > 0).astype(logits.dtype))
+
+
+def _count_token(counts: jnp.ndarray, token: jnp.ndarray,
+                 active: jnp.ndarray) -> jnp.ndarray:
+    """Record this step's sampled token per active slot: counts [B, V],
+    token [B], active [B] bool."""
+    B = counts.shape[0]
+    return counts.at[jnp.arange(B), token].add(
+        active.astype(counts.dtype))
+
+
 def _logprobs(logits: jnp.ndarray, token: jnp.ndarray):
     """Per-token logprob data from the RAW model distribution (f32
     log-softmax of the unscaled logits — before temperature, top-p, or any
@@ -348,6 +367,7 @@ def generate_stream(
     multi_step: int = 1,
     grammar=None,
     lp_sink: Optional[list] = None,
+    penalties: Optional[Tuple[float, float]] = None,
 ) -> Iterator[int]:
     """Single-sequence streaming generation: yields token ids until EOS or
     the budget is exhausted. Host drives one jitted step per token.
@@ -370,9 +390,13 @@ def generate_stream(
     `lp_sink`: when not None, one `(chosen_lp, top_ids, top_lps)` entry
     (raw-distribution logprobs, `_logprobs`) is appended per yielded token
     — the OpenAI `logprobs` surface. Forces the single-step loop (each
-    token needs its own step's logits)."""
+    token needs its own step's logits).
+
+    `penalties`: optional (frequency_penalty, presence_penalty) floats —
+    OpenAI penalties over this stream's emitted tokens. Forces the
+    single-step loop."""
     assert input_ids.shape[0] == 1, "streaming path is single-sequence"
-    if grammar is not None or lp_sink is not None:
+    if grammar is not None or lp_sink is not None or penalties is not None:
         lookahead = 0
         multi_step = 1
     T = input_ids.shape[1]
@@ -470,6 +494,11 @@ def generate_stream(
 
     gstate = 0
     logits = last_logits
+    counts = fp = pp = None
+    if penalties is not None:
+        counts = jnp.zeros((1, cfg.decoder.vocab_size), jnp.float32)
+        fp = jnp.asarray([penalties[0]], jnp.float32)
+        pp = jnp.asarray([penalties[1]], jnp.float32)
     for _ in range(sampling.max_new_tokens):
         rng, sub = jax.random.split(rng)
         mask = (None if grammar is None
@@ -477,10 +506,14 @@ def generate_stream(
         if token is not None:
             logits, cache = decode_step(params, cache, token, cfg,
                                         pallas_cache=pallas_cache)
-        token = _sample(logits, sub, sampling, mask=mask)
+        s_logits = (logits if counts is None
+                    else _apply_penalties(logits, counts, fp, pp))
+        token = _sample(s_logits, sub, sampling, mask=mask)
         tok = int(token[0])
         if tok == sampling.eos_token_id:
             return
+        if counts is not None:
+            counts = counts.at[0, tok].add(1.0)
         if grammar is not None:
             gstate = grammar.advance(gstate, tok)
         if lp_sink is not None:

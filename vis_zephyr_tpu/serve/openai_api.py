@@ -215,10 +215,17 @@ def _parse_request(engine, payload: dict, chat: bool):
     max_tokens = payload.get("max_tokens", payload.get("max_completion_tokens"))
     temperature = payload.get("temperature")
     top_p = payload.get("top_p")
+    freq_pen = payload.get("frequency_penalty")
+    pres_pen = payload.get("presence_penalty")
     for name, v in (("max_tokens", max_tokens), ("temperature", temperature),
-                    ("top_p", top_p)):
+                    ("top_p", top_p), ("frequency_penalty", freq_pen),
+                    ("presence_penalty", pres_pen)):
         if v is not None and not isinstance(v, (int, float)):
             return None, f"{name} must be a number"
+    for name, v in (("frequency_penalty", freq_pen),
+                    ("presence_penalty", pres_pen)):
+        if v is not None and not -2.0 <= v <= 2.0:
+            return None, f"{name} must be in [-2, 2]"
     grammar = None
     rf = payload.get("response_format")
     if rf:
@@ -281,6 +288,8 @@ def _parse_request(engine, payload: dict, chat: bool):
         "top_p": None if top_p is None else float(top_p),
         "grammar": grammar,
         "logprobs": lp_n,
+        "frequency_penalty": float(freq_pen or 0.0),
+        "presence_penalty": float(pres_pen or 0.0),
         "tool_mode": tool_mode,
         "tool_names": tool_names,
     }, None
@@ -380,6 +389,8 @@ def _run(engine, spec):
         temperature=spec["temperature"], top_p=spec["top_p"],
         adapter=spec["adapter"], grammar=spec.get("grammar"),
         logprobs=spec.get("logprobs"), lp_sink=lp_sink,
+        frequency_penalty=spec.get("frequency_penalty", 0.0),
+        presence_penalty=spec.get("presence_penalty", 0.0),
     )
     return tokens, len(ids), budget, lp_sink
 

@@ -97,7 +97,8 @@ from ..ops.paged_attention import (
     quantize_kv,
 )
 from .batching import ContinuousBatcher, _Request
-from .generate import SamplingConfig, _logprobs, _sample
+from .generate import (SamplingConfig, _apply_penalties, _count_token,
+                       _logprobs, _sample)
 
 
 class PageAllocator:
@@ -697,7 +698,7 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
                 cfg: VisZephyrConfig, sampling: SamplingConfig, mesh=None,
                 mode: str = "selfterm", mlora=None, adapter_idx=None,
                 sample_overrides=None, grammar=None,
-                want_logprobs: bool = False):
+                want_logprobs: bool = False, penalties=None):
     """One decode step over all slots against the paged pools.
 
     `scales`: `(None, None)` for bf16 pools, or `(k_scales, v_scales)`
@@ -869,12 +870,18 @@ def _paged_step(params, kp, vp, scales, page_table, lengths, token, active, key,
         "btd,dv->btv", h[:, -1:], dparams["lm_head"]["kernel"]
     ).astype(jnp.float32)
     mask = None if grammar is None else grammar[0][grammar[1]]
-    next_token = _sample(logits[:, 0], key, sampling,
+    sample_logits = logits[:, 0]
+    if penalties is not None:
+        sample_logits = _apply_penalties(sample_logits, penalties[2],
+                                         penalties[0], penalties[1])
+    next_token = _sample(sample_logits, key, sampling,
                          overrides=sample_overrides, mask=mask)
     next_token = jnp.where(active, next_token, dec.pad_token_id)
     lp = _logprobs(logits[:, 0], next_token) if want_logprobs else None
+    counts = (None if penalties is None
+              else _count_token(penalties[2], next_token, active))
     new_lengths = jnp.where(active, lengths + 1, lengths)
-    return next_token, kp, vp, (ksp, vsp), new_lengths, lp
+    return next_token, kp, vp, (ksp, vsp), new_lengths, lp, counts
 
 
 @functools.partial(
@@ -904,7 +911,7 @@ def _paged_multi_step(params, kp, vp, scales, page_table, lengths, token,
 
     def body(carry, sub):
         kp, vp, scales, lengths, token, alive, left = carry
-        tok, kp, vp, scales, lengths, _ = _paged_step(
+        tok, kp, vp, scales, lengths, _, _ = _paged_step(
             params, kp, vp, scales, page_table, lengths, token, alive, sub,
             cfg, sampling, mesh=mesh, mode=mode, mlora=mlora,
             adapter_idx=adapter_idx, sample_overrides=sample_overrides,
@@ -1198,6 +1205,10 @@ class PagedBatcher(ContinuousBatcher):
         self.slot_topp = np.full(max_slots, sampling.top_p, np.float32)
         self._override_slots = set()
         self._lp_slots = set()
+        self.slot_freq = np.zeros(max_slots, np.float32)
+        self.slot_pres = np.zeros(max_slots, np.float32)
+        self._penalty_slots = set()
+        self.counts = None
         from .structured import GrammarSlots
 
         self.grammar_slots = GrammarSlots(max_slots, dec.vocab_size)
@@ -1424,8 +1435,9 @@ class PagedBatcher(ContinuousBatcher):
         # single-step.
         grammar_op = self.grammar_slots.operand()
         want_lp = bool(self._lp_slots)
+        pen = self._penalty_operand()
         if (self.multi_step > 1 and grammar_op is None and not want_lp
-                and not self._has_admission_work()):
+                and pen is None and not self._has_admission_work()):
             self.rng, sub = jax.random.split(self.rng)
             (toks, alive, self.kp, self.vp, (self.ksp, self.vsp),
              self.lengths, self.token) = _paged_multi_step(
@@ -1441,14 +1453,16 @@ class PagedBatcher(ContinuousBatcher):
                                        np.asarray(jax.device_get(alive)))
         self.rng, sub = jax.random.split(self.rng)
         (self.token, self.kp, self.vp, (self.ksp, self.vsp), self.lengths,
-         lp) = _paged_step(
+         lp, counts) = _paged_step(
             self.params, self.kp, self.vp, (self.ksp, self.vsp),
             self.page_table, self.lengths,
             self.token, jnp.asarray(self.active), sub, self.cfg, self.sampling,
             mesh=self.mesh, mlora=self.mlora, adapter_idx=self._slot_aidx(),
             sample_overrides=self._sample_overrides(), grammar=grammar_op,
-            want_logprobs=want_lp,
+            want_logprobs=want_lp, penalties=pen,
         )
+        if counts is not None:
+            self.counts = counts
         tokens = np.asarray(jax.device_get(self.token))
         lp_host = jax.device_get(lp) if lp is not None else None
         stepped = 0
