@@ -72,6 +72,37 @@ def test_eval_vqa_end_to_end(tmp_path, mock_tokenizer):
     assert "Answer with the option's letter" in rec["prompt"]
 
 
+@pytest.mark.skipif(not os.path.exists(VCR_JSON), reason="reference fixture unavailable")
+def test_eval_vqa_beam_search(tmp_path, mock_tokenizer):
+    """--num-beams 2 runs real beam search end-to-end (HF generate
+    parity; previously a documented NotImplementedError)."""
+    import jax
+
+    from vis_zephyr_tpu.config import tiny_config
+    from vis_zephyr_tpu.eval.eval_vqa import build_parser, eval_model
+    from vis_zephyr_tpu.models.vis_zephyr import init_vis_zephyr
+
+    cfg = tiny_config(vocab_size=50000)
+    params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+    answers = tmp_path / "answers_beam.jsonl"
+    args = build_parser().parse_args(
+        [
+            "--question-file", VCR_JSON,
+            "--image-folder", VCR_IMAGES,
+            "--answers-file", str(answers),
+            "--visual-prompt-style", "vcr_qa",
+            "--batch-size", "1",
+            "--max-new-tokens", "4",
+            "--num-beams", "2",
+        ]
+    )
+    correct, total = eval_model(args, params=params, cfg=cfg,
+                                tokenizer=mock_tokenizer)
+    assert total == 1
+    rec = json.loads(answers.read_text().splitlines()[0])
+    assert isinstance(rec["text"], str)
+
+
 def test_eval_mmbench_end_to_end(tmp_path, mock_tokenizer, rng):
     import base64
     import csv

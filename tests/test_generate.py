@@ -130,3 +130,80 @@ def test_pad_to_bucket():
     assert pad_to_bucket(128) == 128
     assert pad_to_bucket(129) == 256
     assert pad_to_bucket(300, bucket=64) == 320
+
+
+class TestBeamSearch:
+    """`beam_search` (HF num_beams semantics) against a cache-free oracle."""
+
+    @pytest.fixture(scope="class")
+    def model(self):
+        cfg = tiny_config(vocab_size=512)
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        return cfg, params
+
+    def _full_lsm(self, params, cfg, ids):
+        """Teacher-forced log-softmax over every position (no KV cache)."""
+        from vis_zephyr_tpu.models.vis_zephyr import vis_zephyr_forward
+
+        logits, _ = vis_zephyr_forward(
+            params, jnp.asarray(np.asarray(ids, np.int64)[None]), None, None,
+            cfg)
+        return np.asarray(
+            jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1))
+
+    def _oracle_beam(self, params, cfg, prompt, K, steps):
+        """Independent numpy beam search re-running the model WITHOUT a
+        cache each step — pins the cached/reordered implementation."""
+        lsm = self._full_lsm(params, cfg, prompt)[len(prompt) - 1]
+        vals, ids = jax.lax.top_k(jnp.asarray(lsm), K)
+        beams = [([int(t)], float(v)) for t, v in zip(ids, vals)]
+        for _ in range(steps - 1):
+            cand = []
+            for seq, score in beams:
+                row = self._full_lsm(params, cfg, list(prompt) + seq)[-1]
+                top = np.argsort(-row)[: 2 * K]
+                cand.extend((seq + [int(t)], score + float(row[t]))
+                            for t in top)
+            cand.sort(key=lambda x: -x[1])
+            beams = cand[:K]
+        return max(beams, key=lambda x: x[1] / len(x[0]))[0]
+
+    def test_beam1_equals_greedy(self, model):
+        from vis_zephyr_tpu.serve.generate import beam_search
+
+        cfg, params = model
+        prompt = [1, 17, 23, 42]
+        sampling = SamplingConfig(max_new_tokens=6, temperature=0.0,
+                                  eos_token_id=-1)
+        greedy = list(generate_stream(
+            params, jnp.asarray([prompt]), None, None, cfg, sampling))
+        beam = beam_search(params, jnp.asarray([prompt]), None, None, cfg,
+                           num_beams=1, max_new_tokens=6, eos_token_id=-1)
+        assert beam == greedy
+
+    def test_matches_cachefree_oracle(self, model):
+        from vis_zephyr_tpu.serve.generate import beam_search
+
+        cfg, params = model
+        prompt = [1, 9, 200, 77]
+        got = beam_search(params, jnp.asarray([prompt]), None, None, cfg,
+                          num_beams=3, max_new_tokens=4, eos_token_id=-1)
+        want = self._oracle_beam(params, cfg, prompt, K=3, steps=4)
+        assert got == want
+
+    def test_eos_retires_beam(self, model):
+        """With EOS set to the greedy continuation token at some step, the
+        search must terminate and return a finished hypothesis ending
+        before that token."""
+        from vis_zephyr_tpu.serve.generate import beam_search
+
+        cfg, params = model
+        prompt = [1, 17, 23, 42]
+        sampling = SamplingConfig(max_new_tokens=8, temperature=0.0,
+                                  eos_token_id=-1)
+        greedy = list(generate_stream(
+            params, jnp.asarray([prompt]), None, None, cfg, sampling))
+        eos = greedy[2]
+        toks = beam_search(params, jnp.asarray([prompt]), None, None, cfg,
+                           num_beams=2, max_new_tokens=8, eos_token_id=eos)
+        assert eos not in toks

@@ -82,6 +82,31 @@ def prepare_item_with_retry(
     return prepare_item(records[index], image_folder, cfg, tokenizer, style, rng)
 
 
+def run_batch_beam(params, cfg, tokenizer, items: List[Dict],
+                   sampling: SamplingConfig, num_beams: int):
+    """Beam-search decode, one item at a time (beams ride the batch axis
+    of the shared decode step — `generate.beam_search`). The reference
+    reaches this through HF `model.generate(num_beams=...)`."""
+    import jax.numpy as jnp
+
+    from ..serve.generate import beam_search
+
+    texts = []
+    for it in items:
+        toks = beam_search(
+            params,
+            jnp.asarray(np.asarray(it["input_ids"])[None]),
+            jnp.asarray(it["images"])[None],
+            jnp.asarray(it["patch_valid"])[None],
+            cfg,
+            num_beams=num_beams,
+            max_new_tokens=sampling.max_new_tokens,
+            eos_token_id=sampling.eos_token_id,
+        )
+        texts.append(tokenizer.decode(toks, skip_special_tokens=True))
+    return texts
+
+
 def run_batch(params, cfg, tokenizer, items: List[Dict], sampling: SamplingConfig):
     """Pad a batch of prepared items and decode greedily."""
     import jax.numpy as jnp
@@ -115,10 +140,7 @@ def run_batch(params, cfg, tokenizer, items: List[Dict], sampling: SamplingConfi
 
 
 def eval_model(args, params=None, cfg: Optional[VisZephyrConfig] = None, tokenizer=None):
-    if getattr(args, "num_beams", 1) != 1:
-        raise NotImplementedError(
-            "beam search is not implemented (the reference exposes "
-            "--num_beams but defaults it to 1 in every released script)")
+    num_beams = getattr(args, "num_beams", 1)
     if params is None:
         import jax.numpy as jnp
 
@@ -153,7 +175,12 @@ def eval_model(args, params=None, cfg: Optional[VisZephyrConfig] = None, tokeniz
                 )
                 for i in batch_records
             ]
-            outputs = run_batch(params, cfg, tokenizer, items, sampling)
+            outputs = (
+                run_batch_beam(params, cfg, tokenizer, items, sampling,
+                               num_beams)
+                if num_beams > 1
+                else run_batch(params, cfg, tokenizer, items, sampling)
+            )
             for it, text in zip(items, outputs):
                 pred = extract_answer(text)
                 gold = str(it["gold"]).strip()[:1]
@@ -191,8 +218,8 @@ def build_parser():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--temperature", type=float, default=0.0)
     # Reference flag surface (eval_vqa.py:229-230): top_p threads into
-    # sampling; num_beams only validates (the reference defaults it to 1
-    # and never beam-searches in any released script).
+    # sampling; num_beams > 1 runs real beam search (HF generate
+    # semantics, `serve/generate.py::beam_search`).
     p.add_argument("--top-p", "--top_p", dest="top_p", type=float,
                    default=None)
     p.add_argument("--num-beams", "--num_beams", dest="num_beams", type=int,

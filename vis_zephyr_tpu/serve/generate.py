@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -296,6 +296,136 @@ def generate(
     tokens, _ = _decode_loop(params, cache, first, rng, cfg, sampling,
                              pallas_cache=pallas_cache)
     return np.asarray(tokens)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _beam_expand(cache: Dict, n: int) -> Dict:
+    """B=1 prefill cache → n identical beams (k/v repeat on the batch
+    axis, lengths broadcast)."""
+    return {
+        "k": jnp.repeat(cache["k"], n, axis=1),
+        "v": jnp.repeat(cache["v"], n, axis=1),
+        "length": jnp.repeat(cache["length"], n, axis=0),
+    }
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _beam_reorder(cache: Dict, beam_idx: jnp.ndarray) -> Dict:
+    """Continue beam b from its parent `beam_idx[b]`'s cache row."""
+    return {
+        "k": cache["k"][:, beam_idx],
+        "v": cache["v"][:, beam_idx],
+        "length": cache["length"][beam_idx],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _beam_topk(logits: jnp.ndarray, k: int):
+    """Per-beam log-softmax top-2k candidates (the HF beam-search pool:
+    2k lets EOS candidates retire without starving the k live beams)."""
+    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    vals, ids = jax.lax.top_k(lsm, 2 * k)
+    return vals, ids
+
+
+def beam_search(
+    params,
+    input_ids: jnp.ndarray,
+    images: Optional[jnp.ndarray],
+    patch_valid: Optional[jnp.ndarray],
+    cfg: VisZephyrConfig,
+    num_beams: int = 4,
+    max_new_tokens: int = 64,
+    eos_token_id: int = 2,
+    length_penalty: float = 1.0,
+    cache_len: Optional[int] = None,
+    use_flash: Optional[bool] = None,
+) -> List[int]:
+    """HF-semantics beam search (the reference's `num_beams > 1` path,
+    `model.generate` via HF `BeamSearchScorer`): maintain `num_beams` live
+    hypotheses; each step ranks the 2k best (beam, token) continuations,
+    retires EOS candidates to the finished pool scored
+    `logprob_sum / len**length_penalty`, and keeps the k best live. Device
+    work per step is ONE batched decode over the beams + a top-2k; the
+    tiny candidate bookkeeping runs on host. Returns the best sequence's
+    new token ids (EOS excluded).
+
+    TPU shape notes: beams ride the batch axis of the shared decode step
+    (an extra beam is nearly free under the weight-bandwidth bound), and
+    the per-step cache reorder is a device-side gather on that axis."""
+    assert input_ids.shape[0] == 1, "beam search takes one prompt"
+    K = num_beams
+    T = input_ids.shape[1]
+    if cache_len is None:
+        n_img = (0 if images is None else
+                 images.shape[1] * cfg.tokens_per_patch
+                 + cfg.max_extra_merge_tokens())
+        cache_len = pad_to_bucket(T + n_img + max_new_tokens)
+    last_logits, cache, _ = prefill(
+        params, input_ids, images, patch_valid, cfg, cache_len,
+        use_flash=use_flash,
+    )
+    cache = _beam_expand(cache, K)
+
+    # First expansion: top-K distinct first tokens from the shared prefix.
+    lsm0 = jax.nn.log_softmax(last_logits[0].astype(jnp.float32))
+    vals0, ids0 = jax.lax.top_k(lsm0, K)
+    vals0, ids0 = np.asarray(vals0), np.asarray(ids0)
+    scores = vals0.astype(np.float64)            # running logprob sums
+    seqs: List[List[int]] = [[int(t)] for t in ids0]
+    finished: List[tuple] = []                   # (normalized score, seq)
+    tokens = jnp.asarray(ids0.astype(np.int32))
+
+    def norm(s: float, length: int) -> float:
+        return s / (max(length, 1) ** length_penalty)
+
+    for b, t in enumerate(ids0):
+        if int(t) == eos_token_id:
+            # The prompt's best continuation is to end immediately.
+            finished.append((norm(float(scores[b]), 1), []))
+
+    for _ in range(max_new_tokens - 1):
+        if all(s and s[-1] == eos_token_id for s in seqs):
+            break
+        logits, cache = decode_step(params, cache, tokens, cfg)
+        vals, ids = _beam_topk(logits, K)
+        vals, ids = np.asarray(vals), np.asarray(ids)
+        cand = scores[:, None] + vals            # [K, 2K]
+        order = np.argsort(-cand, axis=None)
+        next_beams: List[tuple] = []             # (parent, token, score)
+        for flat in order:
+            b, j = divmod(int(flat), 2 * K)
+            if seqs[b] and seqs[b][-1] == eos_token_id:
+                continue                         # parent already retired
+            tok = int(ids[b, j])
+            if tok == eos_token_id:
+                finished.append((norm(float(cand[b, j]), len(seqs[b])),
+                                 list(seqs[b])))
+                continue
+            next_beams.append((b, tok, float(cand[b, j])))
+            if len(next_beams) == K:
+                break
+        if not next_beams:
+            break                                # every continuation ended
+        # Early stop (HF early_stopping=False heuristic): no live beam can
+        # beat the worst kept finished hypothesis.
+        if len(finished) >= K:
+            worst_kept = sorted(finished, reverse=True)[K - 1][0]
+            best_live = norm(next_beams[0][2], len(seqs[next_beams[0][0]]) + 1)
+            if best_live < worst_kept:
+                break
+        beam_idx = np.asarray([b for b, _, _ in next_beams], np.int32)
+        toks = np.asarray([t for _, t, _ in next_beams], np.int32)
+        scores = np.asarray([s for _, _, s in next_beams], np.float64)
+        seqs = [seqs[b] + [t] for b, t, _ in next_beams]
+        cache = _beam_reorder(cache, jnp.asarray(beam_idx))
+        tokens = jnp.asarray(toks)
+
+    for s, seq in zip(scores, seqs):
+        if not (seq and seq[-1] == eos_token_id):
+            finished.append((norm(float(s), len(seq)), list(seq)))
+    finished.sort(key=lambda x: -x[0])
+    return finished[0][1]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pallas_cache"))
