@@ -235,7 +235,7 @@ def bench_decode_paged(cfg: VisZephyrConfig, steps: int = 64, slots: int = 32,
     def run(params, kp, vp, scales, lengths, token, n):
         def step(carry, _):
             kp, vp, scales, lengths, token = carry
-            token, kp, vp, scales, lengths = _paged_step(
+            token, kp, vp, scales, lengths, _lp, _counts = _paged_step(
                 params, kp, vp, scales, table, lengths, token, active, key,
                 cfg, sampling,
             )
@@ -505,6 +505,11 @@ def main():
     # never to an empty tail.
     t0 = time.monotonic()
     attempt = 0
+    # Provisional note so a watchdog dump fired while the main thread is
+    # still BLOCKED inside jax.devices() (wedged acquisitions have been
+    # observed to hang ~25 min before raising) still explains itself;
+    # cleared on success, overwritten per failed attempt.
+    h.extras["device_error"] = "acquisition did not return within budget"
     while True:
         try:
             h.extras["device"] = str(jax.devices()[0])
