@@ -207,3 +207,20 @@ class TestBeamSearch:
         toks = beam_search(params, jnp.asarray([prompt]), None, None, cfg,
                            num_beams=2, max_new_tokens=8, eos_token_id=eos)
         assert eos not in toks
+
+    def test_eos_top_first_token_does_not_starve_beams(self, model):
+        """EOS being the MOST likely first token retires to the finished
+        pool without consuming a live beam slot (2K-pool semantics, like
+        every later step). The old top-K first expansion left K=1 with
+        zero live beams and returned [] even when a longer hypothesis
+        scores better under a length-rewarding penalty."""
+        from vis_zephyr_tpu.serve.generate import beam_search
+
+        cfg, params = model
+        prompt = [1, 17, 23, 42]
+        lsm = self._full_lsm(params, cfg, prompt)[len(prompt) - 1]
+        eos = int(np.argmax(lsm))
+        toks = beam_search(params, jnp.asarray([prompt]), None, None, cfg,
+                           num_beams=1, max_new_tokens=4, eos_token_id=eos,
+                           length_penalty=5.0)
+        assert toks and eos not in toks

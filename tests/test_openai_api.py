@@ -629,3 +629,46 @@ class TestOpenAIEndpoints:
         })
         assert status == 200
         assert json.loads(body)["usage"]["completion_tokens"] <= 4
+
+
+class TestMalformedPayloads:
+    """Round-3 review regressions: shape-invalid payloads must produce a
+    400 invalid_request_error, never an exception escaping the handler."""
+
+    def test_string_content_part(self, server):
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": ["hi"]}]})
+        assert status == 400
+        assert json.loads(body)["error"]["type"] == "invalid_request_error"
+
+    def test_tool_call_arguments_as_dict(self, server):
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [
+                {"role": "assistant", "tool_calls": [
+                    {"id": "c1", "type": "function",
+                     "function": {"name": "f", "arguments": {"a": 1}}}]},
+                {"role": "tool", "tool_call_id": "c1", "content": "ok"},
+                {"role": "user", "content": "hi"},
+            ]})
+        assert status in (200, 400)  # dict arguments: reject or tolerate,
+        # but never a dropped connection / 500
+        if status == 400:
+            assert json.loads(body)["error"]["type"] == "invalid_request_error"
+
+    def test_tool_call_missing_function(self, server):
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [
+                {"role": "assistant", "tool_calls": [{"id": "c1"}]},
+                {"role": "user", "content": "hi"},
+            ]})
+        assert status == 400
+
+    def test_max_tokens_zero_yields_zero_tokens(self, server):
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "count to ten"}],
+            "max_tokens": 0,
+        })
+        assert status == 200
+        out = json.loads(body)
+        assert out["usage"]["completion_tokens"] == 0
+        assert out["choices"][0]["message"]["content"] == ""

@@ -293,7 +293,26 @@ class TestTokenGrammar:
                 return ["<s>", "▁the", "<0x41>", "x", None][: len(ids)]
 
         out = token_strings_from_tokenizer(Conv())
-        assert out == ["", " the", "A", "x", ""]
+        assert out == [b"", b" the", b"A", b"x", b""]
+
+    def test_byte_fallback_token_is_one_raw_byte(self):
+        """<0xC3> IS byte 0xC3 — as a str it would re-encode to TWO UTF-8
+        bytes and the token-level DFA walk would follow the wrong path."""
+
+        class Conv:
+            vocab_size = 3
+
+            def convert_ids_to_tokens(self, ids):
+                return ["<0xC3>", "<0xA9>", "</s>"][: len(ids)]
+
+        out = token_strings_from_tokenizer(Conv())
+        assert out == [b"\xc3", b"\xa9", b""]
+        # 'é' (U+00E9, UTF-8 c3 a9) spelled via byte-fallback tokens:
+        g = TokenGrammar.from_regex("é", out, eos_token_id=2)
+        s = g.advance(0, 0)
+        assert s >= 0 and not g.dfa.accept[s]
+        s = g.advance(s, 1)
+        assert g.mask[s, 2]  # EOS legal: full character consumed
 
 
 class TestGrammarSlots:
@@ -651,3 +670,41 @@ class TestResponseFormatEndpoint:
         text = "".join(e["choices"][0]["delta"].get("content", "")
                        for e in events if e["choices"])
         assert len(text) == 3 and text.isdigit()
+
+
+class TestGrammarHardening:
+    """Round-3 review regressions: non-ASCII byte sequences, hostile
+    repetition bounds, degenerate array bounds."""
+
+    def test_non_ascii_literal_matches_character_not_lone_bytes(self):
+        dfa = compile_regex("é")
+        assert dfa.matches("é")
+        assert not dfa.matches(b"\xc3")       # lone lead byte
+        assert not dfa.matches(b"\xa9")       # lone continuation byte
+
+    def test_non_ascii_in_char_class_rejected(self):
+        with pytest.raises(ValueError):
+            compile_regex("[é]")
+
+    def test_hostile_repetition_bound_rejected_fast(self):
+        with pytest.raises(ValueError):
+            compile_regex("a{0,999999999}")
+        with pytest.raises(ValueError):
+            compile_regex("a{5,2}")
+
+    def test_nested_repetition_hits_state_budget(self):
+        with pytest.raises(ValueError):
+            compile_regex("(((a{1000}){1000}){1000})")
+
+    def test_max_items_zero_admits_only_empty_array(self):
+        pat = schema_to_regex({"type": "array",
+                               "items": {"type": "integer"},
+                               "maxItems": 0})
+        dfa = compile_regex(pat)
+        assert dfa.matches("[]")
+        assert not dfa.matches("[1]")
+
+    def test_max_items_below_min_items_rejected(self):
+        with pytest.raises(ValueError):
+            schema_to_regex({"type": "array", "items": {"type": "integer"},
+                             "minItems": 2, "maxItems": 1})

@@ -115,7 +115,13 @@ class ChatHandler(BaseHTTPRequestHandler):
 
         fn = (openai_api.chat_completion if path == "/v1/chat/completions"
               else openai_api.completion)
-        error, result = fn(self.engine, payload)
+        try:
+            error, result = fn(self.engine, payload)
+        except Exception as e:  # noqa: BLE001 — a handler bug must yield
+            # an HTTP error body, never a dropped connection.
+            self._json(500, {"error": {"message": f"{type(e).__name__}: {e}",
+                                       "type": "internal_error"}})
+            return
         if error is not None:
             self._json(400, error)
             return

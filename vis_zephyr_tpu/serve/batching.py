@@ -446,7 +446,8 @@ class ContinuousBatcher:
             np.asarray(input_ids),
             images if images is None else np.asarray(images),
             patch_valid if patch_valid is None else np.asarray(patch_valid),
-            max_new_tokens or self.sampling.max_new_tokens,
+            (self.sampling.max_new_tokens if max_new_tokens is None
+             else max_new_tokens),  # an explicit 0 means zero tokens
             adapter=aidx,
             temperature=temperature,
             top_p=top_p,
@@ -606,7 +607,11 @@ class ContinuousBatcher:
             self.counts = _reset_count_row(self.counts, jnp.asarray(slot),
                                            jnp.asarray(tok))
         self.token = self.token.at[slot].set(tok)
-        if tok == self.sampling.eos_token_id:
+        if req.max_new_tokens <= 0:
+            # Explicit zero-token request: prefill ran (and sampled), but
+            # nothing is emitted — matches the serialized path's behavior.
+            self._finish(slot)
+        elif tok == self.sampling.eos_token_id:
             self._finish(slot)
         else:
             self.grammar_slots.advance(slot, tok)

@@ -339,15 +339,23 @@ class ChatEngine:
         if not pattern:
             raise ValueError("grammar needs a regex pattern or a JSON schema")
         if not hasattr(self, "_grammar_cache"):
-            self._grammar_cache = {}
-        if pattern not in self._grammar_cache:
+            from collections import OrderedDict
+
+            self._grammar_cache = OrderedDict()
+        if pattern in self._grammar_cache:
+            self._grammar_cache.move_to_end(pattern)
+        else:
+            # Bounded LRU: each entry holds an [S+1, V] mask (megabytes);
+            # distinct patterns arrive from unauthenticated requests.
             self._grammar_cache[pattern] = TokenGrammar.from_regex(
                 pattern, self.token_strings(), self.sampling.eos_token_id)
+            while len(self._grammar_cache) > 32:
+                self._grammar_cache.popitem(last=False)
         return self._grammar_cache[pattern]
 
     def token_strings(self):
-        """Per-id decoded text of the whole vocabulary (cached) — shared by
-        grammar compilation and logprobs formatting."""
+        """Per-id raw decoded BYTES of the whole vocabulary (cached) —
+        shared by grammar compilation and logprobs formatting."""
         from .structured import token_strings_from_tokenizer
 
         if not hasattr(self, "_token_strings"):
@@ -355,9 +363,14 @@ class ChatEngine:
                 self.tokenizer, self.cfg.decoder.vocab_size)
         return self._token_strings
 
+    def token_bytes(self, tok: int) -> bytes:
+        blobs = self.token_strings()
+        return blobs[tok] if 0 <= tok < len(blobs) else b""
+
     def token_text(self, tok: int) -> str:
-        strings = self.token_strings()
-        return strings[tok] if 0 <= tok < len(strings) else ""
+        # Lossy display form: a byte-fallback token may hold a partial
+        # UTF-8 sequence; the exact bytes are available via token_bytes.
+        return self.token_bytes(tok).decode("utf-8", errors="replace")
 
     def generate_request(
         self,

@@ -367,22 +367,31 @@ def beam_search(
     )
     cache = _beam_expand(cache, K)
 
-    # First expansion: top-K distinct first tokens from the shared prefix.
+    # First expansion from the shared prefix: draw from a 2K candidate
+    # pool like every later step (HF BeamSearchScorer semantics) — an EOS
+    # among the top K retires to the finished pool WITHOUT consuming one
+    # of the K live beam slots.
     lsm0 = jax.nn.log_softmax(last_logits[0].astype(jnp.float32))
-    vals0, ids0 = jax.lax.top_k(lsm0, K)
+    pool0 = min(2 * K, lsm0.shape[-1])
+    vals0, ids0 = jax.lax.top_k(lsm0, pool0)
     vals0, ids0 = np.asarray(vals0), np.asarray(ids0)
-    scores = vals0.astype(np.float64)            # running logprob sums
-    seqs: List[List[int]] = [[int(t)] for t in ids0]
     finished: List[tuple] = []                   # (normalized score, seq)
-    tokens = jnp.asarray(ids0.astype(np.int32))
 
     def norm(s: float, length: int) -> float:
         return s / (max(length, 1) ** length_penalty)
 
-    for b, t in enumerate(ids0):
+    live: List[tuple] = []                       # (logprob sum, token)
+    for v, t in zip(vals0, ids0):
         if int(t) == eos_token_id:
             # The prompt's best continuation is to end immediately.
-            finished.append((norm(float(scores[b]), 1), []))
+            finished.append((norm(float(v), 1), []))
+        elif len(live) < K:
+            live.append((float(v), int(t)))
+    while len(live) < K:  # degenerate tiny-vocab case: pad with dead beams
+        live.append((-1e30, live[0][1] if live else 0))
+    scores = np.asarray([v for v, _ in live], np.float64)
+    seqs: List[List[int]] = [[t] for _, t in live]
+    tokens = jnp.asarray(np.asarray([t for _, t in live], np.int32))
 
     for _ in range(max_new_tokens - 1):
         if all(s and s[-1] == eos_token_id for s in seqs):

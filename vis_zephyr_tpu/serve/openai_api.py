@@ -396,9 +396,8 @@ def _run(engine, spec):
 
 
 def _lp_token_entry(engine, tok: int, logprob: float) -> dict:
-    text = engine.token_text(int(tok))
-    return {"token": text, "logprob": float(logprob),
-            "bytes": list(text.encode("utf-8"))}
+    return {"token": engine.token_text(int(tok)), "logprob": float(logprob),
+            "bytes": list(engine.token_bytes(int(tok)))}
 
 
 def _format_logprobs(engine, tokens, entries, n: int, chat: bool,
@@ -617,7 +616,13 @@ def completion(engine, payload: dict):
 
 
 def _completion(engine, payload: dict, chat: bool):
-    spec, err = _parse_request(engine, payload, chat=chat)
+    try:
+        spec, err = _parse_request(engine, payload, chat=chat)
+    except (TypeError, KeyError, AttributeError, ValueError) as e:
+        # Malformed payload shapes (string content parts, dict arguments,
+        # missing keys, ...) must be a 400 like every validated field, not
+        # an exception escaping into the transport layer.
+        err = f"invalid request: {type(e).__name__}: {e}"
     if err:
         return {"error": {"message": err, "type": "invalid_request_error"}}, None
     n = payload.get("n", 1)

@@ -255,25 +255,40 @@ class PrefixCache:
     def evict(self, n: int) -> int:
         """Release up to n cached pages, leaf-first LRU. Returns how many
         cache refs were dropped (pages still held by active slots free
-        later)."""
+        later).
+
+        One DFS pass collects the n oldest CURRENT leaves into a bounded
+        heap (this runs on the scheduler thread inside pool-exhausted
+        admission — a per-page full-trie rescan would stall every active
+        slot's decode). Dropping a node's last child exposes the parent as
+        a new leaf, so loop passes until satisfied: each pass removes every
+        current leaf at worst, bounding the pass count by trie depth."""
+        import heapq
+        import itertools
+
         dropped = 0
+        tiebreak = itertools.count()
         while dropped < n:
-            # Oldest leaf (no children) anywhere in the trie.
-            best = None  # (stamp, parent_dict, key, page)
+            need = n - dropped
+            heap: list = []  # size-bounded; root = newest kept candidate
             stack = [self.root]
             while stack:
                 d = stack.pop()
                 for key, (page, children, stamp) in d.items():
                     if children:
                         stack.append(children)
-                    elif best is None or stamp < best[0]:
-                        best = (stamp, d, key, page)
-            if best is None:
+                        continue
+                    item = (-stamp, next(tiebreak), key, d, page)
+                    if len(heap) < need:
+                        heapq.heappush(heap, item)
+                    elif item[0] > heap[0][0]:
+                        heapq.heapreplace(heap, item)
+            if not heap:
                 break
-            _, parent, key, page = best
-            del parent[key]
-            self.allocator.release([page])
-            dropped += 1
+            for _, _, key, parent, page in heap:
+                del parent[key]
+                self.allocator.release([page])
+                dropped += 1
         return dropped
 
     def drop_all(self) -> None:

@@ -112,6 +112,15 @@ class _Parser:
                     hi = int(hi_s) if hi_s.strip() else None
                 else:
                     lo = hi = int(body)
+                if lo < 0 or (hi is not None and hi < lo):
+                    raise ValueError(f"regex: bad repetition {{{body}}}")
+                # Bounded repetition expands to lo+(hi-lo) concatenated NFA
+                # fragments; grammars arrive from unauthenticated requests,
+                # so cap the expansion (the NFA state budget in new_state
+                # backstops nesting).
+                if max(lo, hi or 0) > _MAX_REPETITION:
+                    raise ValueError(
+                        f"regex: repetition bound over {_MAX_REPETITION}")
                 node = ("rep", node, lo, hi)
             else:
                 return node
@@ -142,8 +151,12 @@ class _Parser:
         if ch in ("*", "+", "?", "{"):
             raise ValueError(f"regex: dangling quantifier at {self.i}")
         self.i += 1
-        return ("lit", {b for b in ch.encode("utf-8")} if ord(ch) > 127
-                else {ord(ch)})
+        if ord(ch) > 127:
+            # A non-ASCII character is a SEQUENCE of UTF-8 bytes, not an
+            # alternation over them (a one-byte set would admit lone
+            # continuation bytes and reject the actual character).
+            return ("cat", [("lit", {b}) for b in ch.encode("utf-8")])
+        return ("lit", {ord(ch)})
 
     def _escape_char(self) -> int:
         """After a backslash: consume one escaped character (incl. \\xNN),
@@ -154,7 +167,12 @@ class _Parser:
             code = int(self.p[self.i : self.i + 2], 16)
             self.i += 2
             return code
-        return ord(_CHAR_ESCAPES.get(esc, esc))
+        code = ord(_CHAR_ESCAPES.get(esc, esc))
+        if code > 127:
+            raise ValueError(
+                "regex: non-ASCII escape is not a single byte; use \\xNN "
+                "byte escapes (UTF-8) instead")
+        return code
 
     def _char_class(self):
         assert self._peek() == "["
@@ -183,6 +201,13 @@ class _Parser:
             else:
                 self.i += 1
                 lo = ord(ch)
+                if lo > 127:
+                    # Inside a class a member must be ONE byte; a multi-byte
+                    # UTF-8 character cannot be (write it outside the class,
+                    # or as \xNN byte escapes).
+                    raise ValueError(
+                        "regex: non-ASCII character in a character class; "
+                        "use \\xNN byte escapes (UTF-8) instead")
             if self._peek() == "-" and self.p[self.i + 1 : self.i + 2] not in ("]", ""):
                 self.i += 1
                 if self._peek() == "\\":
@@ -191,6 +216,10 @@ class _Parser:
                 else:
                     hi = ord(self._peek())
                     self.i += 1
+                    if hi > 127:
+                        raise ValueError(
+                            "regex: non-ASCII character in a character "
+                            "class; use \\xNN byte escapes (UTF-8) instead")
                 chars |= set(range(lo, hi + 1))
             else:
                 chars.add(lo)
@@ -204,12 +233,25 @@ class _Parser:
 # ---------------------------------------------------------------------------
 
 
+# Resource caps: grammars arrive from unauthenticated requests, and both
+# constructions can explode (nested bounded repetition for the NFA, subset
+# construction for the DFA). Exceeding a cap is a ValueError — the serving
+# layers turn that into a 400, never an OOM. The token mask is [S+1, V]
+# bool, so _MAX_DFA_STATES=4096 bounds it at ~128 MB for a 32K vocab.
+_MAX_REPETITION = 1024
+_MAX_NFA_STATES = 100_000
+_MAX_DFA_STATES = 4096
+
+
 class _NFA:
     def __init__(self):
         self.eps: List[List[int]] = []
         self.edges: List[Dict[int, List[int]]] = []  # state → byte → targets
 
     def new_state(self) -> int:
+        if len(self.eps) >= _MAX_NFA_STATES:
+            raise ValueError(
+                f"regex too large (over {_MAX_NFA_STATES} NFA states)")
         self.eps.append([])
         self.edges.append({})
         return len(self.eps) - 1
@@ -281,9 +323,9 @@ class ByteDFA:
     def n_states(self) -> int:
         return self.trans.shape[0]
 
-    def matches(self, text: str) -> bool:
+    def matches(self, text) -> bool:
         state = 0
-        for b in text.encode("utf-8"):
+        for b in text.encode("utf-8") if isinstance(text, str) else text:
             state = int(self.trans[state, b])
             if state < 0:
                 return False
@@ -320,6 +362,10 @@ def compile_regex(pattern: str) -> ByteDFA:
         for byte, targets in by_byte.items():
             nxt = closure(frozenset(targets))
             if nxt not in dfa_ids:
+                if len(order) >= _MAX_DFA_STATES:
+                    raise ValueError(
+                        f"regex too large (over {_MAX_DFA_STATES} DFA "
+                        "states)")
                 dfa_ids[nxt] = len(order)
                 order.append(nxt)
             row[byte] = dfa_ids[nxt]
@@ -336,33 +382,36 @@ def compile_regex(pattern: str) -> ByteDFA:
 
 
 def token_strings_from_tokenizer(tokenizer, vocab_size: Optional[int] = None
-                                 ) -> List[str]:
-    """Byte strings each vocab id contributes to the decoded text.
+                                 ) -> List[bytes]:
+    """RAW BYTES each vocab id contributes to the decoded text.
 
     HF sentencepiece-style tokenizers: `convert_ids_to_tokens` with the
     ``▁``→space and ``<0xNN>``→byte conventions. Fallback (test/mock
-    tokenizers): per-id `decode`."""
+    tokenizers): per-id `decode`. Bytes, not str: a byte-fallback token
+    ``<0xC3>`` IS the single byte 0xC3 — as a str it would re-encode to two
+    UTF-8 bytes and walk the wrong sequence through the byte DFA."""
     V = vocab_size or getattr(tokenizer, "vocab_size", None) or len(
         tokenizer.get_vocab())
     conv = getattr(tokenizer, "convert_ids_to_tokens", None)
-    out: List[str] = []
+    out: List[bytes] = []
     if conv is not None:
         toks = conv(list(range(V)))
         for t in toks:
             if t is None:
-                out.append("")
+                out.append(b"")
             elif len(t) == 6 and t.startswith("<0x") and t.endswith(">"):
-                out.append(chr(int(t[3:5], 16)))
+                out.append(bytes([int(t[3:5], 16)]))
             elif t.startswith("<") and t.endswith(">"):
-                out.append("")  # special tokens contribute no text
+                out.append(b"")  # special tokens contribute no text
             else:
-                out.append(t.replace("▁", " "))
+                out.append(t.replace("▁", " ").encode("utf-8"))
         return out
     for i in range(V):
         try:
-            out.append(tokenizer.decode([i], skip_special_tokens=True))
+            out.append(tokenizer.decode([i], skip_special_tokens=True)
+                       .encode("utf-8"))
         except Exception:  # noqa: BLE001
-            out.append("")
+            out.append(b"")
     return out
 
 
@@ -384,7 +433,11 @@ class TokenGrammar:
         V = len(token_strings)
 
         # Pack token bytes into a padded matrix for a vectorized DFA walk.
-        blobs = [t.encode("utf-8") for t in token_strings]
+        # token_strings normally arrives as raw bytes (see
+        # token_strings_from_tokenizer); str entries are encoded for
+        # compatibility with hand-built vocabularies in tests.
+        blobs = [t if isinstance(t, bytes) else t.encode("utf-8")
+                 for t in token_strings]
         lens = np.asarray([len(b) for b in blobs], np.int32)
         L = max(1, int(lens.max()))
         mat = np.zeros((V, L), np.uint8)
@@ -532,11 +585,19 @@ def schema_to_regex(schema: dict) -> str:
         item = schema_to_regex(schema.get("items", {"type": "number"}))
         lo = int(schema.get("minItems", 0))
         hi = schema.get("maxItems")
+        if lo < 0:
+            raise ValueError(f"minItems must be >= 0, got {lo}")
+        if hi is not None:
+            hi = int(hi)
+            if hi < lo:
+                raise ValueError(f"maxItems {hi} < minItems {lo}")
+            if hi == 0:
+                return f"\\[{_WS}\\]"  # only the empty array conforms
         rest = f"({_WS},{_WS}{item})"
         if hi is None:
             body = f"{item}{rest}*" if lo <= 1 else f"{item}{rest}{{{lo - 1},}}"
         else:
-            body = f"{item}{rest}{{{max(lo - 1, 0)},{int(hi) - 1}}}"
+            body = f"{item}{rest}{{{max(lo - 1, 0)},{hi - 1}}}"
         if lo == 0:
             return f"\\[{_WS}({body})?{_WS}\\]"
         return f"\\[{_WS}{body}{_WS}\\]"
