@@ -77,6 +77,30 @@ def _free_device_memory():
     jax.clear_caches()
 
 
+def _clear_jax_backends() -> bool:
+    """Clear jax's cached backend-init state so a failed acquisition can be
+    retried (jax caches a failed init and rethrows it from every later
+    jax.devices()). The public name moved across jax versions — probe the
+    known homes and report whether ANY worked, so the retry loop can stop
+    instead of spinning on a permanently-cached failure."""
+    candidates = []
+    try:
+        import jax.extend.backend as _jexb
+        candidates.append(getattr(_jexb, "clear_backends", None))
+    except Exception:
+        pass
+    candidates.append(getattr(jax, "clear_backends", None))  # jax < 0.4.36
+    for fn in candidates:
+        if fn is None:
+            continue
+        try:
+            fn()
+            return True
+        except Exception:
+            continue
+    return False
+
+
 def _random_quantized_mistral(dec, key, bits: int = 8):
     """Random int8/int4 decoder weights built directly quantized (a bf16
     init + quantize pass would transiently need ~22GB — more than one
@@ -525,10 +549,15 @@ def main():
                 watchdog.cancel()
                 return
             h.emit()  # progress line per failed attempt
-            try:
-                jax.clear_backends()
-            except Exception:
-                pass
+            if not _clear_jax_backends():
+                # No working cache-clear API: every further jax.devices()
+                # would rethrow the cached failed init instantly, so the
+                # loop can never recover — record that instead of
+                # sleep-spinning the rest of the budget away.
+                h.extras["device_error"] += " (no backend-clear API)"
+                h.emit(final=True)
+                watchdog.cancel()
+                return
             time.sleep(45)
     h.extras["device_acquire_s"] = round(time.monotonic() - t0, 1)
 

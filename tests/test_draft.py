@@ -93,6 +93,40 @@ class TestDraftProposer:
         assert plain == spec
         assert (draft.len == 0).all()  # never drafted
 
+    def test_tight_cache_caps_span_instead_of_declining(self, setup, rng):
+        """A slot whose draft cache can't hold the FULL lookahead span
+        drafts a SHORTER span (rows = len + allowed + 2 == cache_len)
+        rather than being declined and permanently zeroed."""
+        cfg, params = setup
+        hist = list(rng.integers(5, 60, (7,)))  # admit stores 6 rows
+        draft = DraftModel(params, cfg, max_slots=4, cache_len=12)
+        assert draft.admit(0, hist)
+        assert draft.len[0] == 6
+        active = np.array([True, False, False, False])
+        pending = np.array([hist[-1], 0, 0, 0], np.int32)
+        caps = np.array([8, 0, 0, 0])
+        props = draft.propose(active, pending, caps, span=8)
+        assert props[0] is not None and len(props[0]) == 4  # 12 - 6 - 2
+        assert all(p is None for p in props[1:])
+        assert draft._drafted[0]
+        draft.commit(0, 5)  # pending + 4 accepted
+        assert draft.len[0] == 11  # still drafting-capable mirror
+        # Next round: no headroom left (12 - 11 - 2 < 0) -> not drafting.
+        props = draft.propose(active, pending, caps, span=8)
+        assert props[0] is None and not draft._drafted[0]
+
+    def test_tight_draft_cache_still_exact(self, setup, rng):
+        """End-to-end with a draft cache too small for the full span:
+        outputs stay token-identical to plain greedy while early rounds
+        use capped draft spans."""
+        cfg, params = setup
+        ids = rng.integers(5, 60, (7,))
+        plain = run_batcher(params, cfg, [ids], lookahead=0, max_new=12)
+        draft = DraftModel(params, cfg, max_slots=4, cache_len=12)
+        spec = run_batcher(params, cfg, [ids], lookahead=8, draft=draft,
+                           max_new=12)
+        assert plain == spec
+
     def test_budget_edges(self, setup, rng):
         cfg, params = setup
         ids = rng.integers(5, 60, (6,))

@@ -166,3 +166,13 @@ class TestEnginePrefixCache:
         assert replies["warm"] == replies["cold"]
         assert warm.batcher.prefix_cache.hits >= 1
         assert cold.batcher.prefix_cache is None
+
+
+class TestMainArgValidation:
+    def test_draft_model_requires_continuous_batching(self):
+        """--draft-model on the serialized path is rejected up-front (the
+        engine would silently drop the loaded draft otherwise)."""
+        from vis_zephyr_tpu.serve.api import main
+
+        with pytest.raises(SystemExit):
+            main(["--model-path", "/nonexistent", "--draft-model", "/n2"])

@@ -229,7 +229,12 @@ def mistral_forward(
     if cache is None:
         if attn_mesh is not None and cfg.num_kv_heads % attn_mesh.shape.get(
                 "model", 1):
-            attn_mesh = None  # GQA groups must stay whole per shard
+            # GQA groups must stay whole per shard: the per-shard Pallas
+            # kernel can't run, and an UNSHARDED Pallas custom call inside
+            # the SPMD program can't be auto-partitioned either — fall all
+            # the way back to XLA attention, which partitions fine.
+            attn_mesh = None
+            use_flash = False
         if use_flash is None:
             use_flash = (
                 jax.default_backend() != "cpu"

@@ -305,6 +305,16 @@ def main(args=None):
                         "field (default: base). Requires "
                         "--continuous-batching")
     a = p.parse_args(args)
+    if a.draft_model:
+        # Validate BEFORE the expensive loads: a draft model that the
+        # engine would silently drop (no batcher / no lookahead) is a
+        # misconfiguration the user should hear about, not pay for.
+        if not a.continuous_batching:
+            p.error("--draft-model requires --continuous-batching")
+        if a.lookahead <= 0:
+            a.lookahead = 4
+            print("--draft-model without --lookahead: defaulting to "
+                  "--lookahead 4")
 
     tokenizer, params, cfg, _ = load_pretrained_model(
         a.model_path, model_base=a.model_base, vision_tower_path=a.vision_tower,

@@ -45,31 +45,38 @@ from .generate import SamplingConfig
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n"), donate_argnums=(1,))
-def _draft_propose_steps(params, cache, token, active, cfg: VisZephyrConfig,
+def _draft_propose_steps(params, cache, token, steps_left, cfg: VisZephyrConfig,
                          n: int):
-    """`n` greedy draft decode steps + one final feed in ONE dispatch.
+    """Up to `n` greedy draft decode steps + one final feed per slot, all
+    in ONE dispatch.
 
     The naive loop paid (n+1) dispatches and n device_gets per scheduler
     round — on a tunneled link that dwarfs the draft's actual compute.
     A lax.scan chains the steps on device (the `_paged_multi_step`
-    pattern); the final feed writes the last candidate's row so the
-    draft cache holds every proposable row and `commit()` only ever
-    rolls BACK. Returns (toks [n, B], cache)."""
+    pattern). `steps_left` [B] int32 is each slot's total device-step
+    budget (its allowed proposal span + 1 feed step; 0 = not drafting):
+    a slot freezes once exhausted, so capacity-tight slots can draft a
+    SHORTER span instead of being declined, and the final live step of
+    every slot writes its last candidate's row — the draft cache holds
+    every proposable row and `commit()` only ever rolls BACK.
+    Returns (toks [n, B], cache): toks[j] is only meaningful for slots
+    whose span exceeds j (the caller slices per-slot caps)."""
     from .batching import _batch_step
 
     sampling = SamplingConfig(temperature=0.0, eos_token_id=-1)
     key = jax.random.PRNGKey(0)  # unused at temperature 0
 
     def step(carry, _):
-        cache, token = carry
-        tok, cache, _, _ = _batch_step(params, cache, token, active, key,
+        cache, token, left = carry
+        act = left > 0
+        tok, cache, _, _ = _batch_step(params, cache, token, act, key,
                                        cfg, sampling)
-        return (cache, tok), tok
+        token = jnp.where(act, tok, token)
+        return (cache, token, left - act.astype(left.dtype)), tok
 
-    (cache, token), toks = jax.lax.scan(step, (cache, token), None, length=n)
-    _, cache, _, _ = _batch_step(params, cache, token, active, key, cfg,
-                                sampling)
-    return toks, cache
+    (cache, token, _), toks = jax.lax.scan(
+        step, (cache, token, steps_left), None, length=n + 1)
+    return toks[:n], cache
 
 
 class DraftModel:
@@ -127,10 +134,15 @@ class DraftModel:
         in `span` batched draft steps (one extra step feeds the last
         candidate so a fully-accepted round needs no special case).
         `pending`: the batcher's pending token per slot; `caps`: per-slot
-        proposal budget (0 = don't propose). Returns per-slot proposal
-        arrays (None where not drafting)."""
-        drafting = (active & (self.len > 0) & (caps > 0)
-                    & (self.len + span + 2 <= self.cache_len))
+        proposal budget (0 = don't propose). A slot whose draft cache can't
+        hold the FULL span drafts a shorter one (rows needed next round =
+        len + allowed + 2 ≤ cache_len) instead of being declined. Returns
+        per-slot proposal arrays (None where not drafting)."""
+        allowed = np.minimum(np.minimum(caps, span),
+                             self.cache_len - self.len - 2)
+        allowed = np.where(active & (self.len > 0),
+                           np.maximum(allowed, 0), 0)
+        drafting = allowed > 0
         self._drafted = drafting
         if not drafting.any():
             return [None] * self.max_slots
@@ -142,12 +154,12 @@ class DraftModel:
             self.cache, length=jnp.asarray(self.len.astype(np.int32))
         )
         token = jnp.asarray(np.where(drafting, pending, 0).astype(np.int32))
-        act = jnp.asarray(drafting)
+        steps_left = jnp.asarray((allowed + drafting).astype(np.int32))
         toks, self.cache = _draft_propose_steps(
-            self.params, self.cache, token, act, self.cfg, span,
+            self.params, self.cache, token, steps_left, self.cfg, span,
         )
         out = np.asarray(jax.device_get(toks)).T  # [slots, span]
-        return [out[s, : caps[s]] if drafting[s] else None
+        return [out[s, : allowed[s]] if drafting[s] else None
                 for s in range(self.max_slots)]
 
     def commit(self, slot: int, n_emitted: int) -> None:

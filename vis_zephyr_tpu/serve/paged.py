@@ -467,78 +467,66 @@ def _scale_kwargs(quant, scales):
 # shard_map operand lists shrink (None can't ride a shard_map spec).
 
 
+def _tp_paged_attention_factory(mesh, call, q_spec, fixed_specs, quant,
+                                fused):
+    """Shared body of the three paged-attention TP wrappers.
+
+    `call(q, kp, vp, *fixed, **scale_kw)` invokes the kernel; the factory
+    builds the shard_map operand/spec lists once for every (quant, fused)
+    combination — under `fused` the v-side pool and its scale pool are
+    absent (vp/v_scales = None at the call sites) and simply drop out of
+    the operand lists. Returns `wrapper(q, kp, vp, *fixed, **kw)` with the
+    callers' uniform split-layout signature (kw may carry k_scales /
+    v_scales; the extras are ignored where not applicable)."""
+    npool = 1 if fused else 2
+
+    def local(q, *rest):
+        pools, rest = rest[:npool], rest[npool:]
+        fixed, scales = rest[: len(fixed_specs)], rest[len(fixed_specs):]
+        kw = {}
+        if quant:
+            kw["k_scales"] = scales[0]
+            if not fused:
+                kw["v_scales"] = scales[1]
+        return call(q, pools[0], None if fused else pools[1], *fixed, **kw)
+
+    specs = ([q_spec] + [_POOL_SPEC] * npool + list(fixed_specs)
+             + [_POOL_SPEC] * (npool if quant else 0))
+    sm = _tp_attention(mesh, local, specs, q_spec)
+
+    def wrapper(q, kp, vp, *fixed, **kw):
+        ops = (q, kp) + (() if fused else (vp,)) + fixed
+        if quant:
+            ops += ((kw["k_scales"],) if fused
+                    else (kw["k_scales"], kw["v_scales"]))
+        return sm(*ops)
+
+    return wrapper
+
+
 def _paged_attention_tp(mesh, sliding_window=None, quant=False, fused=False):
     """`paged_attention` (single-row dispatch, q [B, Hq, D]) under the
     model-axis TP mesh (sharding story: see the spec vocabulary above).
     `quant` appends the kv-head-sharded scale pools."""
-    if fused:
-        def local(q, kp, table, lengths, *scales):
-            return paged_attention(q, kp, None, table, lengths,
-                                   sliding_window=sliding_window,
-                                   **({"k_scales": scales[0]} if quant else {}))
-
-        specs = [_Q3_SPEC, _POOL_SPEC, P(None, None), P(None)]
-        sm = _tp_attention(mesh, local, specs + [_POOL_SPEC] * quant,
-                           _Q3_SPEC)
-
-        def wrapper(q, kp, vp, table, lengths, **kw):
-            return sm(q, kp, table, lengths,
-                      *((kw["k_scales"],) if quant else ()))
-
-        return wrapper
-
-    def local(q, kp, vp, table, lengths, *scales):
+    def call(q, kp, vp, table, lengths, **scale_kw):
         return paged_attention(q, kp, vp, table, lengths,
-                               sliding_window=sliding_window,
-                               **_scale_kwargs(quant, scales))
+                               sliding_window=sliding_window, **scale_kw)
 
-    specs = [_Q3_SPEC, _POOL_SPEC, _POOL_SPEC, P(None, None), P(None)]
-    sm = _tp_attention(mesh, local,
-                       specs + [_POOL_SPEC, _POOL_SPEC] * quant, _Q3_SPEC)
-
-    def wrapper(q, kp, vp, table, lengths, **kw):
-        return sm(q, kp, vp, table, lengths,
-                  *((kw["k_scales"], kw["v_scales"]) if quant else ()))
-
-    return wrapper
+    return _tp_paged_attention_factory(
+        mesh, call, _Q3_SPEC, [P(None, None), P(None)], quant, fused)
 
 
 def _paged_attention_fa_tp(mesh, sliding_window=None, quant=False,
                            fused=False):
     """`paged_attention_fa` (multi-row verify shape, q [B, S, Hq, D],
     explicit q_offs) under the TP mesh."""
-    if fused:
-        def local(q, kp, table, lengths, q_offs, *scales):
-            return paged_attention_fa(q, kp, None, table, lengths, q_offs,
-                                      sliding_window=sliding_window,
-                                      **({"k_scales": scales[0]} if quant
-                                         else {}))
-
-        specs = [_Q4_SPEC, _POOL_SPEC, P(None, None), P(None), P(None)]
-        sm = _tp_attention(mesh, local, specs + [_POOL_SPEC] * quant,
-                           _Q4_SPEC)
-
-        def wrapper(q, kp, vp, table, lengths, q_offs, **kw):
-            return sm(q, kp, table, lengths, q_offs,
-                      *((kw["k_scales"],) if quant else ()))
-
-        return wrapper
-
-    def local(q, kp, vp, table, lengths, q_offs, *scales):
+    def call(q, kp, vp, table, lengths, q_offs, **scale_kw):
         return paged_attention_fa(q, kp, vp, table, lengths, q_offs,
-                                  sliding_window=sliding_window,
-                                  **_scale_kwargs(quant, scales))
+                                  sliding_window=sliding_window, **scale_kw)
 
-    specs = [_Q4_SPEC, _POOL_SPEC, _POOL_SPEC, P(None, None), P(None),
-             P(None)]
-    sm = _tp_attention(mesh, local,
-                       specs + [_POOL_SPEC, _POOL_SPEC] * quant, _Q4_SPEC)
-
-    def wrapper(q, kp, vp, table, lengths, q_offs, **kw):
-        return sm(q, kp, vp, table, lengths, q_offs,
-                  *((kw["k_scales"], kw["v_scales"]) if quant else ()))
-
-    return wrapper
+    return _tp_paged_attention_factory(
+        mesh, call, _Q4_SPEC, [P(None, None), P(None), P(None)], quant,
+        fused)
 
 
 def _paged_attention_fa_selfterm_tp(mesh, sliding_window=None, quant=False,
@@ -546,39 +534,58 @@ def _paged_attention_fa_selfterm_tp(mesh, sliding_window=None, quant=False,
     """Self-term decode attention (`paged_attention_fa(k_new=...)`,
     q [B, 1, Hq, D], q_offs = lengths) under the TP mesh: k_new/v_new
     shard over kv heads with the pools."""
-    if fused:
-        def local(q, kp, table, lengths, kn, vn, *scales):
-            return paged_attention_fa(q, kp, None, table, lengths, lengths,
-                                      sliding_window=sliding_window,
-                                      k_new=kn, v_new=vn,
-                                      **({"k_scales": scales[0]} if quant
-                                         else {}))
-
-        specs = [_Q4_SPEC, _POOL_SPEC, P(None, None), P(None),
-                 _Q3_SPEC, _Q3_SPEC]
-        sm = _tp_attention(mesh, local, specs + [_POOL_SPEC] * quant,
-                           _Q4_SPEC)
-
-        def wrapper(q, kp, vp, table, lengths, *, k_new, v_new, **kw):
-            return sm(q, kp, table, lengths, k_new, v_new,
-                      *((kw["k_scales"],) if quant else ()))
-
-        return wrapper
-
-    def local(q, kp, vp, table, lengths, kn, vn, *scales):
+    def call(q, kp, vp, table, lengths, kn, vn, **scale_kw):
         return paged_attention_fa(q, kp, vp, table, lengths, lengths,
                                   sliding_window=sliding_window,
-                                  k_new=kn, v_new=vn,
-                                  **_scale_kwargs(quant, scales))
+                                  k_new=kn, v_new=vn, **scale_kw)
 
-    specs = [_Q4_SPEC, _POOL_SPEC, _POOL_SPEC, P(None, None), P(None),
-             _Q3_SPEC, _Q3_SPEC]
-    sm = _tp_attention(mesh, local,
-                       specs + [_POOL_SPEC, _POOL_SPEC] * quant, _Q4_SPEC)
+    inner = _tp_paged_attention_factory(
+        mesh, call, _Q4_SPEC,
+        [P(None, None), P(None), _Q3_SPEC, _Q3_SPEC], quant, fused)
 
     def wrapper(q, kp, vp, table, lengths, *, k_new, v_new, **kw):
-        return sm(q, kp, vp, table, lengths, k_new, v_new,
-                  *((kw["k_scales"], kw["v_scales"]) if quant else ()))
+        return inner(q, kp, vp, table, lengths, k_new, v_new, **kw)
+
+    return wrapper
+
+
+def _tp_kv_write_factory(mesh, kernel, quant, fused):
+    """Shared body of the four paged KV-write TP wrappers.
+
+    `kernel(*pools, k, v, idx, off) -> pools'` where pools is (kp, vp) or
+    (kp, vp, ksp, vsp); everything kv-head-shards with zero collectives.
+    Under `fused` the v-side pools (odd positions) are None — they drop
+    out of the shard_map operands and reappear as None in the returned
+    tuple, keeping the callers' uniform split-layout signature."""
+    from jax.experimental.shard_map import shard_map
+
+    n = 4 if quant else 2
+    live = [i for i in range(n) if not (fused and i % 2)]
+    data_spec = P(None, None, "model", None)  # k/v rows [B, S, Hkv, D]
+
+    def local(*ops):
+        pools, rest = ops[: len(live)], ops[len(live):]
+        full = [None] * n
+        for j, i in enumerate(live):
+            full[i] = pools[j]
+        out = kernel(*full, *rest)
+        return tuple(out[i] for i in live)
+
+    inner = shard_map(
+        local, mesh=mesh,
+        in_specs=tuple([P("model")] * len(live)
+                       + [data_spec, data_spec, P(), P()]),
+        out_specs=tuple([P("model")] * len(live)),
+        check_rep=False,
+    )
+
+    def wrapper(*ops):
+        pools, rest = ops[:n], ops[n:]
+        outs = inner(*(pools[i] for i in live), *rest)
+        full = [None] * n
+        for j, i in enumerate(live):
+            full[i] = outs[j]
+        return tuple(full)
 
     return wrapper
 
@@ -586,122 +593,28 @@ def _paged_attention_fa_selfterm_tp(mesh, sliding_window=None, quant=False,
 def _kv_rows_tp(mesh, fused=False):
     """paged_kv_update_rows under the TP mesh: rows shard over kv heads
     with the pools (no collectives)."""
-    from jax.experimental.shard_map import shard_map
-
-    if fused:
-        inner = shard_map(
-            lambda kp, ks, vs, pg, off:
-                paged_kv_update_rows(kp, None, ks, vs, pg, off)[0],
-            mesh=mesh,
-            in_specs=(P("model"), P(None, None, "model", None),
-                      P(None, None, "model", None), P(), P()),
-            out_specs=P("model"), check_rep=False,
-        )
-        return lambda kp, vp, ks, vs, pg, off: (inner(kp, ks, vs, pg, off),
-                                                None)
-
-    return shard_map(
-        paged_kv_update_rows, mesh=mesh,
-        in_specs=(P("model"), P("model"),
-                  P(None, None, "model", None),
-                  P(None, None, "model", None), P(), P()),
-        out_specs=(P("model"), P("model")),
-        check_rep=False,
-    )
+    return _tp_kv_write_factory(mesh, paged_kv_update_rows, quant=False,
+                                fused=fused)
 
 
 def _kv_rows_q_tp(mesh, fused=False):
-    from jax.experimental.shard_map import shard_map
-
-    if fused:
-        def local(kp, ksp, ks, vs, pg, off):
-            o = paged_kv_update_rows_q(kp, None, ksp, None, ks, vs, pg, off)
-            return o[0], o[2]
-
-        inner = shard_map(
-            local, mesh=mesh,
-            in_specs=(P("model"), P("model"),
-                      P(None, None, "model", None),
-                      P(None, None, "model", None), P(), P()),
-            out_specs=(P("model"), P("model")), check_rep=False,
-        )
-
-        def wrapper(kp, vp, ksp, vsp, ks, vs, pg, off):
-            kp, ksp = inner(kp, ksp, ks, vs, pg, off)
-            return kp, None, ksp, None
-
-        return wrapper
-
-    return shard_map(
-        paged_kv_update_rows_q, mesh=mesh,
-        in_specs=(P("model"), P("model"), P("model"), P("model"),
-                  P(None, None, "model", None),
-                  P(None, None, "model", None), P(), P()),
-        out_specs=(P("model"), P("model"), P("model"), P("model")),
-        check_rep=False,
-    )
+    return _tp_kv_write_factory(mesh, paged_kv_update_rows_q, quant=True,
+                                fused=fused)
 
 
 def _kv_update_tp(mesh, fused=False):
     """paged_kv_update under the TP mesh: each shard writes its own kv
     heads' rows into its pool shard (no collectives)."""
-    from jax.experimental.shard_map import shard_map
-
-    if fused:
-        inner = shard_map(
-            lambda kp, k, v, pids, off:
-                paged_kv_update(kp, None, k, v, pids, off)[0],
-            mesh=mesh,
-            in_specs=(P("model"), P(None, None, "model", None),
-                      P(None, None, "model", None), P(), P()),
-            out_specs=P("model"), check_rep=False,
-        )
-        return lambda kp, vp, k, v, pids, off: (inner(kp, k, v, pids, off),
-                                                None)
-
-    return shard_map(
-        paged_kv_update, mesh=mesh,
-        in_specs=(P("model"), P("model"),
-                  P(None, None, "model", None),
-                  P(None, None, "model", None), P(), P()),
-        out_specs=(P("model"), P("model")),
-        check_rep=False,
-    )
+    return _tp_kv_write_factory(mesh, paged_kv_update, quant=False,
+                                fused=fused)
 
 
 def _kv_update_q_tp(mesh, fused=False):
     """paged_kv_update_q under the TP mesh: int8 pools AND their per-row
-    scale pools are kv-head-sharded; each shard quantizes and writes its own
-    heads' rows (no collectives)."""
-    from jax.experimental.shard_map import shard_map
-
-    if fused:
-        def local(kp, ksp, k, v, pids, off):
-            o = paged_kv_update_q(kp, None, ksp, None, k, v, pids, off)
-            return o[0], o[2]
-
-        inner = shard_map(
-            local, mesh=mesh,
-            in_specs=(P("model"), P("model"),
-                      P(None, None, "model", None),
-                      P(None, None, "model", None), P(), P()),
-            out_specs=(P("model"), P("model")), check_rep=False,
-        )
-
-        def wrapper(kp, vp, ksp, vsp, k, v, pids, off):
-            kp, ksp = inner(kp, ksp, k, v, pids, off)
-            return kp, None, ksp, None
-
-        return wrapper
-
-    return shard_map(
-        paged_kv_update_q, mesh=mesh,
-        in_specs=(P("model"), P("model"), P("model"), P("model"),
-                  P(None, None, "model", None),
-                  P(None, None, "model", None), P(), P()),
-        out_specs=(P("model"), P("model"), P("model"), P("model")),
-        check_rep=False,
-    )
+    scale pools are kv-head-sharded; each shard quantizes and writes its
+    own heads' rows (no collectives)."""
+    return _tp_kv_write_factory(mesh, paged_kv_update_q, quant=True,
+                                fused=fused)
 
 
 @functools.partial(
