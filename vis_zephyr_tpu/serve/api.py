@@ -298,6 +298,12 @@ def main(args=None):
                         "prompts, multi-turn continuations) reuse its pool "
                         "pages and prefill only the suffix; needs "
                         "--prefill-chunk (on by default)")
+    p.add_argument("--lazy-alloc", action="store_true",
+                   help="incremental page allocation (paged only): slots "
+                        "reserve pages as they grow instead of their full "
+                        "max-tokens span, raising concurrency; under pool "
+                        "pressure the youngest slot is preempted to host "
+                        "memory (bit-exact KV swap) and resumes FIFO")
     p.add_argument("--lora-adapters", default=None,
                    help="multi-LoRA serving: comma-separated name=dir peft "
                         "adapter dirs served concurrently on the one base "
@@ -351,7 +357,7 @@ def main(args=None):
         lookahead=a.lookahead, draft_params=draft_params, draft_cfg=draft_cfg,
         multi_step=a.multi_step, kv_fused=a.kv_fused,
         prefix_cache=a.prefix_cache, page_size=a.page_size,
-        mlora=mlora, adapter_names=adapter_names,
+        mlora=mlora, adapter_names=adapter_names, lazy_alloc=a.lazy_alloc,
     )
     server = serve(engine, a.host, a.port)
     print(f"serving on {a.host}:{a.port}")

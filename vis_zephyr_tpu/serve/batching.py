@@ -493,9 +493,14 @@ class ContinuousBatcher:
 
     # -- scheduler -----------------------------------------------------------
 
+    def _slot_free(self, slot: int) -> bool:
+        """Can `slot` take a new admission? (PagedBatcher also excludes
+        slots parked by host-swap preemption — inactive but OWNED.)"""
+        return not self.active[slot] and slot != self._reserved_slot
+
     def _admit_pending(self) -> None:
         for slot in range(self.max_slots):
-            if self.active[slot] or slot == self._reserved_slot:
+            if not self._slot_free(slot):
                 continue
             try:
                 req = self.pending.get_nowait()
@@ -658,7 +663,7 @@ class ContinuousBatcher:
                 req.out.put(None)
                 return
             slot = next(
-                (s for s in range(self.max_slots) if not self.active[s]), None
+                (s for s in range(self.max_slots) if self._slot_free(s)), None
             )
             if slot is None:
                 self.pending.put(req)  # no slot; retry later
@@ -884,6 +889,7 @@ class ContinuousBatcher:
                     self._finish(slot)
                     continue
                 self._emit(self.slot_req[slot], tok)
+                self.slot_len[slot] += 1
                 self.budget[slot] -= 1
                 if self.budget[slot] <= 0:
                     self._finish(slot)
@@ -952,6 +958,7 @@ class ContinuousBatcher:
                     (float(lp_host[0][slot]), lp_host[1][slot],
                      lp_host[2][slot]))
             self._emit(self.slot_req[slot], tok)
+            self.slot_len[slot] += 1
             self.budget[slot] -= 1
             if self.budget[slot] <= 0:
                 self._finish(slot)

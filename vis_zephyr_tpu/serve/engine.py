@@ -55,6 +55,7 @@ class ChatEngine:
         page_size: int = 128,
         mlora=None,
         adapter_names=None,
+        lazy_alloc: bool = False,
     ):
         """`mesh`: optional inference mesh (model-axis TP). Params are
         sharded once here; jitted prefill/decode partition via SPMD
@@ -98,6 +99,9 @@ class ChatEngine:
         self._pump = None
         self._pump_stop = False
         self._pump_lock = threading.Lock()
+        if lazy_alloc and (not continuous_batching or kv_cache != "paged"):
+            raise ValueError("lazy_alloc requires continuous batching with "
+                             "kv_cache='paged'")
         if continuous_batching:
             draft = None
             if draft_params is not None and lookahead > 0:
@@ -119,6 +123,7 @@ class ChatEngine:
                     multi_step=multi_step, kv_fused=kv_fused,
                     prefix_cache=prefix_cache, page_size=page_size,
                     mlora=mlora, adapter_names=adapter_names,
+                    lazy_alloc=lazy_alloc,
                 )
             else:
                 from .batching import ContinuousBatcher

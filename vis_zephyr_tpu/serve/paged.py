@@ -384,6 +384,21 @@ def _clear_row(page_table, slot):
     return page_table.at[slot].set(jnp.zeros((page_table.shape[1],), page_table.dtype))
 
 
+@jax.jit
+def _pool_rows_get(pool, idx):
+    """Gather pool pages [:, idx] along the (layer·page) axis — the raw
+    swap-out read (int8/bf16 pool bytes or f32 scale rows, verbatim)."""
+    return jnp.take(pool, idx, axis=1)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _pool_rows_set(pool, idx, data):
+    """Scatter previously-gathered pages back into (possibly different)
+    pool slots — the raw swap-in write. Bit-exact round-trip with
+    `_pool_rows_get` by construction: no dequant/requant in the path."""
+    return pool.at[:, idx].set(data)
+
+
 @functools.partial(jax.jit, static_argnames=("num_layers",))
 def _gather_prefix(kp, vp, ksp, vsp, pages, *, num_layers: int):
     """Gather shared prompt pages into dense prefix K/V [L, n0·ps, Hkv, D]
@@ -1012,6 +1027,7 @@ class PagedBatcher(ContinuousBatcher):
         prefix_cache: bool = False,
         mlora=None,
         adapter_names=None,
+        lazy_alloc: bool = False,
     ):
         """`kv_quant`: store the pools int8 with per-row absmax scales
         (library convention, `ops.paged_attention.quantize_kv`). Halves the
@@ -1037,7 +1053,24 @@ class PagedBatcher(ContinuousBatcher):
         token-exact for bf16 pools, pinned in tests/test_prefix_cache.py;
         with `kv_quant` a hit re-reads the int8-rounded prefix, a drift
         of the same class as the quantization itself). Only positions
-        before the first image sentinel are shareable."""
+        before the first image sentinel are shareable.
+
+        `lazy_alloc`: incremental page allocation + host-swap preemption.
+        The default admission reserves a request's FULL span
+        (prompt + max_new_tokens) up front — simple, but a request that
+        stops early at EOS holds its unused reservation for its whole
+        life, capping concurrency well below what tokens-in-flight would
+        allow (the reference has nothing comparable; this is the
+        vLLM-style alternative, TPU-first). With `lazy_alloc` a slot owns
+        only the pages covering its CURRENT length plus one scheduler
+        round of growth; before every round each active slot is topped up
+        at page boundaries, and when the pool is exhausted the YOUNGEST
+        slot is preempted: its raw pool rows (int8/bf16 bytes + f32
+        scale rows, so restore is bit-exact in every layout) are gathered
+        to host memory, its pages released, and it resumes FIFO — oldest
+        first, never stealing from running slots — once finishing
+        requests free pages. Token-exact vs eager allocation
+        (tests/test_paged_swap.py)."""
         if mesh is not None:
             m = mesh.shape.get("model", 1)
             if cfg.decoder.num_kv_heads % max(m, 1):
@@ -1078,7 +1111,14 @@ class PagedBatcher(ContinuousBatcher):
             # Default: half the dense-cache footprint, ≥ 2 full sequences.
             num_pages = 1 + max(2 * self.pages_per_seq,
                                 max_slots * self.pages_per_seq // 2)
+        self.num_pages = num_pages
         self.allocator = PageAllocator(num_pages)
+        self.lazy_alloc = lazy_alloc
+        # slot -> host pool-row snapshot; insertion order IS the FIFO
+        # resume order (dicts preserve it).
+        self._swapped: dict = {}
+        self.slot_seq = np.zeros(max_slots, np.int64)  # admission order
+        self._seq = 0
         if prefix_cache and not prefill_chunk:
             raise ValueError(
                 "prefix_cache requires chunked prefill admission "
@@ -1163,7 +1203,8 @@ class PagedBatcher(ContinuousBatcher):
     @property
     def has_work(self) -> bool:
         return (self.active.any() or not self.pending.empty()
-                or bool(self._requeued) or self._prefilling is not None)
+                or bool(self._requeued) or self._prefilling is not None
+                or bool(self._swapped))
 
     def _next_request(self) -> Optional[_Request]:
         if self._requeued:
@@ -1173,11 +1214,16 @@ class PagedBatcher(ContinuousBatcher):
         except queue.Empty:
             return None
 
+    def _slot_free(self, slot: int) -> bool:
+        # A swapped-out slot is inactive but still OWNS its parked
+        # request's state — admission must not clobber it.
+        return super()._slot_free(slot) and slot not in self._swapped
+
     def _admit_pending(self) -> None:
         from .batching import _prefill_kv
 
         for slot in range(self.max_slots):
-            if self.active[slot] or slot == self._reserved_slot:
+            if not self._slot_free(slot):
                 continue
             req = self._next_request()
             if req is None:
@@ -1237,7 +1283,12 @@ class PagedBatcher(ContinuousBatcher):
             k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
             v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
             T += pad
-        n_pages = max(n0 + T // ps, -(-(n_len + req.max_new_tokens) // ps))
+        span_pages = -(-(n_len + req.max_new_tokens) // ps)
+        if self.lazy_alloc:
+            # Reserve only current length + one round's growth; later
+            # growth is topped up page-by-page (preempting under pressure).
+            span_pages = min(span_pages, -(-(n_len + self._headroom) // ps))
+        n_pages = max(n0 + T // ps, span_pages)
         n_owned = n_pages - n0
         pages = self.allocator.alloc(n_owned)
         if pages is None and self.prefix_cache is not None:
@@ -1264,6 +1315,8 @@ class PagedBatcher(ContinuousBatcher):
             )
         self.slot_pages[slot] = shared + pages
         self.slot_len[slot] = n_len
+        self.slot_seq[slot] = self._seq
+        self._seq += 1
         if self.prefix_cache is not None:
             n_ins = self._shareable_pages(req.input_ids, n_len)
             if n_ins > 0:
@@ -1327,7 +1380,146 @@ class PagedBatcher(ContinuousBatcher):
             self.allocator.release(self.slot_pages[slot])
             self.slot_pages[slot] = []
             self.page_table = _clear_row(self.page_table, jnp.int32(slot))
+        self._swapped.pop(slot, None)  # cancelled while swapped out
         super()._finish(slot)
+
+    # -- lazy allocation + host-swap preemption ------------------------------
+
+    @property
+    def _headroom(self) -> int:
+        """Rows a slot can append in ONE scheduler round (single step,
+        `multi_step` burst, or a `lookahead+1`-row verify) — the growth
+        margin every active slot must have page-backed before dispatch."""
+        return max(self.multi_step, self.lookahead + 1)
+
+    def _swap_idx(self, pages: List[int]):
+        """Pool axis-1 indices of `pages` across all layers, padded to a
+        power-of-two page count (bounds jit retraces); pad rows target the
+        reserved trash page 0, so a swap-in scatter's padding writes land
+        on rows nothing reads."""
+        L = self.cfg.decoder.num_layers
+        bucket = 1 << max(0, (len(pages) - 1).bit_length())
+        padded = np.zeros(bucket, np.int64)
+        padded[: len(pages)] = pages
+        idx = (np.arange(L, dtype=np.int64)[:, None] * self.num_pages
+               + padded[None, :]).ravel()
+        return jnp.asarray(idx.astype(np.int32))
+
+    def _swap_out(self, slot: int) -> None:
+        """Preempt `slot`: gather its raw pool rows (and scale rows) to
+        host, release its pages, deactivate. The snapshot is pool BYTES
+        (int8/bf16 + f32 scales), never dequantized, so the swap round
+        trip is bit-exact in every layout (bf16/int8, split/fused, TP).
+        All host-side slot state (history, grammar, penalties, budget,
+        pending token, draft-cache mirror) stays in place — only the
+        device pages move."""
+        pages = self.slot_pages[slot]
+        idx = self._swap_idx(pages)
+        # The pending token must survive the park: decode steps overwrite
+        # INACTIVE slots' token entries with pad (their trash-row write),
+        # so it would be gone by resume time without this save.
+        snap: dict = {"n": len(pages),
+                      "token": int(jax.device_get(self.token[slot]))}
+        for name in ("kp", "vp", "ksp", "vsp"):
+            pool = getattr(self, name)
+            if pool is not None:
+                snap[name] = jax.device_get(_pool_rows_get(pool, idx))
+        self.allocator.release(pages)
+        self.slot_pages[slot] = []
+        self.page_table = _clear_row(self.page_table, jnp.int32(slot))
+        self.active[slot] = False
+        self._swapped[slot] = snap
+        if self.metrics is not None:
+            self.metrics.preempt_swap_out += 1
+
+    def _swap_in(self, slot: int, pages: List[int]) -> None:
+        """Restore a swapped slot into freshly-allocated `pages` (len ≥
+        snapshot pages; extras are growth headroom) and reactivate it."""
+        snap = self._swapped.pop(slot)
+        idx = self._swap_idx(pages[: snap["n"]])
+        for name in ("kp", "vp", "ksp", "vsp"):
+            pool = getattr(self, name)
+            if pool is not None:
+                data = jnp.asarray(snap[name])
+                if self.mesh is not None:
+                    data = jax.device_put(data, pool.sharding)
+                setattr(self, name, _pool_rows_set(pool, idx, data))
+        row = np.zeros((self.pages_per_seq,), np.int32)
+        row[: len(pages)] = pages
+        self.page_table = self.page_table.at[slot].set(jnp.asarray(row))
+        self.token = self.token.at[slot].set(jnp.int32(snap["token"]))
+        self.slot_pages[slot] = list(pages)
+        self.active[slot] = True
+        if self.metrics is not None:
+            self.metrics.preempt_swap_in += 1
+
+    def _try_swap_in(self) -> None:
+        """Resume swapped slots FIFO as pages free up. Resume never
+        preempts running slots (no swap thrash); a blocked head blocks the
+        queue so younger slots can't starve it."""
+        while self._swapped:
+            slot = next(iter(self._swapped))  # FIFO head
+            req = self.slot_req[slot]
+            if req is None or req.cancelled:
+                self._finish(slot)  # drops the snapshot
+                continue
+            need = min(max(self._swapped[slot]["n"],
+                           -(-(int(self.slot_len[slot]) + self._headroom)
+                             // self.page_size)),
+                       self.pages_per_seq)
+            pages = self.allocator.alloc(need)
+            if pages is None and self.prefix_cache is not None:
+                if self.prefix_cache.evict(need - self.allocator.available):
+                    pages = self.allocator.alloc(need)
+            if pages is None:
+                return
+            self._swap_in(slot, pages)
+
+    def _ensure_growth_capacity(self) -> None:
+        """Top up every active slot's pages to cover one round of growth;
+        under pool pressure preempt the YOUNGEST slot (highest admission
+        seq) until the allocation fits. Runs on the scheduler thread
+        before every decode dispatch; no-op without `lazy_alloc`."""
+        if not self.lazy_alloc:
+            return
+        for slot in range(self.max_slots):
+            if not self.active[slot]:
+                continue
+            # Clamp to the table row's width: near the cache_len boundary
+            # the headroom can demand a page the row can't hold — the
+            # device never writes past cache_len (budget freeze), so the
+            # overshoot rows are never read.
+            need = min(-(-(int(self.slot_len[slot]) + self._headroom)
+                         // self.page_size), self.pages_per_seq)
+            have = len(self.slot_pages[slot])
+            if have >= need:
+                continue
+            pages = self._alloc_or_preempt(need - have, protect=slot)
+            if pages is None:
+                # Nothing left to preempt: park this slot too; finishing
+                # requests will free the pages it needs.
+                self._swap_out(slot)
+                continue
+            self.page_table = self.page_table.at[
+                slot, have:need].set(jnp.asarray(pages, jnp.int32))
+            self.slot_pages[slot].extend(pages)
+
+    def _alloc_or_preempt(self, n: int, protect: int) -> Optional[List[int]]:
+        """Allocate `n` pages, evicting idle cached prefixes and then
+        swapping out the youngest other active slots until it fits (or
+        None when no victim remains)."""
+        while True:
+            pages = self.allocator.alloc(n)
+            if pages is not None:
+                return pages
+            if self.prefix_cache is not None and self.prefix_cache.evict(
+                    n - self.allocator.available):
+                continue
+            victims = [s for s in range(self.max_slots)
+                       if self.active[s] and s != protect]
+            if not victims:
+                return None
+            self._swap_out(max(victims, key=lambda s: self.slot_seq[s]))
 
     def _verify_device(self, toks: np.ndarray, valid: np.ndarray) -> np.ndarray:
         """Paged verify append: all S rows are written to the pools (invalid
@@ -1351,10 +1543,15 @@ class PagedBatcher(ContinuousBatcher):
 
     def step(self) -> int:
         self._reap_cancelled()
+        # Swapped slots resume BEFORE new admissions take pages (FIFO
+        # fairness), and every active slot gets its growth pages BEFORE
+        # the round dispatches (preempting the youngest under pressure).
+        self._try_swap_in()
         if self.prefill_chunk:
             self._pump_prefill()
         else:
             self._admit_pending()
+        self._ensure_growth_capacity()
         if not self.active.any():
             return 0
         if self.lookahead > 0:
@@ -1408,6 +1605,7 @@ class PagedBatcher(ContinuousBatcher):
                     (float(lp_host[0][slot]), lp_host[1][slot],
                      lp_host[2][slot]))
             self._emit(self.slot_req[slot], tok)
+            self.slot_len[slot] += 1
             self.budget[slot] -= 1
             if self.budget[slot] <= 0:
                 self._finish(slot)

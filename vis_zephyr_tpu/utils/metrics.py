@@ -62,6 +62,9 @@ class ServingMetrics:
         # Speculative decoding (prompt-lookup) accounting.
         self.spec_proposed = 0
         self.spec_accepted = 0
+        # Lazy-allocation pool-pressure preemption (PagedBatcher lazy_alloc).
+        self.preempt_swap_out = 0
+        self.preempt_swap_in = 0
 
     def observe(self, name: str, value_ms: float) -> None:
         hist = self._hist.setdefault(name, [0] * len(self.BUCKETS_MS))
@@ -113,6 +116,11 @@ class ServingMetrics:
                 "proposed": self.spec_proposed,
                 "accepted": self.spec_accepted,
                 "acceptance_rate": round(self.spec_accepted / self.spec_proposed, 4),
+            }
+        if self.preempt_swap_out:
+            out["preemption"] = {
+                "swap_out": self.preempt_swap_out,
+                "swap_in": self.preempt_swap_in,
             }
         for name, n in self._count.items():
             out[name] = {
