@@ -176,3 +176,107 @@ class TestMainArgValidation:
 
         with pytest.raises(SystemExit):
             main(["--model-path", "/nonexistent", "--draft-model", "/n2"])
+
+
+class TestGracefulDrain:
+    def test_drain_finishes_inflight_then_rejects(self, mock_tokenizer_module):
+        """drain(): in-flight requests complete, new ones raise
+        EngineDraining, and the wait returns True once idle."""
+        import threading
+
+        from vis_zephyr_tpu.config import tiny_config as tc
+        from vis_zephyr_tpu.serve.engine import ChatEngine, EngineDraining
+
+        cfg = tc(vocab_size=50000)
+        params = init_vis_zephyr(cfg, jax.random.PRNGKey(0))
+        eng = ChatEngine(params, cfg, mock_tokenizer_module,
+                         max_new_tokens=6, temperature=0.0,
+                         continuous_batching=True, max_slots=2)
+        try:
+            got = {}
+
+            def consume():
+                got["reply"] = eng.chat_text("d1", "hello w3 w5")
+
+            t = threading.Thread(target=consume)
+            t.start()
+            # Barrier: the request must be REGISTERED (or already done)
+            # before drain flips the flag, else this tests the rejection
+            # path twice.
+            import time as _time
+
+            deadline = _time.time() + 60
+            while (_time.time() < deadline and eng._inflight == 0
+                   and "reply" not in got):
+                _time.sleep(0.005)
+            assert eng.drain(timeout=120.0)
+            t.join(timeout=60)
+            assert not t.is_alive() and got["reply"]
+            with pytest.raises(EngineDraining):
+                eng.chat_text("d2", "more")
+            with pytest.raises(EngineDraining):
+                list(eng.generate_request("plain prompt"))
+        finally:
+            eng.close()
+
+    def test_http_503_while_draining(self, engine, image):
+        """Draining server: POST paths return 503, /health flips to
+        'draining' (pulls the replica from LB rotation)."""
+        import urllib.error
+
+        import vis_zephyr_tpu.serve.api as api_mod
+
+        server = api_mod.serve(engine, "127.0.0.1", 0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        engine._draining = True
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/chat",
+                data=json.dumps({"session_id": "x", "question": "q"}).encode(),
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=10)
+            assert e.value.code == 503
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=10)
+            assert e.value.code == 503
+            assert json.loads(e.value.read())["status"] == "draining"
+        finally:
+            engine._draining = False
+            server.shutdown()
+
+    def test_profile_endpoint(self, engine, tmp_path):
+        """GET /debug/profile captures an XLA trace when --profile-dir is
+        set; 404 without it."""
+        import urllib.error
+
+        import vis_zephyr_tpu.serve.api as api_mod
+
+        server = api_mod.serve(engine, "127.0.0.1", 0,
+                               profile_dir=str(tmp_path))
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/debug/profile?seconds=0.2",
+                    timeout=60) as r:
+                out = json.loads(r.read())
+            assert out["trace_dir"] == str(tmp_path)
+            assert any(tmp_path.rglob("*"))  # trace files landed
+        finally:
+            server.shutdown()
+        server2 = api_mod.serve(engine, "127.0.0.1", 0)  # no profile_dir
+        port2 = server2.server_address[1]
+        t2 = threading.Thread(target=server2.serve_forever, daemon=True)
+        t2.start()
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port2}/debug/profile", timeout=10)
+            assert e.value.code == 404
+        finally:
+            server2.shutdown()

@@ -16,10 +16,12 @@ from __future__ import annotations
 import base64
 import io
 import json
+import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
-from .engine import ChatEngine
+from .engine import ChatEngine, EngineDraining
 
 
 def decode_base64_image(b64: str):
@@ -63,6 +65,8 @@ def _handle_chat(engine: ChatEngine, payload: dict):
 
 class ChatHandler(BaseHTTPRequestHandler):
     engine: ChatEngine = None  # injected by serve()
+    profile_dir: Optional[str] = None  # enables GET /debug/profile
+    _profile_lock = threading.Lock()  # one trace at a time, process-wide
 
     def log_message(self, *args):  # quiet
         pass
@@ -76,6 +80,11 @@ class ChatHandler(BaseHTTPRequestHandler):
             self._json(400, {"error": "invalid JSON"})
             return
 
+        if getattr(self.engine, "_draining", False):
+            self._json(503, {"error": {
+                "message": "server is draining for shutdown",
+                "type": "unavailable"}})
+            return
         if path in ("/v1/chat/completions", "/v1/completions"):
             self._openai(path, payload)
             return
@@ -83,7 +92,11 @@ class ChatHandler(BaseHTTPRequestHandler):
             self.send_error(404)
             return
 
-        error, stream = _handle_chat(self.engine, payload)
+        try:
+            error, stream = _handle_chat(self.engine, payload)
+        except EngineDraining as e:  # drain flipped after the gate above
+            self._json(503, {"error": str(e)})
+            return
         if error is not None:
             self._json(400, error)
             return
@@ -117,6 +130,10 @@ class ChatHandler(BaseHTTPRequestHandler):
               else openai_api.completion)
         try:
             error, result = fn(self.engine, payload)
+        except EngineDraining as e:  # drain flipped mid-request
+            self._json(503, {"error": {"message": str(e),
+                                       "type": "unavailable"}})
+            return
         except Exception as e:  # noqa: BLE001 — a handler bug must yield
             # an HTTP error body, never a dropped connection.
             self._json(500, {"error": {"message": f"{type(e).__name__}: {e}",
@@ -137,14 +154,20 @@ class ChatHandler(BaseHTTPRequestHandler):
         self._stream_chunked(result)
 
     def do_GET(self):
-        """GET /metrics → serving TTFT/TPOT summary; GET /health → ok."""
-        path = self.path.rstrip("/")
+        """GET /metrics → serving TTFT/TPOT summary; GET /health → ok;
+        GET /debug/profile?seconds=N → capture an XLA trace (opt-in)."""
+        path = self.path.split("?", 1)[0].rstrip("/")
         if path == "/health":
-            self._json(200, {"status": "ok"})
+            # Load balancers pull a draining replica out of rotation.
+            draining = getattr(self.engine, "_draining", False)
+            self._json(503 if draining else 200,
+                       {"status": "draining" if draining else "ok"})
         elif path == "/v1/models":
             from . import openai_api
 
             self._json(200, openai_api.list_models(self.engine))
+        elif path == "/debug/profile":
+            self._profile()
         elif path == "/metrics":
             m = getattr(self.engine, "metrics", None)
             out = m.summary() if m is not None else {}
@@ -156,6 +179,41 @@ class ChatHandler(BaseHTTPRequestHandler):
             self._json(200, out)
         else:
             self.send_error(404)
+
+    def _profile(self):
+        """GET /debug/profile?seconds=N: capture an XLA profiler trace of
+        live serving traffic into `profile_dir` (TensorBoard/xprof
+        format). Opt-in via --profile-dir — an unauthenticated
+        side-effecting endpoint stays off by default. One capture at a
+        time; concurrent calls get 409."""
+        if not self.profile_dir:
+            self.send_error(404)
+            return
+        from urllib.parse import parse_qs, urlparse
+
+        qs = parse_qs(urlparse(self.path).query)
+        try:
+            seconds = float(qs.get("seconds", ["2"])[0])
+        except ValueError:
+            seconds = float("nan")
+        if not (0.0 <= seconds):  # rejects negatives AND NaN
+            self._json(400, {"error": "seconds must be a number in [0, 60]"})
+            return
+        seconds = min(seconds, 60.0)
+        if not self._profile_lock.acquire(blocking=False):
+            self._json(409, {"error": "a profile capture is already running"})
+            return
+        try:
+            from ..utils.profiling import profile_to
+
+            with profile_to(self.profile_dir):
+                time.sleep(seconds)
+            self._json(200, {"trace_dir": self.profile_dir,
+                             "seconds": seconds})
+        except Exception as e:  # noqa: BLE001 — report, don't drop conn
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+        finally:
+            self._profile_lock.release()
 
     def do_OPTIONS(self):
         self.send_response(204)
@@ -173,8 +231,10 @@ class ChatHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
 
-def serve(engine: ChatEngine, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPServer:
-    handler = type("BoundChatHandler", (ChatHandler,), {"engine": engine})
+def serve(engine: ChatEngine, host: str = "0.0.0.0", port: int = 8000,
+          profile_dir: Optional[str] = None) -> ThreadingHTTPServer:
+    handler = type("BoundChatHandler", (ChatHandler,),
+                   {"engine": engine, "profile_dir": profile_dir})
     server = ThreadingHTTPServer((host, port), handler)
     # Handler threads must not block interpreter exit: a client that opened
     # a stream and never drained it would otherwise pin a non-daemon thread
@@ -195,10 +255,16 @@ def make_fastapi_app(engine: ChatEngine):
         allow_methods=["*"], allow_headers=["*"],
     )
 
+    def _unavailable(e: EngineDraining):
+        return JSONResponse({"error": str(e)}, status_code=503)
+
     @app.post("/chat")
     async def chat(request: Request):
         payload = await request.json()
-        error, stream = _handle_chat(engine, payload)
+        try:
+            error, stream = _handle_chat(engine, payload)
+        except EngineDraining as e:
+            return _unavailable(e)
         if error is not None:
             return JSONResponse(error, status_code=400)
         return StreamingResponse(stream, media_type="text/plain")
@@ -207,7 +273,11 @@ def make_fastapi_app(engine: ChatEngine):
 
     @app.post("/v1/chat/completions")
     async def chat_completions(request: Request):
-        error, result = openai_api.chat_completion(engine, await request.json())
+        try:
+            error, result = openai_api.chat_completion(
+                engine, await request.json())
+        except EngineDraining as e:
+            return _unavailable(e)
         if error is not None:
             return JSONResponse(error, status_code=400)
         if isinstance(result, dict):
@@ -216,7 +286,10 @@ def make_fastapi_app(engine: ChatEngine):
 
     @app.post("/v1/completions")
     async def completions(request: Request):
-        error, result = openai_api.completion(engine, await request.json())
+        try:
+            error, result = openai_api.completion(engine, await request.json())
+        except EngineDraining as e:
+            return _unavailable(e)
         if error is not None:
             return JSONResponse(error, status_code=400)
         if isinstance(result, dict):
@@ -298,6 +371,15 @@ def main(args=None):
                         "prompts, multi-turn continuations) reuse its pool "
                         "pages and prefill only the suffix; needs "
                         "--prefill-chunk (on by default)")
+    p.add_argument("--profile-dir", default=None,
+                   help="enable GET /debug/profile?seconds=N: capture an "
+                        "XLA profiler trace of live traffic into this "
+                        "directory (TensorBoard/xprof format)")
+    p.add_argument("--drain-timeout", type=float, default=120.0,
+                   help="graceful-shutdown budget (s): on SIGTERM/SIGINT "
+                        "the server stops accepting requests (503 +"
+                        " /health 'draining') and waits this long for "
+                        "in-flight requests before exiting")
     p.add_argument("--lazy-alloc", action="store_true",
                    help="incremental page allocation (paged only): slots "
                         "reserve pages as they grow instead of their full "
@@ -359,9 +441,32 @@ def main(args=None):
         prefix_cache=a.prefix_cache, page_size=a.page_size,
         mlora=mlora, adapter_names=adapter_names, lazy_alloc=a.lazy_alloc,
     )
-    server = serve(engine, a.host, a.port)
+    server = serve(engine, a.host, a.port, profile_dir=a.profile_dir)
     print(f"serving on {a.host}:{a.port}")
+
+    import signal
+
+    def _graceful(signum, frame):
+        # Flag first (handlers immediately 503), then unblock
+        # serve_forever from ANOTHER thread (shutdown() joins the serve
+        # loop — calling it from this handler, which runs on the main
+        # thread between serve_forever's bytecodes, would deadlock).
+        engine._draining = True
+        print(f"signal {signum}: draining "
+              f"(≤{a.drain_timeout:.0f}s for in-flight requests)")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
     server.serve_forever()
+    # Close the LISTENING socket now: shutdown() only stops the accept
+    # loop, and a backlog that keeps completing TCP handshakes during the
+    # drain window would leave clients hanging instead of refused.
+    server.server_close()
+    clean = engine.drain(timeout=a.drain_timeout)
+    engine.close()
+    print("drained cleanly" if clean
+          else "drain timeout: exiting with requests still in flight")
 
 
 if __name__ == "__main__":

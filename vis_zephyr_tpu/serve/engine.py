@@ -14,6 +14,7 @@ Reference equivalents: the per-session dict + generation thread in
 from __future__ import annotations
 
 import threading
+import time
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -26,6 +27,12 @@ from ..data import anyres
 from ..data.image_pipeline import anyres_preprocess_host, preprocess_mode_host
 from ..data.tokenization import tokenize_with_images
 from .generate import SamplingConfig, generate_stream
+
+
+class EngineDraining(RuntimeError):
+    """Raised for NEW requests while the engine is draining for shutdown
+    (in-flight requests run to completion); the HTTP layer maps it to
+    503."""
 
 
 class ChatEngine:
@@ -92,6 +99,9 @@ class ChatEngine:
         )
         self.sessions: Dict[str, Dict] = {}
         self._lock = threading.Lock()
+        self._draining = False
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
 
         # Optional continuous batching: concurrent requests share decode
         # steps instead of serializing on the lock.
@@ -249,13 +259,21 @@ class ChatEngine:
         """Append the user turn, stream back the assistant reply text.
         `adapter`: multi-LoRA adapter name for this request (continuous
         batching only; None = base model)."""
-        sess = self.get_session(session_id)
-        sess["lock"].acquire()
+        self._admit_inflight()  # eager: raises EngineDraining when draining
+        return self._chat_stream(session_id, question, pil_image, adapter)
+
+    def _chat_stream(self, session_id, question, pil_image,
+                     adapter) -> Iterator[str]:
         try:
-            yield from self._chat_locked(sess, session_id, question, pil_image,
-                                         adapter=adapter)
+            sess = self.get_session(session_id)
+            sess["lock"].acquire()
+            try:
+                yield from self._chat_locked(sess, session_id, question,
+                                             pil_image, adapter=adapter)
+            finally:
+                sess["lock"].release()
         finally:
-            sess["lock"].release()
+            self._release_inflight()
 
     def _chat_locked(self, sess, session_id: str, question: str, pil_image,
                      adapter: Optional[str] = None) -> Iterator[str]:
@@ -407,6 +425,20 @@ class ChatEngine:
         the pending queue before this returns (so several calls decode
         concurrently — the OpenAI `n` parameter); errors (unknown adapter,
         speculative incompatibilities) raise here, not at first pull."""
+        self._admit_inflight()
+        try:
+            return self._generate_request_registered(
+                prompt, pil_image, max_new_tokens, temperature, top_p,
+                adapter, grammar, logprobs, lp_sink, frequency_penalty,
+                presence_penalty)
+        except BaseException:
+            self._release_inflight()  # error before streaming started
+            raise
+
+    def _generate_request_registered(
+            self, prompt, pil_image, max_new_tokens, temperature, top_p,
+            adapter, grammar, logprobs, lp_sink, frequency_penalty,
+            presence_penalty) -> Iterator[int]:
         import dataclasses
 
         images = patch_valid = None
@@ -427,7 +459,7 @@ class ChatEngine:
                 presence_penalty=presence_penalty,
             )
             self._ensure_pump()
-            return self._stream_handle(handle, logprobs, lp_sink)
+            return self._track(self._stream_handle(handle, logprobs, lp_sink))
 
         if adapter is not None and adapter != "base":
             raise ValueError(
@@ -442,11 +474,54 @@ class ChatEngine:
             overrides["top_p"] = top_p
         sampling = (dataclasses.replace(self.sampling, **overrides)
                     if overrides else self.sampling)
-        return self._generate_serialized(
+        return self._track(self._generate_serialized(
             ids, images, patch_valid, sampling, grammar,
             lp_sink if logprobs is not None else None,
             (frequency_penalty, presence_penalty)
-            if (frequency_penalty or presence_penalty) else None)
+            if (frequency_penalty or presence_penalty) else None))
+
+    def _admit_inflight(self) -> None:
+        """Register a request EAGERLY and atomically with the draining
+        check — a request accepted before drain() flips the flag is
+        always counted, so drain() can never report idle while an
+        accepted request hasn't started streaming yet."""
+        with self._inflight_lock:
+            if self._draining:
+                raise EngineDraining(
+                    "engine is draining; not accepting requests")
+            self._inflight += 1
+
+    def _release_inflight(self) -> None:
+        with self._inflight_lock:
+            self._inflight -= 1
+
+    def _track(self, it: Iterator[int]) -> Iterator[int]:
+        """Stream `it`, releasing this request's in-flight registration
+        (taken eagerly by `_admit_inflight`) when the iterator is
+        exhausted or closed."""
+        try:
+            yield from it
+        finally:
+            self._release_inflight()
+
+    def drain(self, timeout: float = 120.0) -> bool:
+        """Graceful shutdown, phase 1: refuse NEW requests (`chat` /
+        `generate_request` raise `EngineDraining`; the HTTP layer maps it
+        to 503) and wait for every in-flight request — streaming
+        iterators and batcher slots — to finish, up to `timeout` seconds.
+        Returns True when fully drained. Call `close()` afterwards to
+        retire the pump. Mirrors the trainer's SIGTERM checkpoint
+        (train/train.py): no surface loses work to a delivery-time
+        preemption."""
+        self._draining = True
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            busy = self._inflight > 0 or (
+                self.batcher is not None and self.batcher.has_work)
+            if not busy:
+                return True
+            time.sleep(0.05)
+        return False
 
     def _stream_handle(self, handle, logprobs, lp_sink) -> Iterator[int]:
         if logprobs is None or lp_sink is None:
