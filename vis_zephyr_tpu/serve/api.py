@@ -360,11 +360,14 @@ def main(args=None):
                         "scheduling + dispatch latency over N tokens when "
                         "no admission work waits; token-exact under greedy. "
                         "Ignored with --lookahead")
-    p.add_argument("--kv-fused", action="store_true",
+    p.add_argument("--kv-fused", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="fused KV pool layout (paged only): K and V rows "
                         "share one page block so the decode kernel moves "
                         "each block in one DMA instead of two (four with "
-                        "--kv-quant); token-exact with the split layout")
+                        "--kv-quant); token-exact with the split layout. "
+                        "Default on (measured 3435 vs 3043 tok/s at B=128 "
+                        "int8-KV on v5e); --no-kv-fused for the split pools")
     p.add_argument("--prefix-cache", action="store_true",
                    help="automatic prefix caching (paged only): requests "
                         "sharing a page-aligned prompt prefix (system "
