@@ -30,6 +30,7 @@ reference simply has no batched serving mode to compare against).
 """
 
 import functools
+import gc
 import json
 import os
 import signal
@@ -68,13 +69,91 @@ def _sync(x):
 def _free_device_memory():
     """Drop every live device buffer between phases. Each phase is self-
     contained, so this guarantees HBM from phase N can't poison phase N+1
-    (the round-1 failure: a transient RESOURCE_EXHAUSTED zeroed the round)."""
+    (the round-1 failure: a transient RESOURCE_EXHAUSTED zeroed the round).
+    gc first: arrays kept alive only by cycles / dead frames (e.g. the
+    traceback of a caught RESOURCE_EXHAUSTED holds the failing phase's
+    pool-sized locals) must become visible to live_arrays()."""
+    gc.collect()
     for a in jax.live_arrays():
         try:
             a.delete()
         except Exception:
             pass
     jax.clear_caches()
+    gc.collect()
+
+
+def _hbm_free_gib():
+    """Free HBM per the runtime's own accounting, or None if the plugin
+    doesn't expose memory_stats. Cheap — no allocation."""
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        limit = ms.get("bytes_limit") or ms.get("bytes_reservable_limit")
+        used = ms.get("bytes_in_use")
+        if limit and used is not None:
+            return (limit - used) / (1 << 30)
+    except Exception:
+        pass
+    return None
+
+
+def _hbm_ok(need_gib: float) -> bool:
+    """Probe whether ~need_gib of HBM is actually allocatable right now.
+    r03 lesson: after the 128-slot paged phases, _free_device_memory() did
+    NOT return the chip to a usable state — every later phase died instantly
+    with RESOURCE_EXHAUSTED (fragmentation or async frees on the tunneled
+    allocator). memory_stats first (cheap, counts every session on the
+    chip if the server reports it); a direct allocation as the fallback."""
+    free = _hbm_free_gib()
+    if free is not None:
+        return free >= need_gib
+    xs = []
+    try:
+        # 1-GiB chunks: a capacity probe, not a contiguity probe — the
+        # workloads themselves are many sub-4GiB buffers.
+        for _ in range(int(round(need_gib))):
+            xs.append(jnp.zeros((1 << 30,), jnp.int8))
+        _sync(xs[-1])
+        return True
+    except Exception:
+        return False
+    finally:
+        for x in xs:
+            try:
+                x.delete()
+            except Exception:
+                pass
+
+
+def _backend_alive() -> bool:
+    """Cheap liveness check: can the current backend run a tiny matmul?"""
+    try:
+        _sync(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
+        return True
+    except Exception:
+        return False
+
+
+def _revive_backend(h, max_wait_s: float = 90.0) -> bool:
+    """Recover a dead/cleared backend: clear the cached client and
+    re-acquire, retrying briefly. Bounded — a chip that stays down is
+    handled by each phase re-trying this cheaply, never by a spin that
+    eats the budget (the r4 shakeout's failure mode)."""
+    deadline = time.monotonic() + min(max_wait_s, max(h.remaining() - 60, 0))
+    while True:
+        if not _clear_jax_backends():
+            h.extras["revive_error"] = "no backend-clear API"
+            return False
+        try:
+            h.extras["device"] = str(jax.devices()[0])
+            _sync(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
+            h.extras.pop("revive_error", None)
+            return True
+        except Exception as e:
+            h.extras["revive_error"] = f"{type(e).__name__}: {e}"[:200]
+            if time.monotonic() > deadline:
+                return False
+            time.sleep(15)
 
 
 def _clear_jax_backends() -> bool:
@@ -150,10 +229,16 @@ def _random_quantized_mistral(dec, key, bits: int = 8):
 
 
 def bench_decode(cfg: VisZephyrConfig, steps: int = 64,
-                 batch_slots: int = 16, bits: int = 8) -> dict:
+                 batch_slots: int = 16, bits: int = 8,
+                 mode: str = "both") -> dict:
     """Decode tokens/sec on the full 7B decoder (int8 weights, inference-
     fused qkv/gate_up layout): single-stream latency (the like-for-like
     baseline comparison) AND continuous-batching aggregate throughput.
+
+    mode: "single" | "batch" | "both". The single-stream measurement is
+    what feeds vs_baseline, and its footprint is just the weights plus a
+    B=1 cache — running it as its own early phase keeps the judged ratio
+    safe from any HBM fallout of the big-batch phases (r03 lesson).
 
     bits=4 (`--load-4bit` weights): single-stream decode is weight-read
     bound, so halving the weight bytes is the one lever past the int8
@@ -188,8 +273,8 @@ def bench_decode(cfg: VisZephyrConfig, steps: int = 64,
     # fully compiled program. Single-stream first: it feeds vs_baseline.
     reps = 3
     prefix = "decode4" if bits == 4 else "decode"
-    plan = [("single", 1)]
-    if bits != 4:
+    plan = [] if mode == "batch" else [("single", 1)]
+    if bits != 4 and mode != "single":
         plan.append((f"batch{batch_slots}", batch_slots))
     for tag, B in plan:
         cache = init_cache(dec, B, 2048, dtype=jnp.bfloat16)
@@ -399,14 +484,54 @@ class _Harness:
                 self._done = True
             print(json.dumps(result), flush=True)
 
-    def run_phase(self, name: str, fn, attempts, min_time_s: float) -> None:
+    def run_phase(self, name: str, fn, attempts, min_time_s: float,
+                  need_gib: float = 0.0) -> None:
         """attempts: list of kwargs dicts tried in order (later = smaller).
         Skips (recording why) when the remaining budget can't cover the
-        phase; never kills anything — the watchdog handles a true hang."""
+        phase; never kills anything — the watchdog handles a true hang.
+
+        need_gib: HBM the phase's largest attempt needs. Probed with a real
+        allocation first; if a previous phase poisoned the chip (r03: every
+        phase after the 128-slot paged runs died instantly on RESOURCE_
+        EXHAUSTED despite _free_device_memory), recycle the backend — a
+        clean in-process client close + re-acquire — before burning the
+        phase's attempts. Recycle only when the budget can absorb a slow
+        re-acquisition on top of the phase itself."""
         if self.remaining() < min_time_s:
             self.extras[f"{name}_skipped"] = f"budget ({self.remaining():.0f}s left)"
             self.emit()
             return
+        # Dead backend (a previous revive failed, or the tunnel flapped):
+        # one cheap bounded revive per phase, then skip fast — never spin.
+        if not _backend_alive():
+            if not _revive_backend(self):
+                self.extras[f"{name}_skipped"] = "backend down"
+                self.emit()
+                return
+        if need_gib > 0 and not _hbm_ok(need_gib):
+            # The probe is ADVISORY: it triggers recovery, never a skip (a
+            # contiguous-probe miss can still leave room for the phase's
+            # many smaller buffers — the attempt ladder is the real
+            # arbiter). Recovery: free our own buffers, then bounded
+            # PATIENCE — the r4 shakeout found the chip can be held by an
+            # EXTERNAL stale session (even 256 MiB failed on a fresh
+            # client, recovering on its own ~10 min later); nothing
+            # in-process frees that, so waiting is the only salvage.
+            # need_gib is sized to the SMALLEST attempt, so passing the
+            # probe means the ladder has a real shot.
+            _free_device_memory()
+            waited_from = time.monotonic()
+            while not _hbm_ok(need_gib):
+                if self.remaining() < min_time_s + 90:
+                    self.extras[f"{name}_hbm_note"] = (
+                        f"<{need_gib:g}GiB probe still failing after "
+                        f"{time.monotonic() - waited_from:.0f}s wait; "
+                        "running anyway")
+                    break
+                time.sleep(30)
+            waited = time.monotonic() - waited_from
+            if waited > 35:
+                self.extras[f"{name}_hbm_wait_s"] = round(waited, 1)
         t0 = time.monotonic()
         last_err = None
         for i, kwargs in enumerate(attempts):
@@ -418,9 +543,19 @@ class _Harness:
                 break
             except Exception as e:  # RESOURCE_EXHAUSTED etc. — try smaller
                 last_err = f"{type(e).__name__}: {e}"
+                del e  # the traceback pins the phase's device-sized locals
                 _free_device_memory()
         if last_err is not None:
             self.extras[f"{name}_error"] = last_err[:300]
+            # A phase that died on RESOURCE_EXHAUSTED and left the chip
+            # unable to fit even a small buffer gets ONE bounded client
+            # recycle (clean re-init drops anything our session pinned
+            # server-side — r03's decode-onward cascade). External holders
+            # are untouched by this; the next phase's patience handles them.
+            if "RESOURCE_EXHAUSTED" in last_err and not _hbm_ok(2.0):
+                if _revive_backend(self):
+                    self.extras["backend_recycles"] = (
+                        self.extras.get("backend_recycles", 0) + 1)
         self.extras[f"{name}_s"] = round(time.monotonic() - t0, 1)
         _free_device_memory()
         self.emit()
@@ -563,53 +698,65 @@ def main():
 
     paged_steps = 2 if tiny else 64
     paged_prompt = 32 if tiny else 512
+    probe = (lambda g: 0.0) if tiny else (lambda g: g)
     # Headline first: the judged numbers land before any time pressure.
     # KV-fused int8 pools at 128 slots are the measured-best configuration
-    # (driver-comparable run 2026-08-19, v5e, 94 s acquire included):
-    # 37.26 ms/step = 3435 tok/s/chip vs 42.06 ms (3043) split pools —
-    # the one-DMA-per-block layout wins ~13% and is now the serving
-    # default (`serve/api.py --kv-fused`, on by default).
+    # (driver-recorded BENCH_r03.json, v5e, 180.9 s busy-chip acquire
+    # included): 37.332 ms/step = 3428.71 tok/s/chip vs split pools'
+    # 42.098 ms (3040.5) in the same run — the one-DMA-per-block layout
+    # wins ~13% and is the serving default (`serve/api.py --kv-fused`).
     h.run_phase(
         "pagedqf",
         lambda slots: bench_decode_paged(
             cfg, slots=slots, steps=paged_steps, prompt_len=paged_prompt,
             bits=8, kv_quant=True, kv_fused=True),
         [{"slots": 128}, {"slots": 64}],
-        min_time_s=150,
+        min_time_s=150, need_gib=probe(10),
     )
+    # Single-stream decode feeds the like-for-like vs_baseline ratio — the
+    # round's second-most-judged number. It runs IMMEDIATELY after the
+    # headline with the smallest footprint of any decoder phase (weights +
+    # a B=1 cache), so r03's failure mode — the 128-slot phases leaving the
+    # chip RESOURCE_EXHAUSTED for everything after them — costs at most the
+    # optional layouts, never this ratio.
+    h.run_phase("decode_single",
+                lambda: bench_decode(cfg, mode="single"), [{}],
+                min_time_s=100, need_gib=probe(7))
     # Split int8 pools (--kv-quant without --kv-fused): the previous
-    # headline, kept second as the fallback if fused ever regresses; the
-    # headline picker takes the max across phases.
+    # headline, kept as the fallback if fused ever regresses; the headline
+    # picker takes the max across phases.
     h.run_phase(
         "pagedq",
         lambda slots: bench_decode_paged(
             cfg, slots=slots, steps=paged_steps, prompt_len=paged_prompt,
             bits=8, kv_quant=True),
         [{"slots": 128}, {"slots": 64}, {"slots": 32}],
-        min_time_s=150,
+        min_time_s=150, need_gib=probe(8),
     )
 
-    def _decode(slots):
-        out = bench_decode(cfg, batch_slots=slots)
+    def _decode_batch(slots):
+        out = bench_decode(cfg, batch_slots=slots, mode="batch")
         out["decode_slots"] = slots
         return out
 
-    # Single-stream decode feeds the like-for-like vs_baseline ratio — it
-    # must land within budget, so it runs BEFORE the optional layouts
-    # (r03 lesson: paged4 burned 141 s while the ratio-bearing phases got
-    # budget-skipped).
-    h.run_phase("decode", _decode, [{"slots": 16}, {"slots": 8}], min_time_s=120)
+    h.run_phase("decode", _decode_batch, [{"slots": 16}, {"slots": 8}],
+                min_time_s=120, need_gib=probe(8))
+    # Prefill + vision give the TTFT estimate (the other BASELINE north
+    # star): prefill first — it compiles in seconds where the vision stack
+    # takes ~170 s, so under budget pressure the decoder share of TTFT
+    # still lands. Both ahead of the bf16-pool and footprint-option phases
+    # (r4 shakeout: a full run fits ~6 phases in the 900 s budget).
+    h.run_phase("prefill", lambda: bench_prefill(cfg), [{}], min_time_s=60,
+                need_gib=probe(8))
+    h.run_phase("vision", lambda: bench_vision(cfg), [{}], min_time_s=120,
+                need_gib=probe(2))
     h.run_phase(
         "paged",
         lambda slots: bench_decode_paged(
             cfg, slots=slots, steps=paged_steps, prompt_len=paged_prompt, bits=8),
         [{"slots": 64}, {"slots": 32}, {"slots": 16}],
-        min_time_s=150,
+        min_time_s=150, need_gib=probe(8),
     )
-    # Vision + prefill give the TTFT estimate; cheap, ahead of the
-    # footprint-option phases.
-    h.run_phase("vision", lambda: bench_vision(cfg), [{}], min_time_s=90)
-    h.run_phase("prefill", lambda: bench_prefill(cfg), [{}], min_time_s=60)
     # int4 weights are the FOOTPRINT option (3.5 GB vs 7 GB), not a
     # throughput win: measured v5e selfterm step, int4+int8KV = 29.2
     # ms/step at B=64 and 50.3 at B=128 vs int8 weights' 22.6 / 35.8 (the
@@ -620,13 +767,13 @@ def main():
         lambda slots: bench_decode_paged(
             cfg, slots=slots, steps=paged_steps, prompt_len=paged_prompt, bits=4),
         [{"slots": 64}, {"slots": 32}],
-        min_time_s=120,
+        min_time_s=120, need_gib=probe(5),
     )
     # Single-stream int4: the only lever past the int8 weight-read bound
     # for the like-for-like baseline ratio (batch int4 is skipped — slower,
     # see bench_decode).
     h.run_phase("decode4", lambda: bench_decode(cfg, bits=4), [{}],
-                min_time_s=100)
+                min_time_s=100, need_gib=probe(4))
 
     if ("anyres_encode_ms_per_image" in h.extras
             and "prefill_640_ms" in h.extras):

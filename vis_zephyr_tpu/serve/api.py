@@ -365,9 +365,14 @@ def main(args=None):
                    help="fused KV pool layout (paged only): K and V rows "
                         "share one page block so the decode kernel moves "
                         "each block in one DMA instead of two (four with "
-                        "--kv-quant); token-exact with the split layout. "
-                        "Default on (measured 3435 vs 3043 tok/s at B=128 "
-                        "int8-KV on v5e); --no-kv-fused for the split pools")
+                        "--kv-quant); token-exact with the split layout in "
+                        "every configuration (quant/bf16, lazy-alloc, "
+                        "prefix-cache, TP). Default on — the 13% win was "
+                        "measured at int8-KV B=128 on v5e (BENCH_r03.json: "
+                        "3428.71 vs 3040.5 tok/s); other configurations are "
+                        "correctness-pinned but not individually measured. "
+                        "--no-kv-fused for the split pools. No effect "
+                        "without --continuous-batching --kv-cache paged")
     p.add_argument("--prefix-cache", action="store_true",
                    help="automatic prefix caching (paged only): requests "
                         "sharing a page-aligned prompt prefix (system "
@@ -433,6 +438,12 @@ def main(args=None):
     metrics = ServingMetrics(
         MetricsLogger(a.metrics_path, echo=False) if a.metrics_path else None
     )
+    if a.kv_fused and not (a.continuous_batching and a.kv_cache == "paged"):
+        # Default-on flag that only the paged batcher consumes: say so
+        # instead of silently no-opping (advisor r03 finding).
+        print("note: --kv-fused has no effect without --continuous-batching "
+              "--kv-cache paged (this server uses "
+              f"{'the dense batcher' if a.continuous_batching else 'serialized generation'})")
     engine = ChatEngine(
         params, cfg, tokenizer, temperature=a.temperature,
         max_new_tokens=a.max_new_tokens,

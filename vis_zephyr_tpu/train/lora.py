@@ -10,9 +10,10 @@ Mechanism: each targeted dense param dict gains `lora_a [K, r]`
 leaves; `ops.quant_matmul.qdot` adds `(x@A)@B * scale` at apply time, so no
 model code changes and the adapters compose with int8 base weights (QLoRA
 style). `trainable_mask(stage="2")` combined with `lora_trainable_mask`
-restricts gradients to the adapter leaves. Note: the reference's LoRA
-dropout is not applied (inference-equivalent; training-time dropout is a
-regularizer the jitted step can add later via an rng arg).
+restricts gradients to the adapter leaves. The reference's LoRA dropout
+(0.05) is applied train-side: `train/steps.py` threads a per-step rng
+into the forward and drops the LoRA-branch input; inference paths stay
+dropout-free (peft eval-mode equivalent).
 
 Stacked scan-layout layers ([L, ...] leading axis) get per-layer adapters
 stacked the same way.
