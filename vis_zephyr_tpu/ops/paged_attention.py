@@ -970,11 +970,20 @@ def paged_attention_fa(
           .reshape(B, Hkv, SG, D))
 
     if pages_per_block is None:
-        # Biggest block wins (per-block overhead dominates bytes); overshoot
-        # past a short table row clamps to the last entry in make_copies.
-        # The folded grid's scratch is Hkv× larger, so its default block is
-        # smaller to keep double-buffered K+V under ~4 MB of VMEM.
-        pages_per_block = min(4 if fold_heads else 8, pages_per_seq)
+        # Per-block cost is dominated by fixed overhead (DMA setup, the
+        # scalar run/tail predicate chain, softmax bookkeeping), not bytes,
+        # so the best block is the biggest one that keeps the whole
+        # serving-typical sequence in ONE block without blowing VMEM.
+        # Measured v5e B=128, 640-token fused int8 pools, 32-layer scan:
+        # ppcb 4 (the old folded default, 2 blocks/slot) = 25.65 ms,
+        # 6 = 20.21, 8 (1 block/slot) = 19.79, 12 = 23.43, 16 = 27.04 —
+        # bk ≈ 1024 tokens is the sweet spot; beyond it the bigger
+        # double-buffered scratch pipelines worse. Step-level effect:
+        # 37.28 → 31.37 ms at B=128 (pagedqf bench phase, 4080 tok/s).
+        if fold_heads:
+            pages_per_block = min(max(1024 // page_size, 1), 8, pages_per_seq)
+        else:
+            pages_per_block = min(8, pages_per_seq)
     ppcb = pages_per_block
     bk = ppcb * page_size
 
