@@ -1,0 +1,324 @@
+"""Experimental batched-head variant of the folded fused+quant selfterm
+paged-attention kernel: the per-head Python loop (8 tiny MXU dots + 8 sets
+of [4, bk] VPU softmax ops per block) becomes ONE batched dot_general pair
+and ONE set of [Hkv, SG, bk] VPU ops. Checks numerics vs the production
+kernel, then times both at bench shapes (B=128, 640-token pools, ppcb=8)."""
+import os, sys, time, json, functools
+os.environ.setdefault("JAX_PLATFORMS", "")
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vis_zephyr_tpu.ops.paged_attention import (
+    NEG_INF, KV_QUANT_MAX, paged_attention_fa)
+from bench import _sync
+
+
+def _batched_kernel(G, S, bk, ppcb, page_size, pages_per_seq, scale,
+                    window, batch_size, num_kv_heads):
+    """fused + quant + has_new only (the serving hot configuration)."""
+    SG = S * G
+    Hkv = num_kv_heads
+
+    def process_block(k_hbm, ks_hbm, kb, ksb, ksem, pt_ref, lengths_ref,
+                      b, i, slot, wait):
+        base = b * pages_per_seq + i * ppcb
+        npg = jnp.clip(
+            lax.div(lengths_ref[b] + (page_size - 1), page_size) - i * ppcb,
+            1, ppcb)
+        pids = [pt_ref[base + jnp.minimum(j, pages_per_seq - 1 - i * ppcb)]
+                for j in range(ppcb)]
+
+        def go(copies):
+            for c in copies:
+                c.wait() if wait else c.start()
+
+        def scatter(T):
+            copies = []
+            for j in range(T):
+                copies.append(pltpu.make_async_copy(
+                    k_hbm.at[:, pids[j]], kb.at[slot, :, j], ksem.at[slot]))
+                copies.append(pltpu.make_async_copy(
+                    ks_hbm.at[:, pids[j]], ksb.at[slot, :, j], ksem.at[slot]))
+            go(copies)
+
+        def run(T):
+            go([pltpu.make_async_copy(
+                    k_hbm.at[:, pl.ds(pids[0], T)],
+                    kb.at[slot, :, pl.ds(0, T)], ksem.at[slot]),
+                pltpu.make_async_copy(
+                    ks_hbm.at[:, pl.ds(pids[0], T)],
+                    ksb.at[slot, :, pl.ds(0, T)], ksem.at[slot])])
+
+        if ppcb == 1:
+            scatter(1)
+            return
+        for T in range(1, ppcb + 1):
+            is_T = npg == T
+            if T == 1:
+                @pl.when(is_T)
+                def _one():
+                    scatter(1)
+            else:
+                run_ok = pids[1] == pids[0] + 1
+                for j in range(2, T):
+                    run_ok &= pids[j] == pids[0] + j
+
+                @pl.when(is_T & run_ok)
+                def _run(T=T):
+                    run(T)
+
+                @pl.when(is_T & jnp.logical_not(run_ok))
+                def _scatter(T=T):
+                    scatter(T)
+
+    def kernel(lengths_ref, pt_ref, qoffs_ref, buf_ref, init_ref, q_ref,
+               kn_ref, vn_ref, k_hbm, ks_hbm, o_ref,
+               kb, ksb, ksem, m_s, l_s, acc_s):
+        b = pl.program_id(0)
+
+        def lo_blk(bb):
+            if window is None:
+                return jnp.int32(0)
+            return jnp.maximum(qoffs_ref[bb] - (window - 1), 0) // bk
+
+        def hi_blk(bb):
+            return lax.div(lengths_ref[bb] + (bk - 1), bk)
+
+        def empty(bb):
+            bc = jnp.minimum(bb, batch_size - 1)
+            return hi_blk(bc) <= lo_blk(bc)
+
+        def next_indices(b, i):
+            def advance_b():
+                next_b = b + 1
+
+                def scan():
+                    found = lax.fori_loop(
+                        next_b + 1, batch_size,
+                        lambda bb, best: jnp.where(
+                            (best < 0) & ~empty(bb), bb, best),
+                        jnp.int32(-1))
+                    return jnp.where(found < 0, batch_size, found)
+
+                nb = lax.cond((next_b < batch_size) & empty(next_b), scan,
+                              lambda: next_b)
+                return nb, lo_blk(jnp.minimum(nb, batch_size - 1))
+
+            return lax.cond(i < hi_blk(b), lambda: (b, i), advance_b)
+
+        m_s[...] = jnp.full(m_s.shape, -jnp.inf, jnp.float32)
+        l_s[...] = jnp.zeros(l_s.shape, jnp.float32)
+        acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+
+        length = lengths_ref[b]
+        qoff = qoffs_ref[b]
+        lo = lo_blk(b)
+        hi = hi_blk(b)
+
+        def body(i, _):
+            buf = buf_ref[0]
+
+            @pl.when(init_ref[0] == 1)
+            def _first():
+                init_ref[0] = 0
+                kb[...] = jnp.zeros(kb.shape, kb.dtype)
+                process_block(k_hbm, ks_hbm, kb, ksb, ksem, pt_ref,
+                              lengths_ref, b, i, buf, wait=False)
+
+            nb, ni = next_indices(b, i + 1)
+
+            @pl.when(nb < batch_size)
+            def _prefetch():
+                nbuf = 1 - buf
+                process_block(k_hbm, ks_hbm, kb, ksb, ksem, pt_ref,
+                              lengths_ref, nb, ni, nbuf, wait=False)
+                buf_ref[0] = nbuf
+
+            process_block(k_hbm, ks_hbm, kb, ksb, ksem, pt_ref,
+                          lengths_ref, b, i, buf, wait=True)
+
+            slot = i * bk + jax.lax.broadcasted_iota(jnp.int32, (SG, bk), 1)
+            qpos = qoff + jax.lax.broadcasted_iota(jnp.int32, (SG, bk), 0) // G
+            mask = (slot <= qpos) & (slot < length)
+            if window is not None:
+                mask &= slot > qpos - window
+            mask3 = mask[None]                                  # [1, SG, bk]
+
+            kv = kb[buf]                                         # [Hkv, ppcb, 2ps, D]
+            q = q_ref[0]                                         # [Hkv, SG, D]
+            k = kv[:, :, :page_size].reshape(Hkv, bk, -1)
+            v = kv[:, :, page_size:].reshape(Hkv, bk, -1).astype(q.dtype)
+            s = lax.dot_general(
+                q, k.astype(q.dtype), (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale      # [Hkv, SG, bk]
+            ksc = ksb[buf][:, :, 0, :page_size].reshape(Hkv, 1, bk)
+            s = s * (ksc * (1.0 / KV_QUANT_MAX))
+            s = jnp.where(mask3, s, NEG_INF)
+
+            m_prev, l_prev = m_s[...], l_s[...]
+            m_curr = jnp.max(s, axis=2, keepdims=True)
+            m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+            alpha = jnp.exp(m_prev - m_next)
+            pexp = jnp.where(mask3, jnp.exp(s - m_next[:, :, :1]), 0.0)
+            l_s[...] = alpha * l_prev + jnp.sum(pexp, axis=2, keepdims=True)
+            m_s[...] = m_next
+            acc_s[...] *= alpha[:, :, :1]
+            vsc = ksb[buf][:, :, 0, page_size:].reshape(Hkv, 1, bk)
+            pexp = jnp.where(mask3, pexp * (vsc * (1.0 / KV_QUANT_MAX)), 0.0)
+            acc_s[...] += lax.dot_general(
+                pexp.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            return ()
+
+        lax.fori_loop(lo, hi, body, ())
+
+        m_prev, l_prev, acc = m_s[...], l_s[...], acc_s[...]
+        q = q_ref[0].astype(jnp.float32)                         # [Hkv, SG, D]
+        kn = kn_ref[0][:, None].astype(jnp.float32)              # [Hkv, 1, D]
+        vn = vn_ref[0][:, None].astype(jnp.float32)
+        s_self = lax.dot_general(
+            q, kn, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                  # [Hkv, SG, 1]
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(s_self, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_next)
+        p_self = jnp.exp(s_self - m_next[:, :, :1])
+        l_prev = alpha * l_prev + p_self
+        acc = acc * alpha[:, :, :1] + p_self * vn
+        l = l_prev[:, :, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("pages_per_block", "window", "interpret"))
+def fa_batched(q, k_pages, page_table, lengths, q_offs, k_new, v_new,
+               k_scales, pages_per_block=8, window=None, interpret=False):
+    B, S, Hq, D = q.shape
+    Hkv, _, two_ps, _ = k_pages.shape
+    page_size = two_ps // 2
+    pages_per_seq = page_table.shape[1]
+    G = Hq // Hkv
+    SG = S * G
+    scale = D ** -0.5
+    ppcb = min(pages_per_block, pages_per_seq)
+    bk = ppcb * page_size
+
+    qg = (q.reshape(B, S, Hkv, G, D).transpose(0, 2, 1, 3, 4)
+          .reshape(B, Hkv, SG, D))
+    kernel = _batched_kernel(G, S, bk, ppcb, page_size, pages_per_seq,
+                             scale, window, B, Hkv)
+    q_spec = pl.BlockSpec((1, Hkv, SG, D), lambda b, *_: (b, 0, 0, 0))
+    new_spec = pl.BlockSpec((1, Hkv, D), lambda b, *_: (b, 0, 0))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, SG, D), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(B,),
+            in_specs=[q_spec, new_spec, new_spec,
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=q_spec,
+            scratch_shapes=[
+                pltpu.VMEM((2, Hkv, ppcb, 2 * page_size, D), k_pages.dtype),
+                pltpu.VMEM((2, Hkv, ppcb, 1, 2 * page_size), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((Hkv, SG, 128), jnp.float32),
+                pltpu.VMEM((Hkv, SG, 128), jnp.float32),
+                pltpu.VMEM((Hkv, SG, D), jnp.float32),
+            ]),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(lengths, page_table.reshape(-1), q_offs,
+      jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
+      qg, k_new.astype(q.dtype), v_new.astype(q.dtype), k_pages, k_scales)
+    return (out.reshape(B, Hkv, S, G, D).transpose(0, 2, 1, 3, 4)
+            .reshape(B, S, Hq, D))
+
+
+if __name__ == "__main__":
+    out = {}
+    print("device:", jax.devices()[0], flush=True)
+
+    # ---- correctness vs the production kernel (small shapes) -------------
+    Hq, Hkv, D, ps = 8, 2, 128, 128
+    B, pps = 4, 4
+    rng = np.random.default_rng(0)
+    num_pages = 1 + B * pps
+    kpf = rng.standard_normal((Hkv, num_pages, 2 * ps, D)).astype(np.float32)
+    kq = np.clip(np.rint(kpf * 20), -127, 127).astype(np.int8)
+    ksc = np.abs(rng.standard_normal((Hkv, num_pages, 1, 2 * ps))).astype(np.float32) + 0.5
+    table = np.zeros((B, pps), np.int32)
+    for b in range(B):
+        table[b] = 1 + b * pps + np.arange(pps)
+    lengths = np.array([3, 130, 257, 512 - 7], np.int32)
+    q = rng.standard_normal((B, 1, Hq, D)).astype(np.float32) * 0.3
+    kn = rng.standard_normal((B, Hkv, D)).astype(np.float32) * 0.3
+    vn = rng.standard_normal((B, Hkv, D)).astype(np.float32) * 0.3
+    args = (jnp.asarray(q, jnp.bfloat16), jnp.asarray(kq),
+            jnp.asarray(table), jnp.asarray(lengths), jnp.asarray(lengths))
+    ref = paged_attention_fa(args[0], args[1], None, args[2], args[3], args[4],
+                             k_new=jnp.asarray(kn, jnp.bfloat16),
+                             v_new=jnp.asarray(vn, jnp.bfloat16),
+                             k_scales=jnp.asarray(ksc), v_scales=None)
+    got = fa_batched(args[0], args[1], args[2], args[3], args[4],
+                     jnp.asarray(kn, jnp.bfloat16), jnp.asarray(vn, jnp.bfloat16),
+                     jnp.asarray(ksc), pages_per_block=2)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))))
+    rel = err / float(jnp.max(jnp.abs(ref.astype(jnp.float32))) + 1e-9)
+    out["max_abs_err"] = err
+    out["rel_err"] = rel
+    print("correctness: max_abs", err, "rel", rel, flush=True)
+
+    # ---- timing at bench shapes ------------------------------------------
+    from vis_zephyr_tpu.config import VisZephyrConfig
+    cfg = VisZephyrConfig(); dec = cfg.decoder
+    B = 128
+    L = dec.num_layers
+    Hq, Hkv, hd = dec.num_heads, dec.num_kv_heads, dec.head_dim
+    prompt = 640
+    ppr = -(-(prompt + 4) // ps)
+    num_pages = 1 + B * ppr
+    kp = jnp.zeros((Hkv, L * num_pages, 2 * ps, hd), jnp.int8)
+    ksp = jnp.ones((Hkv, L * num_pages, 1, 2 * ps), jnp.float32)
+    table = np.zeros((B, 2048 // ps), np.int32)
+    for b in range(B):
+        table[b, :ppr] = 1 + b * ppr + np.arange(ppr)
+    table = jnp.asarray(table)
+    lengths = jnp.full((B,), prompt, jnp.int32)
+    P = num_pages
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (B, 1, Hq, hd), jnp.bfloat16)
+    knb = jax.random.normal(jax.random.PRNGKey(3), (B, Hkv, hd), jnp.bfloat16)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def attn_scan(kp, ksp, q, n):
+        def step(q, _):
+            def body(q, i):
+                a = fa_batched(q, kp, table + i * P, lengths, lengths,
+                               knb, knb, ksp, pages_per_block=8)
+                return a * 0.5 + q * 0.5, None
+            q, _ = jax.lax.scan(body, q, jnp.arange(L))
+            return q, None
+        q, _ = jax.lax.scan(step, q, None, length=n)
+        return q
+
+    STEPS, REPS = 8, 3
+    y = attn_scan(kp, ksp, q0, STEPS); _sync(y)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        y = attn_scan(kp, ksp, q0, STEPS)
+    _sync(y)
+    out["batched_ms"] = (time.perf_counter() - t0) / REPS / STEPS * 1e3
+    print(json.dumps(out), flush=True)
+
+# STATUS (r4, parked): at bench shapes (B=128, 640-token fused int8 pools,
+# ppcb=8) this batched-head grid measured 16.42 ms per 32-layer step-equiv
+# vs 19.79 for the production per-head-loop kernel (-17%), but its output
+# is numerically WRONG (rel err ~0.53 vs the production kernel) — the
+# batched dot_general/softmax indexing needs debugging in interpret mode
+# against ops/paged_attention._reference_paged before it can ship.
