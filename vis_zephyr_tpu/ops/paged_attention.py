@@ -611,7 +611,11 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
     heads cuts the cell count 8× and batches each page's per-head fetches
     into ONE strided DMA (`k_hbm.at[:, pid]` — the head dim strides the
     pool). Scratch is head-major (`[2, Hkv, ppcb, ps, D]`) so each head's
-    compute slice is contiguous.
+    compute slice is contiguous. Compute is head-BATCHED: one
+    [Hkv, SG, ·] dot_general pair + one set of [Hkv, SG, bk] VPU softmax
+    ops per block instead of a per-head Python loop of Hkv tiny dots
+    (measured v5e B=128 fused int8 ppcb=8: 19.79 → 16.47 ms per 32-layer
+    step-equiv).
 
     `fused`: the KV-FUSED pool layout — `k_hbm` is one [Hkv, N, 2·ps, D]
     pool holding a page's K rows then its V rows ([Hkv, N, 1, 2·ps]
@@ -700,12 +704,21 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
             scatter(1)
             return
 
+        # An ascending run of T pool ids needs T distinct pages, so the run
+        # fast path is impossible (and its static slice invalid) when T
+        # exceeds the pool's page count — tiny test pools hit this.
+        pool_pages = k_hbm.shape[1]
+
         for T in range(1, ppcb + 1):
             is_T = npg == T
             if T == 1:
                 @pl.when(is_T)
                 def _one():
                     scatter(1)
+            elif T > pool_pages:
+                @pl.when(is_T)
+                def _scatter_only(T=T):
+                    scatter(T)
             else:
                 run_ok = pids[1] == pids[0] + 1
                 for j in range(2, T):
@@ -720,6 +733,7 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
                     scatter(T)
 
     SG = S * G
+    Hkv = num_kv_heads
 
     def kernel(lengths_ref, pt_ref, qoffs_ref, buf_ref, init_ref, q_ref,
                kn_ref, vn_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
@@ -811,83 +825,84 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
             mask = (slot <= qpos) & (slot < length)
             if window is not None:
                 mask &= slot > qpos - window
+            mask3 = mask[None]                              # [1, SG, bk]
 
-            for h in range(num_kv_heads):
-                r = slice(h * SG, (h + 1) * SG)
-                q = q_ref[0, h]                             # [SG, D]
+            # All kv heads in ONE batched dot_general pair + one set of
+            # [Hkv, SG, bk] VPU softmax ops, instead of a per-head Python
+            # loop of Hkv tiny dots (measured v5e B=128 fused int8 ppcb=8:
+            # 19.79 → 16.47 ms per 32-layer step-equiv, −17%).
+            q = q_ref[0]                                    # [Hkv, SG, D]
+            if fused:
+                # Fused buffer [Hkv, ppcb, 2·ps, D]: rows [0, ps) are K,
+                # [ps, 2·ps) are V — static slices, no data movement.
+                kv = kb[buf]
+                k = kv[:, :, :page_size].reshape(Hkv, bk, -1)
+                v = kv[:, :, page_size:].reshape(Hkv, bk, -1)
+            else:
+                k = kb[buf].reshape(Hkv, bk, -1)            # [Hkv, bk, D]
+                v = vb[buf].reshape(Hkv, bk, -1)
+            if quant:
+                k = k.astype(q.dtype)
+                v = v.astype(q.dtype)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale                                       # [Hkv, SG, bk]
+            if quant:
                 if fused:
-                    # Fused buffer [ppcb, 2·ps, D]: rows [0, ps) are K,
-                    # [ps, 2·ps) are V — static slices, no data movement.
-                    kv = kb[buf, h]
-                    k = kv[:, :page_size].reshape(bk, -1)   # [bk, D]
-                    v = kv[:, page_size:].reshape(bk, -1)
+                    ksc = ksb[buf][:, :, 0, :page_size].reshape(Hkv, 1, bk)
                 else:
-                    k = kb[buf, h].reshape(bk, -1)          # [bk, D]
-                    v = vb[buf, h].reshape(bk, -1)
-                if quant:
-                    k = k.astype(q.dtype)
-                    v = v.astype(q.dtype)
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale                                   # [SG, bk]
-                if quant:
-                    if fused:
-                        ksc = ksb[buf, h][:, :, :page_size].reshape(1, bk)
-                    else:
-                        ksc = ksb[buf, h].reshape(1, bk)
-                    s = s * (ksc * (1.0 / KV_QUANT_MAX))
-                s = jnp.where(mask, s, NEG_INF)
+                    ksc = ksb[buf].reshape(Hkv, 1, bk)
+                s = s * (ksc * (1.0 / KV_QUANT_MAX))
+            s = jnp.where(mask3, s, NEG_INF)
 
-                m_prev, l_prev = m_s[r], l_s[r]
-                m_curr = jnp.max(s, axis=1, keepdims=True)
-                m_next = jnp.maximum(
-                    m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
-                alpha = jnp.exp(m_prev - m_next)
-                pexp = jnp.where(mask, jnp.exp(s - m_next[:, :1]), 0.0)
-                l_s[r] = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
-                m_s[r] = m_next
-                acc_s[r] *= alpha[:, :1]
-                if quant:
-                    # Masked re-select: stale scale lanes past the tail
-                    # partial fetch may be non-finite, and 0·NaN = NaN.
-                    if fused:
-                        vsc = ksb[buf, h][:, :, page_size:].reshape(1, bk)
-                    else:
-                        vsc = vsb[buf, h].reshape(1, bk)
-                    pexp = jnp.where(
-                        mask, pexp * (vsc * (1.0 / KV_QUANT_MAX)), 0.0)
-                acc_s[r] += jax.lax.dot(
-                    pexp.astype(v.dtype), v,
-                    preferred_element_type=jnp.float32)
+            m_prev, l_prev = m_s[...], l_s[...]
+            m_curr = jnp.max(s, axis=2, keepdims=True)
+            m_next = jnp.maximum(
+                m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+            alpha = jnp.exp(m_prev - m_next)
+            pexp = jnp.where(mask3, jnp.exp(s - m_next[:, :, :1]), 0.0)
+            l_s[...] = alpha * l_prev + jnp.sum(pexp, axis=2, keepdims=True)
+            m_s[...] = m_next
+            acc_s[...] *= alpha[:, :, :1]
+            if quant:
+                # Masked re-select: stale scale lanes past the tail
+                # partial fetch may be non-finite, and 0·NaN = NaN.
+                if fused:
+                    vsc = ksb[buf][:, :, 0, page_size:].reshape(Hkv, 1, bk)
+                else:
+                    vsc = vsb[buf].reshape(Hkv, 1, bk)
+                pexp = jnp.where(
+                    mask3, pexp * (vsc * (1.0 / KV_QUANT_MAX)), 0.0)
+            acc_s[...] += jax.lax.dot_general(
+                pexp.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
             return ()
 
         lax.fori_loop(lo, hi, body, ())
 
-        for h in range(num_kv_heads):
-            r = slice(h * SG, (h + 1) * SG)
-            m_prev, l_prev, acc = m_s[r], l_s[r], acc_s[r]
-            if has_new:
-                # Fold the current token's (unquantized) K/V in as the final
-                # online-softmax term: attention covers pool slots
-                # [lo·bk, length) plus itself, so the hot decode path never
-                # has to write the pools before attending.
-                q = q_ref[0, h].astype(jnp.float32)        # [SG, D]
-                kn = kn_ref[0, h][None].astype(jnp.float32)  # [1, D]
-                vn = vn_ref[0, h][None].astype(jnp.float32)
-                s_self = jax.lax.dot_general(
-                    q, kn, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale                                  # [SG, 1]
-                m_next = jnp.maximum(
-                    m_prev, jnp.broadcast_to(s_self, m_prev.shape))
-                alpha = jnp.exp(m_prev - m_next)
-                p_self = jnp.exp(s_self - m_next[:, :1])
-                l_prev = alpha * l_prev + p_self
-                acc = acc * alpha[:, :1] + p_self * vn
-            l = l_prev[:, :1]
-            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-            o_ref[0, h] = (acc * l_inv).astype(o_ref.dtype)
+        m_prev, l_prev, acc = m_s[...], l_s[...], acc_s[...]
+        if has_new:
+            # Fold the current token's (unquantized) K/V in as the final
+            # online-softmax term: attention covers pool slots
+            # [lo·bk, length) plus itself, so the hot decode path never
+            # has to write the pools before attending.
+            q = q_ref[0].astype(jnp.float32)               # [Hkv, SG, D]
+            kn = kn_ref[0][:, None].astype(jnp.float32)    # [Hkv, 1, D]
+            vn = vn_ref[0][:, None].astype(jnp.float32)
+            s_self = jax.lax.dot_general(
+                q, kn, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale                                      # [Hkv, SG, 1]
+            m_next = jnp.maximum(
+                m_prev, jnp.broadcast_to(s_self, m_prev.shape))
+            alpha = jnp.exp(m_prev - m_next)
+            p_self = jnp.exp(s_self - m_next[:, :, :1])
+            l_prev = alpha * l_prev + p_self
+            acc = acc * alpha[:, :, :1] + p_self * vn
+        l = l_prev[:, :, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
 
     return kernel
 
@@ -1019,9 +1034,9 @@ def paged_attention_fa(
              pltpu.VMEM((2, Hkv, ppcb, 1, page_size), jnp.float32)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((Hkv * SG, 128), jnp.float32),
-            pltpu.VMEM((Hkv * SG, 128), jnp.float32),
-            pltpu.VMEM((Hkv * SG, D), jnp.float32),
+            pltpu.VMEM((Hkv, SG, 128), jnp.float32),
+            pltpu.VMEM((Hkv, SG, 128), jnp.float32),
+            pltpu.VMEM((Hkv, SG, D), jnp.float32),
         ]
         semantics = ("arbitrary",)
     else:
