@@ -181,7 +181,7 @@ def _batched_kernel(G, S, bk, ppcb, page_size, pages_per_seq, scale,
         vn = vn_ref[0][:, None].astype(jnp.float32)
         s_self = lax.dot_general(
             q, kn, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)                  # [Hkv, SG, 1]
+            preferred_element_type=jnp.float32) * scale          # [Hkv, SG, 1]
         m_next = jnp.maximum(m_prev, jnp.broadcast_to(s_self, m_prev.shape))
         alpha = jnp.exp(m_prev - m_next)
         p_self = jnp.exp(s_self - m_next[:, :, :1])
@@ -316,9 +316,11 @@ if __name__ == "__main__":
     out["batched_ms"] = (time.perf_counter() - t0) / REPS / STEPS * 1e3
     print(json.dumps(out), flush=True)
 
-# STATUS (r4, parked): at bench shapes (B=128, 640-token fused int8 pools,
-# ppcb=8) this batched-head grid measured 16.42 ms per 32-layer step-equiv
-# vs 19.79 for the production per-head-loop kernel (-17%), but its output
-# is numerically WRONG (rel err ~0.53 vs the production kernel) — the
-# batched dot_general/softmax indexing needs debugging in interpret mode
-# against ops/paged_attention._reference_paged before it can ship.
+# STATUS (r4, PROMOTED): at bench shapes (B=128, 640-token fused int8
+# pools, ppcb=8) this batched-head grid measures 16.47 ms per 32-layer
+# step-equiv vs 19.79 for the per-head-loop kernel (-17%). The numerics
+# defect was a missing `* scale` on the self-term (rel err 0.53 → 2e-4,
+# bf16 noise). The batched compute now ships in the production folded
+# kernel (ops/paged_attention._fa_mh_kernel) generalized to fused/split,
+# quant/bf16, and self-term/plain configs; this probe is kept as the
+# standalone A/B harness.
