@@ -701,10 +701,12 @@ def main():
     probe = (lambda g: 0.0) if tiny else (lambda g: g)
     # Headline first: the judged numbers land before any time pressure.
     # KV-fused int8 pools at 128 slots are the measured-best configuration
-    # (driver-recorded BENCH_r03.json, v5e, 180.9 s busy-chip acquire
-    # included): 37.332 ms/step = 3428.71 tok/s/chip vs split pools'
-    # 42.098 ms (3040.5) in the same run — the one-DMA-per-block layout
-    # wins ~13% and is the serving default (`serve/api.py --kv-fused`).
+    # (driver-recorded BENCH_r03.json: 37.332 ms/step = 3428.71 tok/s vs
+    # split 42.098/3040.5 — the one-DMA-per-block layout is the serving
+    # default, `serve/api.py --kv-fused`). The r4 full-bench development
+    # run after the block retune + head-batched kernel
+    # (BENCH_dev_r4_batched_kernel.json): 27.521 ms/step = 4651.01 tok/s,
+    # split 29.533/4334.2 same-run.
     h.run_phase(
         "pagedqf",
         lambda slots: bench_decode_paged(
