@@ -706,7 +706,9 @@ def main():
     # default, `serve/api.py --kv-fused`). The r4 full-bench development
     # run after the block retune + head-batched kernel
     # (BENCH_dev_r4_batched_kernel.json): 27.521 ms/step = 4651.01 tok/s,
-    # split 29.533/4334.2 same-run.
+    # split 29.533/4334.2 same-run. After the post-batching block
+    # re-sweep (bk 1024 → 768): 25.207 ms/step = 5077.9 tok/s
+    # (pagedqf single-phase development run, v5e).
     h.run_phase(
         "pagedqf",
         lambda slots: bench_decode_paged(

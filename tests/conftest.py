@@ -72,6 +72,25 @@ class MockTokenizer:
         return " ".join(words)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop jit/compile caches (and force a gc) at every module boundary.
+
+    The full suite compiles hundreds of distinct executables in one
+    process; with the accumulated compiler state the XLA:CPU backend has
+    been observed to SEGFAULT inside backend_compile_and_load on a graph
+    that compiles fine in a fresh process (reproduced twice at the same
+    test, tests/test_paged_batching.py::..::test_budget_edges_..., at
+    ~45% of the suite). Shedding caches between modules keeps the
+    per-process compiler footprint bounded; within-module caching — the
+    part that matters for runtime — is untouched."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture
 def mock_tokenizer():
     return MockTokenizer()

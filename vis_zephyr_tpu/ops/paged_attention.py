@@ -985,18 +985,21 @@ def paged_attention_fa(
           .reshape(B, Hkv, SG, D))
 
     if pages_per_block is None:
-        # Per-block cost is dominated by fixed overhead (DMA setup, the
-        # scalar run/tail predicate chain, softmax bookkeeping), not bytes,
-        # so the best block is the biggest one that keeps the whole
-        # serving-typical sequence in ONE block without blowing VMEM.
-        # Measured v5e B=128, 640-token fused int8 pools, 32-layer scan:
-        # ppcb 4 (the old folded default, 2 blocks/slot) = 25.65 ms,
-        # 6 = 20.21, 8 (1 block/slot) = 19.79, 12 = 23.43, 16 = 27.04 —
-        # bk ≈ 1024 tokens is the sweet spot; beyond it the bigger
-        # double-buffered scratch pipelines worse. Step-level effect:
-        # 37.28 → 31.37 ms at B=128 (pagedqf bench phase, 4080 tok/s).
+        # The best block is the SMALLEST one that still covers the
+        # serving-typical sequence in one block: per-block fixed overhead
+        # (DMA setup, the scalar run/tail predicate chain, softmax
+        # bookkeeping) punishes multi-block walks, while every column past
+        # the real sequence length is padding the dot_general still pays
+        # for, so oversizing the block wastes MXU work and VMEM pipelining.
+        # Measured v5e B=128, 640-token fused int8 pools, 32-layer scan,
+        # per-head-loop kernel: ppcb 4 (2 blocks/slot) = 25.65 ms, 6 =
+        # 20.21, 8 = 19.79, 12 = 23.43, 16 = 27.04. Re-swept with the
+        # head-BATCHED kernel (one dot pair per block): 4 = 15.71,
+        # 6 = 13.70, 8 = 16.00, 12 = 20.84, 16 = 25.57 — batching shrank
+        # the fixed per-block cost, moving the optimum down to bk = 768
+        # (one block per 640-token slot with minimal dot padding).
         if fold_heads:
-            pages_per_block = min(max(1024 // page_size, 1), 8, pages_per_seq)
+            pages_per_block = min(max(768 // page_size, 1), 6, pages_per_seq)
         else:
             pages_per_block = min(8, pages_per_seq)
     ppcb = pages_per_block
