@@ -545,6 +545,16 @@ class _Harness:
                 last_err = f"{type(e).__name__}: {e}"
                 del e  # the traceback pins the phase's device-sized locals
                 _free_device_memory()
+                # The attempt ladder exists for CAPACITY failures (smaller
+                # shapes can fit). A compile failure is deterministic: the
+                # same kernel recompiled at a smaller slot count crashes
+                # identically (r4 burned 420 s recompiling pagedq at
+                # 128/64/32 slots against a compile-helper HTTP 500). Fail
+                # the phase fast and leave the budget to phases that can
+                # succeed.
+                if not _retryable_error(last_err):
+                    self.extras[f"{name}_nonretryable"] = True
+                    break
         if last_err is not None:
             self.extras[f"{name}_error"] = last_err[:300]
             # A phase that died on RESOURCE_EXHAUSTED and left the chip
@@ -559,6 +569,24 @@ class _Harness:
         self.extras[f"{name}_s"] = round(time.monotonic() - t0, 1)
         _free_device_memory()
         self.emit()
+
+
+def _retryable_error(err: str) -> bool:
+    """True iff a smaller attempt could plausibly succeed. Capacity errors
+    (RESOURCE_EXHAUSTED / OOM) shrink with the shape; compile errors
+    (Mosaic lowering, remote compile-helper 500s, INTERNAL) and missing-op
+    errors are deterministic — retrying them burns budget recompiling the
+    identical failure (r4: 654 s across pagedqf+pagedq)."""
+    for pat in ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
+                "Allocation failure"):
+        if pat in err:
+            return True
+    for pat in ("remote_compile", "tpu_compile_helper", "INTERNAL",
+                "Mosaic", "NotImplementedError", "lowering",
+                "UNIMPLEMENTED", "INVALID_ARGUMENT"):
+        if pat in err:
+            return False
+    return True  # unknown errors keep the old (retry) behavior
 
 
 def _headline(extras: dict) -> dict:
@@ -618,12 +646,36 @@ def _headline(extras: dict) -> dict:
                 value / A100_SINGLE_STREAM_DECODE_TOKS, 3
             ),
         }
-    else:
-        v = extras.get("anyres_images_per_sec", 0.0)
+    elif single is not None:
+        # Every batch phase failed but single-stream decode succeeded
+        # (r4's exact failure mode): the headline degrades to the measured
+        # single-stream number, never to a 0.0.
+        result = {
+            "metric": "zephyr7b_decode_tokens_per_sec_per_chip_single_stream",
+            "value": round(single, 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(single / A100_SINGLE_STREAM_DECODE_TOKS, 3),
+            "vs_baseline_note": (
+                "single-stream decode vs est. 35 tok/s single-stream A100 "
+                "HF reference (like-for-like); batch phases did not complete"
+            ),
+        }
+    elif extras.get("anyres_images_per_sec"):
+        v = extras["anyres_images_per_sec"]
         result = {
             "metric": "anyres_images_per_sec_per_chip",
             "value": round(v, 2),
             "unit": "images/s",
+            "vs_baseline": None,
+        }
+    else:
+        # Nothing measured yet (early watchdog dump / total outage):
+        # explicit zero with the errors attached below — never a silent
+        # anyres-0.0 masquerading as a measurement.
+        result = {
+            "metric": "no_phase_completed",
+            "value": 0.0,
+            "unit": "tokens/s",
             "vs_baseline": None,
         }
     result.update({k: (round(v, 3) if isinstance(v, float) else v)
