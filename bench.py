@@ -451,11 +451,264 @@ def bench_vision(cfg: VisZephyrConfig, iters: int = 16, warmup: int = 3, batch_i
     }
 
 
+def bench_train_step(cfg: VisZephyrConfig, batch_size: int = 8,
+                     seq_len: int = 2048, steps: int = 4,
+                     num_patches: int = 4) -> dict:
+    """Stage-1 train-step throughput on one chip: projector-trainable
+    fwd+bwd through the FULL model (anyres vision encode + Q-Former +
+    7B decoder, remat on), AdamW on the projector, measured ms/step →
+    tokens/s and an approximate decoder MFU.
+
+    The frozen backbone is held int8 (the serving quantization): stage 1
+    computes NO weight grads for it (vis_zephyr stop-gradients the tower;
+    the decoder's dequant-dot backward w.r.t. activations is exact), and
+    int8 weights are what lets 7B train-step + activations fit a 16 GB
+    chip at all — a documented deviation from the reference's bf16 recipe
+    on 4×A100-80GB (`script/pretrain.sh`: bs 16/GPU, seq 2048). The
+    reference logs samples/s to benchmark.csv
+    (`vis_zephyr/train/train.py:856-927`); this phase is the TPU
+    equivalent at the largest batch that fits one chip."""
+    import optax
+
+    from vis_zephyr_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+    from vis_zephyr_tpu.models.projector import init_projector
+    from vis_zephyr_tpu.train.steps import loss_fn
+
+    key = jax.random.PRNGKey(0)
+    frozen = {
+        "vision": init_clip_vit(cfg.vision, key, dtype=jnp.bfloat16),
+        "decoder": _random_quantized_mistral(
+            cfg.decoder, jax.random.fold_in(key, 2)),
+    }
+    proj = init_projector(cfg, jax.random.fold_in(key, 1), dtype=jnp.bfloat16)
+    tx = optax.adamw(2e-3, weight_decay=0.0)
+    opt_state = tx.init(proj)
+
+    # Synthetic stage-1 batch: <image> caption pairs (the pretrain task)
+    # padded to seq_len — one image (num_patches anyres patches) per
+    # sample, labels IGNORE over the prompt prefix.
+    B, T, S = batch_size, seq_len, cfg.vision.image_size
+    rng = np.random.default_rng(0)
+    ids = rng.integers(10, cfg.decoder.vocab_size - 1, (B, T), np.int32)
+    ids[:, 0] = 1
+    ids[:, 2] = IMAGE_TOKEN_INDEX
+    input_ids = jnp.asarray(ids)
+    labels = jnp.asarray(np.where(np.arange(T)[None] < 8, IGNORE_INDEX, ids))
+    images = jnp.asarray(
+        rng.normal(size=(B, num_patches, S, S, 3)).astype(np.float32) * 0.5)
+    patch_valid = jnp.ones((B, num_patches), bool)
+    batch = {"input_ids": input_ids, "labels": labels, "images": images,
+             "patch_valid": patch_valid}
+
+    @jax.jit
+    def train_step(proj, opt_state, batch):
+        def masked_loss(p):
+            return loss_fn({**frozen, "projector": p}, batch, cfg, remat=True)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            masked_loss, has_aux=True)(proj)
+        updates, opt_state2 = tx.update(grads, opt_state, proj)
+        return optax.apply_updates(proj, updates), opt_state2, loss
+
+    proj, opt_state, loss = train_step(proj, opt_state, batch)
+    _sync(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        proj, opt_state, loss = train_step(proj, opt_state, batch)
+    _sync(loss)
+    dt = (time.perf_counter() - t0) / steps
+
+    dec = cfg.decoder
+    # Decoder-only FLOPs/token, stage-1 accounting: fwd 2P + remat re-fwd
+    # 2P + activation-grad bwd 2P (no weight grads) = 6P, with P = matmul
+    # params (layers + lm_head; embedding lookups are not matmuls). The
+    # vision/projector share (~10% at these shapes) is excluded → reported
+    # MFU slightly UNDERESTIMATES true utilization.
+    L, D, I = dec.num_layers, dec.hidden_size, dec.intermediate_size
+    Hkv, hd = dec.num_kv_heads, dec.head_dim
+    p_layer = D * (D + 2 * Hkv * hd) + D * D + 3 * D * I
+    p_matmul = L * p_layer + D * dec.vocab_size
+    flops = 6.0 * p_matmul * B * T
+    v5e_peak = 197e12  # bf16 MXU peak, TPU v5e
+    return {
+        "train_ms_per_step": dt * 1e3,
+        "train_tokens_per_sec": B * T / dt,
+        "train_samples_per_sec": B / dt,
+        "train_batch": B,
+        "train_seq_len": T,
+        "train_decoder_mfu": round(flops / dt / v5e_peak, 4),
+        "train_loss_finite": bool(np.isfinite(float(loss))),
+    }
+
+
+class _BenchTokenizer:
+    """Deterministic whitespace tokenizer with the HF-ish surface the serve
+    stack needs. The TTFT phase measures the SERVER (admission, chunked
+    prefill, batching, vision encode) — not tokenizer quality — and real
+    checkpoints are env-blocked (PARITY.md), so random weights + a stable
+    mock tokenizer give the honest latency of every on-device stage."""
+
+    bos_token_id = 1
+    eos_token_id = 2
+    pad_token_id = 0
+    model_max_length = 4096
+
+    def __init__(self):
+        self.vocab = {"<s>": 1, "</s>": 2, "<pad>": 0}
+
+    class _Out:
+        def __init__(self, ids):
+            self.input_ids = ids
+
+    def __call__(self, text, **kwargs):
+        ids = [self.bos_token_id]
+        for tok in text.replace("</s>", " </s> ").split():
+            if tok not in self.vocab:
+                self.vocab[tok] = len(self.vocab) + 10
+            ids.append(self.vocab[tok])
+        return self._Out(ids)
+
+    def decode(self, ids, skip_special_tokens=False):
+        rev = {v: k for k, v in self.vocab.items()}
+        words = [rev.get(int(i), f"tok{int(i)}") for i in np.asarray(ids).ravel()]
+        if skip_special_tokens:
+            words = [w for w in words if w not in ("<s>", "</s>", "<pad>")]
+        return " ".join(words)
+
+
+def bench_ttft_server(cfg: VisZephyrConfig, n_requests: int = 8,
+                      max_new_tokens: int = 32) -> dict:
+    """p50/p99 TTFT measured through serve/api.py's REAL request path:
+    stdlib HTTP server → /chat POST (base64 anyres image) → admission →
+    chunked prefill (256) interleaved with the other streams' decode →
+    paged int8-KV fused-pool batcher → first streamed chunk.
+
+    Replaces the r1–r4 `ttft_ms_estimate` (host-side anyres_ms +
+    prefill_ms arithmetic) with a measurement that includes tokenization,
+    scheduling, queueing and HTTP — the <300 ms BASELINE north star is a
+    server p50, not a kernel sum. All n_requests fire CONCURRENTLY (fresh
+    sessions, distinct images), so each request's prefill competes with
+    the other streams' decode exactly as production admission does."""
+    import base64 as _b64
+    import io as _io
+    import urllib.request
+
+    from PIL import Image
+
+    from vis_zephyr_tpu.models.mistral import fuse_decoder_layers
+    from vis_zephyr_tpu.models.projector import init_projector
+    from vis_zephyr_tpu.serve.api import serve as _serve
+    from vis_zephyr_tpu.serve.engine import ChatEngine
+    from vis_zephyr_tpu.utils.metrics import ServingMetrics
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "vision": init_clip_vit(cfg.vision, key, dtype=jnp.bfloat16),
+        "projector": init_projector(cfg, jax.random.fold_in(key, 1),
+                                    dtype=jnp.bfloat16),
+        "decoder": fuse_decoder_layers(
+            _random_quantized_mistral(cfg.decoder, jax.random.fold_in(key, 2))),
+    }
+    tokenizer = _BenchTokenizer()
+    metrics = ServingMetrics()
+    engine = ChatEngine(
+        params, cfg, tokenizer, temperature=0.0,
+        max_new_tokens=max_new_tokens, continuous_batching=True,
+        max_slots=max(4, n_requests), kv_cache="paged", kv_quant=True,
+        kv_fused=True, prefill_chunk=256, metrics=metrics,
+        num_pages=16 * max(4, n_requests),
+    )
+    server = _serve(engine, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
+    srv_thread.start()
+
+    S = cfg.vision.image_size
+    rng = np.random.default_rng(0)
+
+    def _image_b64(seed: int) -> str:
+        # Tall image in the (S, 3S) pinpoint class → global + 3 tiles,
+        # the largest anyres shape the default grid produces.
+        arr = rng.integers(0, 255, (3 * S - 16, S - 16, 3), np.uint8)
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return _b64.b64encode(buf.getvalue()).decode()
+
+    question = "Describe every object and action visible in this image."
+
+    def _request(i: int, out: dict):
+        payload = json.dumps({
+            "session_id": f"ttft-{i}-{time.monotonic_ns()}",
+            "question": question,
+            "image_base64": _image_b64(i),
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/chat", data=payload,
+            headers={"Content-Type": "application/json"})
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            first = None
+            while True:
+                chunk = resp.read(1)
+                if first is None and chunk:
+                    first = time.perf_counter()
+                if not chunk:
+                    break
+            out[i] = ((first or time.perf_counter()) - t0) * 1e3
+
+    # Warmup: ONE request compiles every program on the path (vision
+    # encode, prefill chunk buckets, the paged decode step). Untimed.
+    warm: dict = {}
+    _request(-1, warm)
+    # Drop the warmup's compile-dominated sample from the server-side
+    # histograms so ttft_server_p50_ms reflects steady-state admissions.
+    metrics._hist.clear()
+    metrics._count.clear()
+    metrics._sum.clear()
+
+    results: dict = {}
+    threads = [threading.Thread(target=_request, args=(i, results))
+               for i in range(n_requests)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    server.shutdown()
+    server.server_close()
+    engine._pump_stop = True
+    time.sleep(0.1)
+
+    ttfts = sorted(results.values())
+    out = {
+        "ttft_p50_ms": float(np.percentile(ttfts, 50)),
+        "ttft_p99_ms": float(np.percentile(ttfts, 99)),
+        "ttft_max_ms": max(ttfts),
+        "ttft_n_requests": len(ttfts),
+        "ttft_burst_wall_s": round(wall, 2),
+    }
+    summ = metrics.summary()
+    srv = summ.get("ttft_ms") or {}
+    if srv.get("p50") is not None:
+        # Server-side histogram (admission → first token, excl. HTTP):
+        # reported alongside the client-observed numbers.
+        out["ttft_server_p50_ms"] = srv["p50"]
+    return out
+
+
 def _bench_config() -> VisZephyrConfig:
-    if os.environ.get("VZT_BENCH_PRESET") == "tiny":  # harness smoke tests
+    preset = os.environ.get("VZT_BENCH_PRESET")
+    if preset == "tiny":  # harness smoke tests (CPU)
         from vis_zephyr_tpu.config import tiny_config
 
         return tiny_config()
+    if preset == "smoke":  # on-chip kernel compile gate (tpu_smoke.sh):
+        # production tile shapes (head_dim 128), 2 layers
+        from vis_zephyr_tpu.config import smoke_config
+
+        return smoke_config()
     return VisZephyrConfig()
 
 
@@ -705,7 +958,7 @@ def main():
     watchdog.start()
 
     cfg = _bench_config()
-    tiny = os.environ.get("VZT_BENCH_PRESET") == "tiny"
+    tiny = os.environ.get("VZT_BENCH_PRESET") in ("tiny", "smoke")
 
     # First device touch, timed (a wedged acquisition shows up here and is
     # bounded by the watchdog, not by any kill). A DOWN backend (tunnel
@@ -804,8 +1057,22 @@ def main():
     # (r4 shakeout: a full run fits ~6 phases in the 900 s budget).
     h.run_phase("prefill", lambda: bench_prefill(cfg), [{}], min_time_s=60,
                 need_gib=probe(8))
+    # Server-level TTFT: the <300 ms BASELINE north star is a p50 through
+    # the REAL request path (HTTP → admission → chunked prefill → paged
+    # batcher), not an anyres+prefill sum — this phase measures it.
+    h.run_phase("ttft",
+                lambda n_requests: bench_ttft_server(cfg, n_requests=n_requests),
+                [{"n_requests": 8}, {"n_requests": 4}],
+                min_time_s=240, need_gib=probe(10))
     h.run_phase("vision", lambda: bench_vision(cfg), [{}], min_time_s=120,
                 need_gib=probe(2))
+    # Stage-1 train-step throughput (tokens/s + MFU at the largest batch
+    # that fits a chip) — the reference's benchmark.csv samples/s
+    # equivalent (`vis_zephyr/train/train.py:856-927`).
+    h.run_phase("train",
+                lambda batch_size: bench_train_step(cfg, batch_size=batch_size),
+                [{"batch_size": 8}, {"batch_size": 4}, {"batch_size": 2}],
+                min_time_s=240, need_gib=probe(10))
     h.run_phase(
         "paged",
         lambda slots: bench_decode_paged(
@@ -843,11 +1110,16 @@ def main():
 def run_phase_cli(phase: str, slots: int) -> None:
     """Manual single-phase runs for debugging (`python bench.py --phase paged`)."""
     cfg = _bench_config()
-    tiny = os.environ.get("VZT_BENCH_PRESET") == "tiny"
+    tiny = os.environ.get("VZT_BENCH_PRESET") in ("tiny", "smoke")
     if phase == "vision":
         out = bench_vision(cfg)
     elif phase == "prefill":
         out = bench_prefill(cfg)
+    elif phase == "ttft":
+        out = bench_ttft_server(cfg, n_requests=2 if tiny else 8)
+    elif phase == "train":
+        out = bench_train_step(
+            cfg, batch_size=2 if tiny else 8, seq_len=128 if tiny else 2048)
     elif phase == "decode":
         out = bench_decode(cfg, batch_slots=slots)
         out["decode_slots"] = slots
@@ -873,7 +1145,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", choices=["vision", "prefill", "decode",
                                         "decode4", "paged", "paged4",
-                                        "pagedq", "paged4q", "pagedqf"])
+                                        "pagedq", "paged4q", "pagedqf",
+                                        "ttft", "train"])
     ap.add_argument("--decode-slots", type=int, default=16)
     cli = ap.parse_args()
     if cli.phase:

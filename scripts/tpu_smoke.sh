@@ -1,0 +1,70 @@
+#!/bin/bash
+# TPU smoke gate: compile every Pallas kernel ON THE REAL CHIP at tiny
+# shapes, in a few minutes. Run this after EVERY edit under
+# vis_zephyr_tpu/ops/ and before ending a round — CPU tests run the
+# kernels in interpret mode and cannot catch Mosaic lowering failures
+# (round 4 shipped a kv-update rewrite that passed the whole CPU suite
+# and was never compiled by Mosaic before the driver's bench ran).
+#
+# Exit code 0 = every kernel compiled and ran on the TPU.
+set -u
+cd "$(dirname "$0")/.."
+
+fail=0
+
+# Smoke-preset bench phases (production tile shapes, 2 layers): each compiles the REAL production step
+# program (serve/paged.py::_paged_step / the dense decode scan) end to
+# end — the same code paths the driver's bench and the server run.
+for phase in pagedqf pagedq paged decode prefill; do
+    echo "--- phase $phase (smoke preset)"
+    if ! VZT_BENCH_PRESET=smoke timeout 420 python bench.py --phase "$phase" --decode-slots 2; then
+        echo "SMOKE FAIL: phase $phase" >&2
+        fail=1
+    fi
+done
+
+# Flash attention fwd+bwd (the training kernel; not exercised by the
+# serving phases above) + the standalone paged-attention read kernels.
+echo "--- flash attention fwd+bwd + paged read kernels"
+if ! timeout 420 python - <<'EOF'
+import jax, jax.numpy as jnp, numpy as np
+from vis_zephyr_tpu.ops.flash_attention import flash_attention
+
+B, H, Hkv, T, D = 2, 4, 2, 256, 128
+key = jax.random.PRNGKey(0)
+q = jax.random.normal(key, (B, T, H, D), jnp.bfloat16)
+k = jax.random.normal(key, (B, T, Hkv, D), jnp.bfloat16)
+v = jax.random.normal(key, (B, T, Hkv, D), jnp.bfloat16)
+
+def loss(q, k, v):
+    return flash_attention(q, k, v, causal=True).astype(jnp.float32).sum()
+
+g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+jax.block_until_ready(g)
+print("flash fwd+bwd OK")
+
+from vis_zephyr_tpu.ops.paged_attention import (
+    paged_attention, paged_attention_fa)
+Hkv2, P, ps = 2, 8, 128
+kp = jax.random.normal(key, (Hkv2, P, ps, D), jnp.bfloat16)
+vp = jax.random.normal(key, (Hkv2, P, ps, D), jnp.bfloat16)
+table = jnp.tile(jnp.arange(4, dtype=jnp.int32), (B, 1))
+lengths = jnp.full((B,), 200, jnp.int32)
+q1 = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+o = paged_attention(q1, kp, vp, table, lengths)
+q2 = q1[:, None]  # [B, 1, Hq, D]
+o2 = paged_attention_fa(q2, kp, vp, table, lengths, lengths - 1)
+jax.block_until_ready((o, o2))
+print("paged read kernels OK")
+EOF
+then
+    echo "SMOKE FAIL: flash/paged kernels" >&2
+    fail=1
+fi
+
+if [ "$fail" -eq 0 ]; then
+    echo "TPU SMOKE: ALL GREEN"
+else
+    echo "TPU SMOKE: FAILURES (see above)" >&2
+fi
+exit "$fail"

@@ -50,6 +50,20 @@ def test_bench_prefill_phase_runs():
     assert out["prefill_640_ms"] > 0.0
 
 
+def test_bench_train_phase_runs():
+    cfg = tiny_config()
+    out = bench.bench_train_step(cfg, batch_size=2, seq_len=128, steps=1)
+    assert out["train_tokens_per_sec"] > 0.0
+    assert out["train_loss_finite"]
+
+
+def test_bench_ttft_phase_runs():
+    cfg = tiny_config()
+    out = bench.bench_ttft_server(cfg, n_requests=2, max_new_tokens=4)
+    assert out["ttft_p50_ms"] > 0.0
+    assert out["ttft_n_requests"] == 2
+
+
 def test_headline_prefers_paged_fused_number():
     extras = {
         "pagedqf_slots": 2,

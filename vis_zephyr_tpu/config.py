@@ -186,3 +186,19 @@ def tiny_config(vocab_size: int = 256) -> VisZephyrConfig:
         mm_grid_pinpoints="[[56, 112], [112, 56], [56, 168], [168, 56]]",
         tokenizer_model_max_length=512,
     )
+
+
+def smoke_config(vocab_size: int = 256) -> VisZephyrConfig:
+    """tiny_config with PRODUCTION kernel geometry: head_dim 128 (one full
+    lane tile) and a real GQA split, but only 2 decoder layers.
+
+    For `scripts/tpu_smoke.sh`: Mosaic's vector-layout inference only
+    supports the lane-aligned shapes the real model uses — tiny_config's
+    head_dim=16 fails to compile on hardware ("unsupported shape cast")
+    even though it runs in CPU interpret mode — so on-chip compile gates
+    must exercise the kernels at real tile shapes while keeping weights
+    small enough to compile in seconds."""
+    cfg = tiny_config(vocab_size)
+    return dataclasses.replace(cfg, decoder=dataclasses.replace(
+        cfg.decoder, hidden_size=256, intermediate_size=512,
+        num_heads=4, num_kv_heads=2, head_dim=128))

@@ -1458,6 +1458,20 @@ def _kv_update_rows(k_pages, v_pages, k_scales, v_scales, ks, vs,
     # lanes repeat the LAST slot — same page, same rows, so their
     # duplicate RMW flushes identical bytes.
     SL = min(8, B)
+    # The scratch grows SL× and Mosaic's DEFAULT scoped-vmem budget is
+    # 16 MiB: at the 7B serving shape (Hkv=8, L=32, fused int8) SL=8 needs
+    # 19 MiB and the r4 driver bench died in compile on exactly that
+    # ("scoped allocation 18.00M > limit 16.00M"). Size the budget to the
+    # actual scratch (+2x headroom for the double-buffered row blocks) and
+    # clamp SL so pathological configs can't blow past half of VMEM.
+    pool_bytes = jnp.dtype(k_pages.dtype).itemsize
+    row_tile = min(32, ps)  # aligned write granule for every pool dtype
+    quant_sl = 2 * ps if fused and quant else ps
+    lane_bytes = (2 * Hkv * L * row_tile * D * pool_bytes
+                  + Hkv * L * (quant_sl + ps) * 4)
+    while SL > 1 and SL * lane_bytes > 48 * 2**20:
+        SL //= 2
+    vmem_limit = int(min(100 * 2**20, max(32 * 2**20, 2 * SL * lane_bytes)))
     pad = (-B) % SL
     pages = pages.astype(jnp.int32)
     offsets = offsets.astype(jnp.int32)
@@ -1483,7 +1497,6 @@ def _kv_update_rows(k_pages, v_pages, k_scales, v_scales, ks, vs,
 
     row_block = pl.BlockSpec((SL, Hkv, L, D), lambda b, *_: (b, 0, 0, 0))
     pool_dtype = k_pages.dtype
-    row_tile = min(32, ps)  # aligned write granule for every pool dtype
     out = pl.pallas_call(
         _kv_update_rows_kernel(quant, L, row_tile, ps, fused=fused,
                                slots_per_cell=SL),
@@ -1514,6 +1527,7 @@ def _kv_update_rows(k_pages, v_pages, k_scales, v_scales, ks, vs,
         input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
     )(pages, offsets, kt, vt, k5, v5, ks5, vs5)
