@@ -1,27 +1,45 @@
 #!/bin/bash
-# TPU smoke gate: compile every Pallas kernel ON THE REAL CHIP at tiny
-# shapes, in a few minutes. Run this after EVERY edit under
-# vis_zephyr_tpu/ops/ and before ending a round — CPU tests run the
-# kernels in interpret mode and cannot catch Mosaic lowering failures
-# (round 4 shipped a kv-update rewrite that passed the whole CPU suite
-# and was never compiled by Mosaic before the driver's bench ran).
+# TPU smoke gate: compile every Pallas kernel ON THE REAL CHIP at
+# production tile shapes (smoke_config: head_dim 128, 2 layers), in a few
+# minutes. Run this after EVERY edit under vis_zephyr_tpu/ops/ and before
+# ending a round — CPU tests run the kernels in interpret mode and cannot
+# catch Mosaic lowering or scoped-vmem failures (round 4 shipped a
+# kv-update rewrite that passed the whole CPU suite and broke compile on
+# hardware).
 #
-# Exit code 0 = every kernel compiled and ran on the TPU.
+# Structure: ONE bench.py process runs every serving/train phase
+# in-process (one device acquisition, no kills — killing a TPU-holding
+# process wedges the NEXT acquisition on this tunneled stack for
+# ~10 min), then a second process compiles the kernels the bench phases
+# don't reach (flash fwd+bwd, standalone paged reads).
+#
+# Exit code 0 = every phase ran and no *_error/*_skipped keys in the
+# final bench line.
 set -u
 cd "$(dirname "$0")/.."
 
 fail=0
 
-# Smoke-preset bench phases (production tile shapes, 2 layers): each compiles the REAL production step
-# program (serve/paged.py::_paged_step / the dense decode scan) end to
-# end — the same code paths the driver's bench and the server run.
-for phase in pagedqf pagedq paged decode prefill; do
-    echo "--- phase $phase (smoke preset)"
-    if ! VZT_BENCH_PRESET=smoke timeout 420 python bench.py --phase "$phase" --decode-slots 2; then
-        echo "SMOKE FAIL: phase $phase" >&2
-        fail=1
-    fi
-done
+echo "--- bench phases (smoke preset, one process)"
+out=$(VZT_BENCH_PRESET=smoke VZT_BENCH_BUDGET_S=900 timeout 960 python bench.py 2>&1 | tail -1)
+echo "$out"
+if ! python - "$out" <<'EOF'
+import json, sys
+try:
+    d = json.loads(sys.argv[1])
+except Exception:
+    print("SMOKE: final line is not JSON:", sys.argv[1][:500])
+    raise SystemExit(1)
+bad = {k: v for k, v in d.items()
+       if k.endswith("_error") or k.endswith("_skipped")}
+if bad:
+    print("SMOKE: failed/skipped phases:", json.dumps(bad)[:2000])
+    raise SystemExit(1)
+print("SMOKE: all bench phases green")
+EOF
+then
+    fail=1
+fi
 
 # Flash attention fwd+bwd (the training kernel; not exercised by the
 # serving phases above) + the standalone paged-attention read kernels.

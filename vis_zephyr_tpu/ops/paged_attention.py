@@ -44,6 +44,7 @@ TPU (multi-page compute blocks, megacore-aware).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -1457,7 +1458,9 @@ def _kv_update_rows(k_pages, v_pages, k_scales, v_scales, ks, vs,
     # B=128 vs ~0.7 ms of traffic). Edge-pad to a multiple of SL: padding
     # lanes repeat the LAST slot — same page, same rows, so their
     # duplicate RMW flushes identical bytes.
-    SL = min(8, B)
+    # VZT_KV_SL: experiment/override knob (also the safety valve — SL=1
+    # restores the one-slot-per-cell r3 kernel exactly).
+    SL = min(int(os.environ.get("VZT_KV_SL", "8")), B)
     # The scratch grows SL× and Mosaic's DEFAULT scoped-vmem budget is
     # 16 MiB: at the 7B serving shape (Hkv=8, L=32, fused int8) SL=8 needs
     # 19 MiB and the r4 driver bench died in compile on exactly that
