@@ -1,6 +1,7 @@
 """Dataset / collator / sampler tests with synthetic fixtures."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -96,6 +97,65 @@ class TestSupervisedDataset:
         ml = ds.modality_lengths
         assert ml[0] > 0 and ml[1] > 0 and ml[2] < 0
         assert ds.lengths[0] == ml[0] + 128
+
+    def test_lengths_tolerate_raw_vcr_records(self):
+        """Raw VCR items (reference tuning-data format) carry no
+        "conversations" — their dialog is built by the ViP processor at
+        __getitem__ time. The sampler length props must estimate instead
+        of crashing (the reference's own `lengths` crashes here,
+        `vis_zephyr/train/train.py:642-654`)."""
+        rec = {
+            "id": "vcr-0", "image": "x.jpg",
+            "question": ["Does", [2], "feel", "comfortable", "?"],
+            "answer_choices": [["Yes", "."], ["No", "she", "does", "not", "."]],
+            "rationale_choices": [["Because", "reasons", "."]],
+            "answer_label": 1, "rationale_label": 0,
+        }
+        n = SupervisedDataset._record_words(rec)
+        assert n == 5 + 5 + 3
+        conv_rec = {"image": "x.jpg", "conversations": [
+            {"from": "human", "value": "<image> a b"},
+            {"from": "gpt", "value": "c d e"}]}
+        assert SupervisedDataset._record_words(conv_rec) == 6
+
+    @pytest.mark.skipif(
+        not os.path.exists("/root/reference/playground/data/tuning/test.json"),
+        reason="reference fixture unavailable")
+    def test_getitem_builds_conversations_for_raw_vcr(self, mock_tokenizer):
+        """The training route the VCR recipes use: a raw VCR record (no
+        conversations) flows through the ViP processor, which draws the
+        overlay and BUILDS the conversations (reference
+        `train/train.py:549-567`). Caught live: tuple-seeded rng +
+        unconditional rec["conversations"] both crashed this path."""
+        from vis_zephyr_tpu.config import tiny_config
+
+        cfg = tiny_config()
+        ds = SupervisedDataset(
+            DataConfig(
+                data_path="/root/reference/playground/data/tuning/test.json",
+                image_folder="/root/reference/playground/data/tuning/images",
+                image_aspect_ratio="anyres",
+                mm_grid_pinpoints=cfg.mm_grid_pinpoints,
+                image_size=cfg.vision.image_size,
+            ),
+            mock_tokenizer,
+        )
+        assert ds.lengths[0] > 0 and ds.modality_lengths[0] > 0
+        s = ds[0]
+        assert (s["input_ids"] == IMAGE_TOKEN_INDEX).sum() == 1
+        assert (s["labels"] != IGNORE_INDEX).any()
+
+    def test_vip_rng_is_scalar_seeded_and_reproducible(self, fixture_dir,
+                                                       mock_tokenizer):
+        """random.Random rejects tuple seeds on py3.12 — the per-item ViP
+        rng must build from a scalar and be deterministic per (seed, i)."""
+        data_path, img_dir = fixture_dir
+        ds = SupervisedDataset(
+            DataConfig(data_path=data_path, image_folder=img_dir), mock_tokenizer
+        )
+        a, b = ds._vip_rng(3), ds._vip_rng(3)
+        assert a.random() == b.random()
+        assert ds._vip_rng(3).random() != ds._vip_rng(4).random()
 
     def test_collation_static_buckets(self, fixture_dir, mock_tokenizer):
         data_path, img_dir = fixture_dir

@@ -88,24 +88,47 @@ class SupervisedDataset:
         return len(self.records)
 
     def _vip_rng(self, index: int):
-        """Per-item seeded RNG → reproducible train-time ViP randomization."""
+        """Per-item seeded RNG → reproducible train-time ViP randomization.
+        (random.Random only accepts scalar seeds — a (seed, index) tuple
+        raises TypeError on py3.12 — so mix them into one string.)"""
         import random as _random
 
-        return _random.Random((self.cfg.seed, index))
+        return _random.Random(f"{self.cfg.seed}-{index}")
+
+    @staticmethod
+    def _record_words(rec: Dict) -> int:
+        """Word-count estimate for the sampler.
+
+        Raw VCR items (reference `playground/data/tuning/vcr.json`
+        format, routed through the ViP processor) have NO
+        "conversations" key — their conversations are built at
+        __getitem__ time — so estimate from the token-list fields. The
+        reference's own `lengths` property crashes on these records
+        (`vis_zephyr/train/train.py:642-654` assumes conversations); it
+        only survives because its VCR recipes disable length grouping.
+        Handled here so grouping works on VCR data too."""
+        if "conversations" in rec:
+            return sum(len(c["value"].split()) for c in rec["conversations"])
+        n = len(rec.get("question") or ())
+        for key in ("answer_choices", "rationale_choices"):
+            choices = rec.get(key)
+            if isinstance(choices, list) and choices:
+                n += max(len(c) if isinstance(c, list) else len(str(c).split())
+                         for c in choices)
+        return n or 32
 
     @property
     def modality_lengths(self) -> List[int]:
         out = []
         for rec in self.records:
-            n = sum(len(c["value"].split()) for c in rec["conversations"])
+            n = self._record_words(rec)
             out.append(n if "image" in rec else -n)
         return out
 
     @property
     def lengths(self) -> List[int]:
         return [
-            sum(len(c["value"].split()) for c in rec["conversations"])
-            + (128 if "image" in rec else 0)
+            self._record_words(rec) + (128 if "image" in rec else 0)
             for rec in self.records
         ]
 
@@ -114,7 +137,10 @@ class SupervisedDataset:
 
         rec = self.records[i]
         has_image = "image" in rec
-        conversations = copy.deepcopy(rec["conversations"])
+        # Raw VCR items carry no "conversations" — the ViP route below
+        # builds them (reference `train/train.py:549-567` assigns the
+        # visual_prompt_process output into the record the same way).
+        conversations = copy.deepcopy(rec.get("conversations"))
 
         sample: Dict = {}
         if has_image:
@@ -169,9 +195,13 @@ class SupervisedDataset:
                     n_patches=int(patch_valid.sum()),
                 )
 
-            for turn in conversations:
+            for turn in conversations or ():
                 turn["value"] = normalize_multimodal_text(turn["value"])
 
+        if conversations is None:
+            raise ValueError(
+                f"record {rec.get('id', i)!r} has no 'conversations' and no "
+                "ViP route builds them (raw VCR items need a vcr-* id)")
         out = preprocess([conversations], self.tokenizer, has_image=has_image, conv=self.cfg.conv)
         sample["input_ids"] = out["input_ids"][0]
         sample["labels"] = out["labels"][0]
