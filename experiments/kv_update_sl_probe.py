@@ -9,7 +9,12 @@ STANDALONE at the full 7B serving shape across SL ∈ {1, 2, 4, 8} (via the
 VZT_KV_SL env knob, which must be set per process — the SL is baked at
 trace time), isolating the RMW from the rest of the step.
 
-Run:  for sl in 1 2 4 8; do VZT_KV_SL=$sl python experiments/kv_update_sl_probe.py; done
+Run:  python experiments/kv_update_sl_probe.py        (on the TPU)
+
+One process sweeps SL ∈ {1, 2, 4, 8}: the knob is read at trace time, so
+the probe sets the env var and clears the jit cache between settings —
+one device acquisition, no killed TPU-holding processes (a kill wedges
+the next acquisition ~10 min on this tunneled stack).
 """
 
 import functools
@@ -27,8 +32,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from vis_zephyr_tpu.ops.paged_attention import paged_kv_update_rows_q
 
 
-def main():
-    sl = os.environ.get("VZT_KV_SL", "8")
+def probe_sl(sl: int):
+    os.environ["VZT_KV_SL"] = str(sl)
+    paged_kv_update_rows_q.clear_cache()  # SL is baked at trace time
+
     Hkv, L, D, B, ps = 8, 32, 128, 128, 128
     # Match the pagedqf bench pool: 1 + B*pages_per_req logical pages.
     P = 1 + B * 6
@@ -45,14 +52,14 @@ def main():
     def run(kp, ksc, ks, vs, n):
         def step(carry, _):
             kp, ksc = carry
-            kp, _, (ksc, _) = paged_kv_update_rows_q(
+            kp, _, ksc, _ = paged_kv_update_rows_q(
                 kp, None, ksc, None, ks, vs, pages, offs, interpret=False)
             return (kp, ksc), None
 
         (kp, ksc), _ = jax.lax.scan(step, (kp, ksc), None, length=n)
         return kp, ksc
 
-    steps = 64
+    steps = 32
     kp, ksc = run(kp, ksc, ks, vs, steps)
     jax.device_get(ksc[0, 0, 0, 0])
     t0 = time.perf_counter()
@@ -61,12 +68,18 @@ def main():
         kp, ksc = run(kp, ksc, ks, vs, steps)
     jax.device_get(ksc[0, 0, 0, 0])
     dt = (time.perf_counter() - t0) / (reps * steps)
+    del kp, ksc
     # Actual tile traffic per step (RMW = read + write of every touched
     # tile): 2 pools(K,V tiles) × B × Hkv × L × 32 rows × D bytes × 2(R+W)
     # + scale blocks.
     bytes_rw = 2 * B * Hkv * L * (32 * D * 1 * 2 + 2 * ps * 4 * 2)
     print({"sl": sl, "ms_per_step": round(dt * 1e3, 3),
-           "effective_gbps": round(bytes_rw / dt / 1e9, 1)})
+           "effective_gbps": round(bytes_rw / dt / 1e9, 1)}, flush=True)
+
+
+def main():
+    for sl in (1, 2, 4, 8):
+        probe_sl(sl)
 
 
 if __name__ == "__main__":

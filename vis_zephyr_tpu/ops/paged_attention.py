@@ -908,9 +908,313 @@ def _fa_mh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
     return kernel
 
 
+def _fa_gmh_kernel(G: int, S: int, bk: int, ppcb: int, page_size: int,
+                   pages_per_seq: int, scale: float, quant: bool,
+                   window: Optional[int], batch_size: int,
+                   num_kv_heads: int, slot_block: int,
+                   has_new: bool = False, fused: bool = False):
+    """Slot-GROUPED folded kernel: grid (B/SB,), each cell covers SB slots.
+
+    At serving batch sizes the folded (B,) grid is fixed-cost bound: 128
+    slots × 32 layers = 4096 programs/step at ~0.5 µs/program plus one
+    block iteration each at ~0.6 µs (`experiments/program_cost_probe.py`)
+    — ~4.5 ms of the 16.3 ms B=128 kernel time is dispatch, not data.
+    Grouping SB slots per cell divides BOTH: one program walks the
+    group's blocks, and each block's compute is ONE [SB·Hkv, SG, bk]
+    dot_general pair + one set of batched VPU softmax ops (the slot dim
+    rides the dot's batch dim — slots attend different pages, so K/V
+    can't be shared, but the dispatch and bookkeeping can).
+
+    The group walks blocks [min lo, max hi) over its member slots; every
+    member fetches on every block — a slot past its own range clamps to
+    a 1-page fetch of its own table (correctness comes from the per-slot
+    masks; the waste is one page per skewed (slot, block), zero when the
+    group's lengths are uniform as in steady-state decode). This keeps
+    DMA starts and waits unconditionally paired — no hole blocks, no
+    per-slot semaphore predicates.
+
+    Scratch grows SB× (kb [2, SB, Hkv, ppcb, rows, D]): SB=4 fused int8
+    at serving shape is ~12.6 MiB — `vmem_limit_bytes` is raised by the
+    caller. m/l/acc are [SB·Hkv, SG, ·]."""
+    SG = S * G
+    Hkv = num_kv_heads
+    SB = slot_block
+    IBIG = 0x7FFFFFFF  # python int: a jnp scalar here would be a captured const
+
+    def process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb, ksb, vsb, ksem,
+                      vsem, pt_ref, lengths_ref, c, i, slot, wait):
+        """Start (or wait on) compute block i of cell c's SB slots in
+        buffer `slot`. Per-slot fetch: the block's pages of slot b, with
+        the tail partial fetch (`npg`) and the contiguous-run single-DMA
+        fast path, exactly as in `_fa_mh_kernel.process_block` — but a
+        slot whose own walk is outside block i clamps to one page of its
+        own table (masked out downstream)."""
+        pool_pages = k_hbm.shape[1]
+
+        def go(copies):
+            for cp in copies:
+                cp.wait() if wait else cp.start()
+
+        for s_ in range(SB):
+            b = c * SB + s_
+            base = b * pages_per_seq
+            npg = jnp.clip(
+                lax.div(lengths_ref[b] + (page_size - 1), page_size)
+                - i * ppcb, 1, ppcb)
+            pids = [pt_ref[base + jnp.clip(i * ppcb + j, 0, pages_per_seq - 1)]
+                    for j in range(ppcb)]
+
+            def scatter(T, s_=s_, pids=pids):
+                copies = []
+                for j in range(T):
+                    copies.append(pltpu.make_async_copy(
+                        k_hbm.at[:, pids[j]], kb.at[slot, s_, :, j],
+                        ksem.at[slot]))
+                    if not fused:
+                        copies.append(pltpu.make_async_copy(
+                            v_hbm.at[:, pids[j]], vb.at[slot, s_, :, j],
+                            vsem.at[slot]))
+                    if quant:
+                        copies.append(pltpu.make_async_copy(
+                            ks_hbm.at[:, pids[j]], ksb.at[slot, s_, :, j],
+                            ksem.at[slot]))
+                        if not fused:
+                            copies.append(pltpu.make_async_copy(
+                                vs_hbm.at[:, pids[j]], vsb.at[slot, s_, :, j],
+                                vsem.at[slot]))
+                go(copies)
+
+            def run(T, s_=s_, pids=pids):
+                pid0 = pids[0]
+                copies = [
+                    pltpu.make_async_copy(
+                        k_hbm.at[:, pl.ds(pid0, T)],
+                        kb.at[slot, s_, :, pl.ds(0, T)], ksem.at[slot]),
+                ]
+                if not fused:
+                    copies.append(pltpu.make_async_copy(
+                        v_hbm.at[:, pl.ds(pid0, T)],
+                        vb.at[slot, s_, :, pl.ds(0, T)], vsem.at[slot]))
+                if quant:
+                    copies.append(pltpu.make_async_copy(
+                        ks_hbm.at[:, pl.ds(pid0, T)],
+                        ksb.at[slot, s_, :, pl.ds(0, T)], ksem.at[slot]))
+                    if not fused:
+                        copies.append(pltpu.make_async_copy(
+                            vs_hbm.at[:, pl.ds(pid0, T)],
+                            vsb.at[slot, s_, :, pl.ds(0, T)], vsem.at[slot]))
+                go(copies)
+
+            if ppcb == 1:
+                scatter(1)
+                continue
+
+            for T in range(1, ppcb + 1):
+                is_T = npg == T
+                if T == 1:
+                    @pl.when(is_T)
+                    def _one(scatter=scatter):
+                        scatter(1)
+                elif T > pool_pages:
+                    @pl.when(is_T)
+                    def _scatter_only(T=T, scatter=scatter):
+                        scatter(T)
+                else:
+                    run_ok = pids[1] == pids[0] + 1
+                    for j in range(2, T):
+                        run_ok &= pids[j] == pids[0] + j
+
+                    @pl.when(is_T & run_ok)
+                    def _run(T=T, run=run):
+                        run(T)
+
+                    @pl.when(is_T & jnp.logical_not(run_ok))
+                    def _scatter(T=T, scatter=scatter):
+                        scatter(T)
+
+    def kernel(lengths_ref, pt_ref, qoffs_ref, buf_ref, init_ref, q_ref,
+               kn_ref, vn_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
+               kb, vb, ksb, vsb, ksem, vsem, m_s, l_s, acc_s):
+        c = pl.program_id(0)
+
+        def lo_slot(b):
+            if window is None:
+                return jnp.int32(0)
+            return jnp.maximum(qoffs_ref[b] - (window - 1), 0) // bk
+
+        def hi_slot(b):
+            return lax.div(lengths_ref[b] + (bk - 1), bk)
+
+        def cell_range(cc):
+            """(lo, hi) of cell cc's walk: [min lo, max hi) over its
+            non-empty slots (empty members contribute nothing)."""
+            lo = IBIG
+            hi = jnp.int32(0)
+            for s_ in range(SB):
+                b = cc * SB + s_
+                h = hi_slot(b)
+                l = lo_slot(b)
+                lo = jnp.minimum(lo, jnp.where(h > l, l, IBIG))
+                hi = jnp.maximum(hi, h)
+            return lo, hi
+
+        def empty(cc):
+            lo, hi = cell_range(jnp.minimum(cc, pl.num_programs(0) - 1))
+            return hi <= lo
+
+        def next_indices(cc, i, hi):
+            """First block of the next cell with work; cc == n_cells means
+            done."""
+            n_cells = pl.num_programs(0)
+
+            def advance_c():
+                next_c = cc + 1
+
+                def scan():
+                    found = lax.fori_loop(
+                        next_c + 1, n_cells,
+                        lambda x, best: jnp.where(
+                            (best < 0) & ~empty(x), x, best),
+                        jnp.int32(-1),
+                    )
+                    return jnp.where(found < 0, n_cells, found)
+
+                nc = lax.cond(
+                    (next_c < n_cells) & empty(next_c), scan,
+                    lambda: next_c,
+                )
+                lo, _ = cell_range(jnp.minimum(nc, n_cells - 1))
+                return nc, lo
+
+            return lax.cond(i < hi, lambda: (cc, i), advance_c)
+
+        m_s[...] = jnp.full(m_s.shape, -jnp.inf, jnp.float32)
+        l_s[...] = jnp.zeros(l_s.shape, jnp.float32)
+        acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+
+        lo, hi = cell_range(c)
+        lo = jnp.minimum(lo, hi)  # all-empty cell: zero-trip walk
+
+        def body(i, _):
+            buf = buf_ref[0]
+
+            @pl.when(init_ref[0] == 1)
+            def _first():
+                init_ref[0] = 0
+                if fused:
+                    kb[...] = jnp.zeros(kb.shape, kb.dtype)
+                else:
+                    vb[...] = jnp.zeros(vb.shape, vb.dtype)
+                process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                              ksb, vsb, ksem, vsem, pt_ref, lengths_ref,
+                              c, i, buf, wait=False)
+
+            nc, ni = next_indices(c, i + 1, hi)
+
+            @pl.when(nc < pl.num_programs(0))
+            def _prefetch():
+                nbuf = 1 - buf
+                process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                              ksb, vsb, ksem, vsem, pt_ref, lengths_ref,
+                              nc, ni, nbuf, wait=False)
+                buf_ref[0] = nbuf
+
+            process_block(k_hbm, v_hbm, ks_hbm, vs_hbm, kb, vb,
+                          ksb, vsb, ksem, vsem, pt_ref, lengths_ref,
+                          c, i, buf, wait=True)
+
+            # Per-slot mask geometry, stacked on the (free) leading dim.
+            masks = []
+            for s_ in range(SB):
+                b = c * SB + s_
+                slot = i * bk + jax.lax.broadcasted_iota(
+                    jnp.int32, (SG, bk), 1)
+                qpos = (qoffs_ref[b]
+                        + jax.lax.broadcasted_iota(jnp.int32, (SG, bk), 0)
+                        // G)
+                m = (slot <= qpos) & (slot < lengths_ref[b])
+                if window is not None:
+                    m &= slot > qpos - window
+                masks.append(m)
+            mask = jnp.stack(masks)                          # [SB, SG, bk]
+            mask3 = jnp.broadcast_to(
+                mask[:, None], (SB, Hkv, SG, bk)).reshape(SB * Hkv, SG, bk)
+
+            # ONE dot pair + one set of softmax ops for the whole group:
+            # the slot dim merges into the dot's batch dim.
+            q = q_ref[...].reshape(SB * Hkv, SG, -1)
+            if fused:
+                kv = kb[buf]                    # [SB, Hkv, ppcb, 2·ps, D]
+                k = kv[:, :, :, :page_size].reshape(SB * Hkv, bk, -1)
+                v = kv[:, :, :, page_size:].reshape(SB * Hkv, bk, -1)
+            else:
+                k = kb[buf].reshape(SB * Hkv, bk, -1)
+                v = vb[buf].reshape(SB * Hkv, bk, -1)
+            if quant:
+                k = k.astype(q.dtype)
+                v = v.astype(q.dtype)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale                                   # [SB·Hkv, SG, bk]
+            if quant:
+                if fused:
+                    ksc = (ksb[buf][:, :, :, 0, :page_size]
+                           .reshape(SB * Hkv, 1, bk))
+                else:
+                    ksc = ksb[buf].reshape(SB * Hkv, 1, bk)
+                s = s * (ksc * (1.0 / KV_QUANT_MAX))
+            s = jnp.where(mask3, s, NEG_INF)
+
+            m_prev, l_prev = m_s[...], l_s[...]
+            m_curr = jnp.max(s, axis=2, keepdims=True)
+            m_next = jnp.maximum(
+                m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+            alpha = jnp.exp(m_prev - m_next)
+            pexp = jnp.where(mask3, jnp.exp(s - m_next[:, :, :1]), 0.0)
+            l_s[...] = alpha * l_prev + jnp.sum(pexp, axis=2, keepdims=True)
+            m_s[...] = m_next
+            acc_s[...] *= alpha[:, :, :1]
+            if quant:
+                if fused:
+                    vsc = (ksb[buf][:, :, :, 0, page_size:]
+                           .reshape(SB * Hkv, 1, bk))
+                else:
+                    vsc = vsb[buf].reshape(SB * Hkv, 1, bk)
+                pexp = jnp.where(
+                    mask3, pexp * (vsc * (1.0 / KV_QUANT_MAX)), 0.0)
+            acc_s[...] += jax.lax.dot_general(
+                pexp.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            return ()
+
+        lax.fori_loop(lo, hi, body, ())
+
+        m_prev, l_prev, acc = m_s[...], l_s[...], acc_s[...]
+        if has_new:
+            q = q_ref[...].reshape(SB * Hkv, SG, -1).astype(jnp.float32)
+            kn = kn_ref[...].reshape(SB * Hkv, 1, -1).astype(jnp.float32)
+            vn = vn_ref[...].reshape(SB * Hkv, 1, -1).astype(jnp.float32)
+            s_self = jax.lax.dot_general(
+                q, kn, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale                                   # [SB·Hkv, SG, 1]
+            m_next = jnp.maximum(
+                m_prev, jnp.broadcast_to(s_self, m_prev.shape))
+            alpha = jnp.exp(m_prev - m_next)
+            p_self = jnp.exp(s_self - m_next[:, :, :1])
+            l_prev = alpha * l_prev + p_self
+            acc = acc * alpha[:, :, :1] + p_self * vn
+        l = l_prev[:, :, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[...] = (acc * l_inv).reshape(o_ref.shape).astype(o_ref.dtype)
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "sliding_window",
                                              "pages_per_block", "fold_heads",
-                                             "interpret"))
+                                             "slot_block", "interpret"))
 def paged_attention_fa(
     q: jnp.ndarray,              # [B, S, Hq, D]
     k_pages: jnp.ndarray,        # [Hkv, N, ps, D] (bf16 or int8)
@@ -926,6 +1230,7 @@ def paged_attention_fa(
     v_new: Optional[jnp.ndarray] = None,
     pages_per_block: Optional[int] = None,
     fold_heads: Optional[bool] = None,
+    slot_block: Optional[int] = None,
     interpret=None,
 ) -> jnp.ndarray:
     """Flash-structure paged attention (see section comment above).
@@ -951,6 +1256,12 @@ def paged_attention_fa(
     DMAs cost nothing extra; the (b, h) grid remains for VMEM-tight
     shapes (its scratch is Hkv× smaller).
 
+    `slot_block` (SB): group SB slots per grid cell (`_fa_gmh_kernel`) —
+    one program walks the group's blocks and each block is ONE
+    [SB·Hkv, SG, bk] batched dot pair, dividing the per-program and
+    per-block fixed costs SB×. Folded grid only; B is padded to a
+    multiple of SB with empty slots. Default from VZT_FA_SB (1 = off).
+
     KV-FUSED pools (`v_pages=None`): `k_pages` is one
     [Hkv, N, 2·page_size, D] pool holding each page's K rows then its V
     rows (`k_scales` likewise [Hkv, N, 1, 2·page_size], K lanes then V
@@ -974,11 +1285,36 @@ def paged_attention_fa(
         interpret = jax.default_backend() == "cpu"
     if fold_heads is None:
         fold_heads = True
+    if slot_block is None:
+        slot_block = int(os.environ.get("VZT_FA_SB", "1"))
+    slot_block = max(1, min(slot_block, B))
     if has_new and (S != 1 or not fold_heads):
         raise ValueError("k_new/v_new self-term requires S == 1 and the "
                          "folded grid")
     if fused and not fold_heads:
         raise ValueError("KV-fused pools require the folded grid")
+    if slot_block > 1 and not fold_heads:
+        raise ValueError("slot_block requires the folded grid")
+
+    # Slot grouping: pad B to a multiple of SB with EMPTY slots (length
+    # 0, table row 0) — they fetch one clamped page per block and mask
+    # to zero output; the pad rows are sliced off below.
+    B_in = B
+    SB = slot_block
+    pad = (-B) % SB
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((pad, *q.shape[1:]), q.dtype)])
+        page_table = jnp.concatenate(
+            [page_table, jnp.zeros((pad, pages_per_seq), page_table.dtype)])
+        lengths = jnp.concatenate(
+            [lengths, jnp.zeros((pad,), lengths.dtype)])
+        q_offs = jnp.concatenate([q_offs, jnp.zeros((pad,), q_offs.dtype)])
+        if has_new:
+            k_new = jnp.concatenate(
+                [k_new, jnp.zeros((pad, *k_new.shape[1:]), k_new.dtype)])
+            v_new = jnp.concatenate(
+                [v_new, jnp.zeros((pad, *v_new.shape[1:]), v_new.dtype)])
+        B = B + pad
 
     # [B, Hkv, S*G, D]: a kv head's query rows are its S positions × G
     # group heads; row r ↔ position q_offs + r // G.
@@ -1018,7 +1354,38 @@ def paged_attention_fa(
         k_new = jnp.zeros((1, Hkv, D), q.dtype)
         v_new = jnp.zeros((1, Hkv, D), q.dtype)
 
-    if fold_heads:
+    compiler_kw = {}
+    if fold_heads and SB > 1:
+        grid = (B // SB,)
+        kernel = _fa_gmh_kernel(
+            G, S, bk, ppcb, page_size, pages_per_seq, scale, quant,
+            sliding_window, B, Hkv, SB, has_new=has_new, fused=fused,
+        )
+        q_spec = pl.BlockSpec((SB, Hkv, SG, D), lambda c, *_: (c, 0, 0, 0))
+        new_spec = pl.BlockSpec(
+            (SB, Hkv, D) if has_new else (1, Hkv, D),
+            (lambda c, *_: (c, 0, 0)) if has_new else (lambda c, *_: (0, 0, 0)))
+        kv_rows = 2 * page_size if fused else page_size
+        scratch = [
+            pltpu.VMEM((2, SB, Hkv, ppcb, kv_rows, D), k_pages.dtype),
+            (pltpu.VMEM((2, 1, 1, 1, 8, 128), k_pages.dtype) if fused else
+             pltpu.VMEM((2, SB, Hkv, ppcb, page_size, D), v_pages.dtype)),
+            pltpu.VMEM((2, SB, Hkv, ppcb, 1, kv_rows), jnp.float32),
+            (pltpu.VMEM((2, 1, 1, 1, 1, 128), jnp.float32) if fused else
+             pltpu.VMEM((2, SB, Hkv, ppcb, 1, page_size), jnp.float32)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((SB * Hkv, SG, 128), jnp.float32),
+            pltpu.VMEM((SB * Hkv, SG, 128), jnp.float32),
+            pltpu.VMEM((SB * Hkv, SG, D), jnp.float32),
+        ]
+        semantics = ("arbitrary",)
+        # The double-buffered group scratch is SB× the per-slot one
+        # (~12.6 MiB at SB=4, fused int8 serving shape) — Mosaic's
+        # default 16 MiB scoped budget needs headroom for the q/out
+        # blocks and accumulators on top.
+        compiler_kw["vmem_limit_bytes"] = 100 * 2**20
+    elif fold_heads:
         grid = (B,)
         kernel = _fa_mh_kernel(
             G, S, bk, ppcb, page_size, pages_per_seq, scale, quant,
@@ -1083,15 +1450,16 @@ def paged_attention_fa(
             scratch_shapes=scratch,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=semantics,
+            dimension_semantics=semantics, **compiler_kw,
         ),
         interpret=interpret,
     )(lengths, page_table.reshape(-1), q_offs,
       jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
       qg, k_new.astype(q.dtype), v_new.astype(q.dtype),
       k_pages, v_pages, k_scales, v_scales)
-    return (out.reshape(B, Hkv, S, G, D).transpose(0, 2, 1, 3, 4)
-            .reshape(B, S, Hq, D))
+    out = (out.reshape(B, Hkv, S, G, D).transpose(0, 2, 1, 3, 4)
+           .reshape(B, S, Hq, D))
+    return out[:B_in] if B != B_in else out
 
 
 def _kv_update_kernel(page_size: int, fused: bool = False):
