@@ -1013,7 +1013,10 @@ def main():
     # (BENCH_dev_r4_batched_kernel.json): 27.521 ms/step = 4651.01 tok/s,
     # split 29.533/4334.2 same-run. After the post-batching block
     # re-sweep (bk 1024 → 768): 25.207 ms/step = 5077.9 tok/s
-    # (pagedqf single-phase development run, v5e).
+    # (pagedqf single-phase development run, v5e). r5 slot-grouped
+    # kernel (slot_block=4 default, one program + one batched dot pair
+    # per 4 slots): 23.943 ms/step = 5346.1 tok/s, reproduced twice
+    # (split pools same-run: 28.748/4452.5).
     h.run_phase(
         "pagedqf",
         lambda slots: bench_decode_paged(

@@ -48,14 +48,16 @@ def main():
     v_new = jnp.asarray(rng.normal(size=(B, Hkv, D)) * 0.3, jnp.bfloat16)
 
     results = {}
-    for sb in (1, 2, 4, 8):
+    for sb, ppcb in ((1, None), (2, None), (4, None), (8, None),
+                     (1, 5), (4, 5), (4, 4), (2, 5)):
         @functools.partial(jax.jit, static_argnames=("n",))
-        def run(q, n, sb=sb):
+        def run(q, n, sb=sb, ppcb=ppcb):
             def body(q, _):
                 o = paged_attention_fa(
                     q, kvq, None, table, lengths, lengths,
                     sliding_window=4096, k_scales=kvs,
-                    k_new=k_new, v_new=v_new, slot_block=sb)
+                    k_new=k_new, v_new=v_new, slot_block=sb,
+                    pages_per_block=ppcb)
                 return (o * 1e-3 + q * 0.999).astype(q.dtype), None
 
             q, _ = jax.lax.scan(body, q, None, length=n)
@@ -75,14 +77,17 @@ def main():
         jax.block_until_ready(o)
         dt = (time.perf_counter() - t0) / reps
         fetch_bytes = L * B * 640 * Hkv * (D + 4) * 2  # int8 rows + scales
-        results[sb] = dt
-        print({"sb": sb, "ms_per_32layer_step": round(dt * 1e3, 3),
+        results[(sb, ppcb)] = dt
+        print({"sb": sb, "ppcb": ppcb,
+               "ms_per_32layer_step": round(dt * 1e3, 3),
                "fetch_gbps": round(fetch_bytes / dt / 1e9, 1)}, flush=True)
 
-    if 1 in results:
-        for sb, dt in sorted(results.items()):
-            print({"sb": sb, "speedup_vs_sb1": round(results[1] / dt, 3)},
-                  flush=True)
+    base = results.get((1, None))
+    if base:
+        for (sb, ppcb), dt in sorted(
+                results.items(), key=lambda kv: kv[1]):
+            print({"sb": sb, "ppcb": ppcb,
+                   "speedup_vs_sb1": round(base / dt, 3)}, flush=True)
 
 
 if __name__ == "__main__":

@@ -1285,16 +1285,24 @@ def paged_attention_fa(
         interpret = jax.default_backend() == "cpu"
     if fold_heads is None:
         fold_heads = True
+    if slot_block is not None and slot_block > 1 and not fold_heads:
+        raise ValueError("slot_block requires the folded grid")
     if slot_block is None:
-        slot_block = int(os.environ.get("VZT_FA_SB", "1"))
+        # SB=4 is the measured optimum (v5e B=128 fused int8, 640-token
+        # pools, bk=640: SB 1/2/4/8 = 11.96/11.06/10.30/— ms per
+        # 32-layer step-equiv; SB=8 at bk=768 ties SB=4 but its scratch
+        # is 2× — `experiments/fa_sb_probe.py`). End-to-end pagedqf
+        # B=128: 25.34 → 23.94 ms/step same-run. Clamped to B, so
+        # single-stream (B=1) is untouched; the (b, h) grid stays
+        # ungrouped.
+        slot_block = (int(os.environ.get("VZT_FA_SB", "4"))
+                      if fold_heads else 1)
     slot_block = max(1, min(slot_block, B))
     if has_new and (S != 1 or not fold_heads):
         raise ValueError("k_new/v_new self-term requires S == 1 and the "
                          "folded grid")
     if fused and not fold_heads:
         raise ValueError("KV-fused pools require the folded grid")
-    if slot_block > 1 and not fold_heads:
-        raise ValueError("slot_block requires the folded grid")
 
     # Slot grouping: pad B to a multiple of SB with EMPTY slots (length
     # 0, table row 0) — they fetch one clamped page per block and mask
@@ -1332,11 +1340,20 @@ def paged_attention_fa(
         # per-head-loop kernel: ppcb 4 (2 blocks/slot) = 25.65 ms, 6 =
         # 20.21, 8 = 19.79, 12 = 23.43, 16 = 27.04. Re-swept with the
         # head-BATCHED kernel (one dot pair per block): 4 = 15.71,
-        # 6 = 13.70, 8 = 16.00, 12 = 20.84, 16 = 25.57 — batching shrank
-        # the fixed per-block cost, moving the optimum down to bk = 768
-        # (one block per 640-token slot with minimal dot padding).
+        # 6 = 13.70, 8 = 16.00, 12 = 20.84, 16 = 25.57. Re-swept AGAIN
+        # r5 with the slot-GROUPED kernel (`experiments/fa_sb_probe.py`):
+        # STANDALONE, bk=640 (ppcb 5 — zero dot-padding columns) beats
+        # bk=768 at every SB (SB=4: 12.28 → 10.30 ms) — but IN-STEP the
+        # ranking flips hard and reproducibly (pagedqf B=128 A/B/A:
+        # bk=768 = 23.94 ms twice, bk=640 = 27.1 ms twice; bk=640 also
+        # compiles ~2× slower). Mosaic schedules the ppcb=5 kernel
+        # differently inside the full step program than standalone, so
+        # the in-step measurement is the one that decides: default 768,
+        # VZT_FA_BK to re-tune.
         if fold_heads:
-            pages_per_block = min(max(768 // page_size, 1), 6, pages_per_seq)
+            target = int(os.environ.get("VZT_FA_BK", "768"))  # tuning knob
+            pages_per_block = min(max(target // page_size, 1), 6,
+                                  pages_per_seq)
         else:
             pages_per_block = min(8, pages_per_seq)
     ppcb = pages_per_block
@@ -1828,7 +1845,11 @@ def _kv_update_rows(k_pages, v_pages, k_scales, v_scales, ks, vs,
     # duplicate RMW flushes identical bytes.
     # VZT_KV_SL: experiment/override knob (also the safety valve — SL=1
     # restores the one-slot-per-cell r3 kernel exactly).
-    SL = min(int(os.environ.get("VZT_KV_SL", "8")), B)
+    # Default 4: the r5 standalone sweep (`experiments/kv_update_sl_probe`,
+    # B=128 fused int8 serving shape) measured SL 1/2/4/8 =
+    # 1.928/1.652/1.602/1.611 ms — latency amortization saturates by 4,
+    # and the SL=4 scratch is half of SL=8's.
+    SL = min(int(os.environ.get("VZT_KV_SL", "4")), B)
     # The scratch grows SL× and Mosaic's DEFAULT scoped-vmem budget is
     # 16 MiB: at the 7B serving shape (Hkv=8, L=32, fused int8) SL=8 needs
     # 19 MiB and the r4 driver bench died in compile on exactly that
