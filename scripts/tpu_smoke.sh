@@ -13,6 +13,15 @@
 # ~10 min), then a second process compiles the kernels the bench phases
 # don't reach (flash fwd+bwd, standalone paged reads).
 #
+# RUN THIS ON A QUIET STACK. The remote device broker reclaims sessions
+# slowly: after ~2 h of back-to-back TPU processes (r5 measured),
+# acquisition stalled 825 s in one run and past the whole 900 s budget
+# in the next — every phase then reports *_skipped even though nothing
+# is wrong with the kernels. If the final line shows a large
+# `device_acquire_s` (or `device_error: acquisition did not return`),
+# wait 15–25 min with NO TPU processes and re-run before concluding a
+# kernel broke.
+#
 # Exit code 0 = every phase ran and no *_error/*_skipped keys in the
 # final bench line.
 set -u
