@@ -943,7 +943,24 @@ def main():
     # Dump-and-exit paths for every way the driver can reap us. The
     # watchdog thread fires even if the main thread is blocked inside a
     # device call (signal handlers only run between bytecodes).
+    start_t = time.monotonic()
+    acquiring = threading.Event()
+
     def _dump_and_exit(*_a):
+        # Exiting while the acquisition RPC is still in flight leaves a
+        # ghost session in the remote broker that stalls the NEXT
+        # client's acquisition 15-25 min (r5 measured the cascade:
+        # each watchdog-exit-during-acquire poisoned the following run).
+        # While acquiring, keep waiting instead — emit a progress line
+        # and re-arm, up to a hard cap of 3x budget; a signal or the cap
+        # still exits so the driver is never hung indefinitely.
+        if (acquiring.is_set() and not _a
+                and time.monotonic() - start_t < 3 * budget):
+            h.emit()
+            t = threading.Timer(120.0, _dump_and_exit)
+            t.daemon = True
+            t.start()
+            return
         if not h._done:
             h.emit(final=True)
         os._exit(0)
@@ -974,6 +991,7 @@ def main():
     # observed to hang ~25 min before raising) still explains itself;
     # cleared on success, overwritten per failed attempt.
     h.extras["device_error"] = "acquisition did not return within budget"
+    acquiring.set()
     while True:
         try:
             h.extras["device"] = str(jax.devices()[0])
@@ -999,7 +1017,27 @@ def main():
                 watchdog.cancel()
                 return
             time.sleep(45)
-    h.extras["device_acquire_s"] = round(time.monotonic() - t0, 1)
+    acquiring.clear()
+    acquire_s = time.monotonic() - t0
+    h.extras["device_acquire_s"] = round(acquire_s, 1)
+    if acquire_s > 30.0:
+        # Don't charge a slow acquisition against the MEASUREMENT budget:
+        # the remote broker reclaims sessions slowly (r5 measured an
+        # 825 s acquisition after TPU-process churn — every phase then
+        # skipped on budget even though the chip was fine). Extend the
+        # deadline by the acquisition time (bounded by one extra budget)
+        # and re-arm the watchdog. If the outer driver kills us anyway,
+        # the last progress line still carries the acquire time and
+        # whatever phases landed — no worse than skipping everything.
+        extend = min(acquire_s, budget)
+        h.deadline += extend
+        h.extras["budget_extended_s"] = round(extend, 1)
+        watchdog.cancel()
+        watchdog = threading.Timer(
+            max(h.remaining() - 15.0, 30.0), _dump_and_exit)
+        watchdog.daemon = True
+        watchdog.start()
+        h.emit()
 
     paged_steps = 2 if tiny else 64
     paged_prompt = 32 if tiny else 512

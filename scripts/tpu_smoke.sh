@@ -30,7 +30,11 @@ cd "$(dirname "$0")/.."
 fail=0
 
 echo "--- bench phases (smoke preset, one process)"
-out=$(VZT_BENCH_PRESET=smoke VZT_BENCH_BUDGET_S=900 timeout 960 python bench.py 2>&1 | tail -1)
+# timeout must outlast bench's own watchdog INCLUDING the slow-acquisition
+# budget extension (bench.py extends its deadline by up to one extra budget
+# when the broker stalls) — a timeout kill on a TPU-holding process wedges
+# the broker further.
+out=$(VZT_BENCH_PRESET=smoke VZT_BENCH_BUDGET_S=900 timeout 2100 python bench.py 2>&1 | tail -1)
 echo "$out"
 if ! python - "$out" <<'EOF'
 import json, sys
@@ -53,7 +57,9 @@ fi
 # Flash attention fwd+bwd (the training kernel; not exercised by the
 # serving phases above) + the standalone paged-attention read kernels.
 echo "--- flash attention fwd+bwd + paged read kernels"
-if ! timeout 420 python - <<'EOF'
+# 1500 s: must survive a broker acquisition stall without killing a
+# TPU-acquiring process (see header).
+if ! timeout 1500 python - <<'EOF'
 import jax, jax.numpy as jnp, numpy as np
 from vis_zephyr_tpu.ops.flash_attention import flash_attention
 
